@@ -1,0 +1,350 @@
+"""Host (CPU) rANS / RAbS entropy coders, bit-exact with the Draco bitstream.
+
+This is the reference implementation; the vectorized multi-lane device
+version lives in tpudraco.ops.rans_lanes and the native C++ fast path in
+tpudraco.native. All three must produce identical bytes.
+
+Reference behavior:
+  - draco-oxide/src/encode/entropy/rans.rs:10-69   (RansCoder, precision 12)
+  - draco-oxide/src/encode/entropy/rans.rs:71-128  (RabsCoder, precision 8)
+  - draco-oxide/src/encode/entropy/rans.rs:131-256 (RansSymbolEncoder:
+    frequency normalization + table serialization + payload framing)
+  - draco-oxide/src/decode/entropy/rans.rs         (decoder mirrors)
+  - draco-oxide/src/shared/entropy/mod.rs          (table build, constants)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..wire.byte_io import ByteReader, ByteWriter
+from ..wire.varint import leb128_read, leb128_write
+
+L_RANS_BASE = 4096
+DEFAULT_RANS_PRECISION = 12
+DEFAULT_RABS_PRECISION = 8
+
+
+def default_l_rans_base(precision: int) -> int:
+    return (1 << precision) << 2
+
+
+def _flush_state(state: int, out: bytearray) -> None:
+    """Write the final coder state with a 2-bit size flag packed in the top
+    bits (encode/entropy/rans.rs:48-68)."""
+    if state < (1 << 6):
+        out.append(state)
+    elif state < (1 << 14):
+        out += ((0x01 << 14) + state).to_bytes(2, "little")
+    elif state < (1 << 22):
+        out += ((0x02 << 22) + state).to_bytes(3, "little")
+    elif state < (1 << 30):
+        out += ((0x03 << 30) + state).to_bytes(4, "little")
+    else:
+        raise ValueError("rANS state too large at flush")
+
+
+def _read_initial_state(rev, l_base: int) -> int:
+    """Reconstruct the flushed state from the stream tail
+    (decode/entropy/rans.rs:30-56)."""
+    metadata = rev.read_u8_back()
+    flag = metadata >> 6
+    if flag == 0:
+        state = 0
+    elif flag == 1:
+        state = rev.read_u8_back()
+    elif flag == 2:
+        state = rev.read_u16_back()
+    else:
+        state = rev.read_u24_back()
+    state |= (metadata & 0x3F) << (flag << 3)
+    return state + l_base
+
+
+class RansEncoder:
+    """Byte-wise rANS encoder over a normalized frequency table.
+
+    ``freq_counts`` must sum to 1 << precision."""
+
+    def __init__(self, freq_counts, precision: int = DEFAULT_RANS_PRECISION,
+                 l_rans_base: int | None = None) -> None:
+        freq_counts = np.asarray(freq_counts, dtype=np.int64)
+        if int(freq_counts.sum()) != (1 << precision):
+            raise ValueError(
+                f"freq counts sum {int(freq_counts.sum())} != 2^{precision}")
+        self.precision = precision
+        self.l_base = l_rans_base if l_rans_base is not None else default_l_rans_base(precision)
+        self.freqs = freq_counts
+        self.cums = np.concatenate(([0], np.cumsum(freq_counts)[:-1]))
+        self.state = self.l_base
+        self.out = bytearray()
+
+    def write(self, idx: int) -> None:
+        freq = int(self.freqs[idx])
+        state = self.state
+        limit = ((self.l_base >> self.precision) * freq) << 8
+        while state >= limit:
+            self.out.append(state & 0xFF)
+            state >>= 8
+        self.state = ((state // freq) << self.precision) + state % freq + int(self.cums[idx])
+
+    def write_all(self, symbols) -> None:
+        # Hot loop: rebind to locals. (Native/C++ path replaces this.)
+        freqs = self.freqs
+        cums = self.cums
+        precision = self.precision
+        base_sh = self.l_base >> precision
+        state = self.state
+        out = self.out
+        for s in np.asarray(symbols).tolist():
+            freq = int(freqs[s])
+            limit = (base_sh * freq) << 8
+            while state >= limit:
+                out.append(state & 0xFF)
+                state >>= 8
+            self.state = state = ((state // freq) << precision) + state % freq + int(cums[s])
+
+    def flush(self) -> bytes:
+        _flush_state(self.state - self.l_base, self.out)
+        return bytes(self.out)
+
+
+class RabsEncoder:
+    """Binary rANS coder with a fixed zero-symbol probability byte
+    (encode/entropy/rans.rs:71-128). Note: renormalization is a single
+    ``if``, not a loop, mirroring the reference."""
+
+    def __init__(self, freq_count_0: int, precision: int = DEFAULT_RABS_PRECISION,
+                 l_rabs_base: int | None = None) -> None:
+        self.precision = precision
+        self.freq0 = freq_count_0
+        self.freq1 = (1 << precision) - freq_count_0
+        self.l_base = l_rabs_base if l_rabs_base is not None else L_RANS_BASE
+        self.state = self.l_base
+        self.out = bytearray()
+
+    def write(self, value: int) -> None:
+        freq = self.freq1 if value > 0 else self.freq0
+        if self.state >= ((self.l_base >> self.precision) * freq) << 8:
+            self.out.append(self.state & 0xFF)
+            self.state >>= 8
+        q, r = divmod(self.state, freq)
+        self.state = (q << self.precision) + r + (0 if value > 0 else self.freq1)
+
+    def write_all(self, bits) -> None:
+        for b in np.asarray(bits).tolist():
+            self.write(int(b))
+
+    def flush(self) -> bytes:
+        _flush_state(self.state - self.l_base, self.out)
+        return bytes(self.out)
+
+
+class RansDecoder:
+    """Decodes symbols back-to-front from a forward reader; consumes
+    ``offset`` bytes of the stream (the whole rANS blob)."""
+
+    def __init__(self, reader: ByteReader, offset: int, freq_counts,
+                 precision: int = DEFAULT_RANS_PRECISION,
+                 l_rans_base: int | None = None) -> None:
+        self.precision = precision
+        self.l_base = l_rans_base if l_rans_base is not None else default_l_rans_base(precision)
+        self.rev = reader.spawn_reverse_reader(offset)
+        self.state = _read_initial_state(self.rev, self.l_base)
+        freq_counts = np.asarray(freq_counts, dtype=np.int64)
+        if int(freq_counts.sum()) != (1 << precision):
+            raise ValueError("freq counts incompatible with precision")
+        self.freqs = freq_counts
+        self.cums = np.concatenate(([0], np.cumsum(freq_counts)[:-1]))
+        # slot table: maps r in [0, 2^P) -> symbol index
+        self.slots = np.repeat(
+            np.arange(len(freq_counts), dtype=np.int64), freq_counts)
+
+    def read(self) -> int:
+        state = self.state
+        l_base = self.l_base
+        while state < l_base:
+            state = state * 256 + self.rev.read_u8_back()
+        q, r = divmod(state, 1 << self.precision)
+        idx = int(self.slots[r])
+        self.state = q * int(self.freqs[idx]) + r - int(self.cums[idx])
+        return idx
+
+    def read_all(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            out[i] = self.read()
+        return out
+
+
+class RabsDecoder:
+    def __init__(self, reader: ByteReader, offset: int, freq_count_0: int,
+                 precision: int = DEFAULT_RABS_PRECISION,
+                 l_rabs_base: int | None = None) -> None:
+        self.precision = precision
+        self.freq0 = freq_count_0
+        self.freq1 = (1 << precision) - freq_count_0
+        if freq_count_0 >= (1 << precision):
+            raise ValueError("invalid freq_count_0")
+        self.l_base = l_rabs_base if l_rabs_base is not None else L_RANS_BASE
+        self.rev = reader.spawn_reverse_reader(offset)
+        self.state = _read_initial_state(self.rev, self.l_base)
+
+    def read(self) -> int:
+        if self.state < self.l_base:
+            self.state = (self.state << 8) + self.rev.read_u8_back()
+        x = self.state
+        q = x >> self.precision
+        r = x & ((1 << self.precision) - 1)
+        xn = q * self.freq1
+        if r < self.freq1:
+            self.state = xn + r
+            return 1
+        self.state = x - xn - self.freq1
+        return 0
+
+    def read_all(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            out[i] = self.read()
+        return out
+
+
+def normalize_freq_counts(freq_counts, precision: int) -> np.ndarray:
+    """Normalize raw counts to sum to 1 << precision, replicating the
+    reference's rounding + greedy fixup (encode/entropy/rans.rs:156-190).
+    Trailing zero-count symbols are dropped."""
+    freq_counts = np.asarray(freq_counts, dtype=np.int64)
+    nz = np.nonzero(freq_counts)[0]
+    if len(nz) == 0:
+        raise ValueError("cannot build rANS table from all-zero counts")
+    num_symbols = int(nz[-1]) + 1
+    freqs = freq_counts[:num_symbols]
+    total = float(freqs.sum())
+    rp = 1 << precision
+    # (prob * rp + 0.5) as usize  == floor for non-negative values
+    dist = np.floor(freqs.astype(np.float64) / total * rp + 0.5).astype(np.int64)
+    dist[(dist == 0) & (freqs > 0)] = 1
+    total_rans = int(dist.sum())
+    if total_rans != rp:
+        order = np.argsort(dist, kind="stable")
+        if total_rans < rp:
+            dist[order[-1]] += rp - total_rans
+        else:
+            err = total_rans - rp
+            i = num_symbols - 1
+            while err > 0:
+                dist[order[i]] -= 1
+                i -= 1
+                err -= 1
+    assert int(dist.sum()) == rp
+    return dist
+
+
+def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
+    """Serialize a normalized frequency table (encode/entropy/rans.rs:194-230):
+    leb128 symbol count; per symbol one byte with a 2-bit token (0-2 = number
+    of extra bytes, 3 = zero-run with 6-bit offset)."""
+    num_symbols = len(dist)
+    leb128_write(num_symbols, writer)
+    i = 0
+    while i < num_symbols:
+        freq = int(dist[i])
+        if freq == 0:
+            offset = 0
+            while offset < (1 << 6):
+                if int(dist[i + offset + 1]) > 0:
+                    i += offset
+                    break
+                offset += 1
+            # NOTE: if the loop completes without break (>=65-zero run) the
+            # reference writes ((64<<2)|3) as u8 == 3, i.e. a zero-run of
+            # length 1 — intentionally replicated via the &0xFF truncation.
+            writer.write_u8(((offset << 2) | 3) & 0xFF)
+        else:
+            if freq < (1 << 6):
+                extra = 0
+            elif freq < (1 << 14):
+                extra = 1
+            elif freq < (1 << 22):
+                extra = 2
+            else:
+                raise ValueError("frequency too large for table serialization")
+            writer.write_u8(((freq << 2) | extra) & 0xFF)
+            for b in range(extra):
+                writer.write_u8((freq >> (8 * (b + 1) - 2)) & 0xFF)
+        i += 1
+
+
+def parse_rans_table(reader: ByteReader) -> np.ndarray:
+    """Inverse of serialize_rans_table (decode/entropy/rans.rs:162-188)."""
+    num_symbols = leb128_read(reader)
+    dist = np.zeros(num_symbols, dtype=np.int64)
+    i = 0
+    while i < num_symbols:
+        count = reader.read_u8()
+        token = count & 3
+        if token == 3:
+            offset = count >> 2
+            if i + offset >= num_symbols:
+                raise ValueError("invalid zero-run offset in rANS table")
+            i += offset  # entries already zero
+        else:
+            freq = count >> 2
+            for j in range(token):
+                freq |= reader.read_u8() << (8 * (j + 1) - 2)
+            dist[i] = freq
+        i += 1
+    return dist
+
+
+class RansSymbolEncoder:
+    """Frequency-table header + framed rANS payload
+    (encode/entropy/rans.rs:131-256). ``flush`` writes leb128 byte-length
+    followed by the rANS blob into ``writer``."""
+
+    def __init__(self, writer: ByteWriter, freq_counts,
+                 precision: int = DEFAULT_RANS_PRECISION,
+                 l_rans_base: int | None = None) -> None:
+        dist = normalize_freq_counts(freq_counts, precision)
+        serialize_rans_table(dist, writer)
+        self.writer = writer
+        self.num_symbols = len(dist)
+        self.coder = RansEncoder(dist, precision, l_rans_base)
+
+    def write(self, idx: int) -> None:
+        if idx >= self.num_symbols:
+            raise ValueError("invalid symbol index")
+        self.coder.write(idx)
+
+    def write_all(self, symbols) -> None:
+        self.coder.write_all(symbols)
+
+    def flush(self) -> None:
+        blob = self.coder.flush()
+        leb128_write(len(blob), self.writer)
+        self.writer.write_bytes(blob)
+
+
+class RansSymbolDecoder:
+    """Mirror of RansSymbolEncoder (decode/entropy/rans.rs:146-208)."""
+
+    def __init__(self, reader: ByteReader,
+                 precision: int = DEFAULT_RANS_PRECISION) -> None:
+        freq_counts = parse_rans_table(reader)
+        self.freq_counts = freq_counts
+        offset = leb128_read(reader)
+        self.decoder = RansDecoder(reader, offset, freq_counts, precision)
+        self.num_symbols = len(freq_counts)
+
+    def decode_symbol(self) -> int:
+        return self.decoder.read()
+
+    def decode_all(self, n: int) -> np.ndarray:
+        return self.decoder.read_all(n)
+
+
+def rans_precision_for_bit_length(bit_length: int) -> int:
+    """Draco's precision schedule for direct-coded symbols: clamp(3*b/2, 12, 20)
+    (matches the dispatch table in encode/entropy/symbol_coding.rs:118-140)."""
+    return max(12, min(20, (3 * bit_length) // 2))
