@@ -1,0 +1,28 @@
+from .attribute import (
+    Attribute,
+    AttributeDomain,
+    AttributeType,
+    ComponentType,
+    unique_rows_first_occurrence,
+)
+from .builder import MeshBuilder, MeshBuildError
+from .corner_table import (
+    NONE,
+    AllInclusiveCornerTable,
+    AttributeCornerTable,
+    CornerTable,
+    next_corner,
+    next_corners,
+    prev_corner,
+    prev_corners,
+)
+from .mesh import Mesh
+
+__all__ = [
+    "Attribute", "AttributeDomain", "AttributeType", "ComponentType",
+    "unique_rows_first_occurrence",
+    "MeshBuilder", "MeshBuildError",
+    "NONE", "AllInclusiveCornerTable", "AttributeCornerTable", "CornerTable",
+    "next_corner", "next_corners", "prev_corner", "prev_corners",
+    "Mesh",
+]
