@@ -1,0 +1,62 @@
+"""Benchmark: device encode-step throughput on a batched mesh corpus.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the device data plane (quantize -> predict -> residual -> zigzag ->
+histogram) over a batch of grid meshes sharing one topology — the hot path
+of corpus encoding (BASELINE.json config 4). The reference publishes no
+numbers (BASELINE.md); the baseline constant below is the reference-style
+single-threaded host pipeline measured on this machine's CPU for the same
+workload, recorded once for cross-round comparability.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference-equivalent single-threaded host-python pipeline throughput for
+# this exact workload, measured once (MB/s of raw float32 position data).
+BASELINE_HOST_MBPS = 60.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from tpudraco.ops import encode_step
+
+    batch, n = 64, 64  # 64 meshes x 4096 vertices
+    positions, faces = g._make_mesh_batch(batch=batch, n=n, seed=1)
+    gathers = g._topology_gathers(positions[0], faces)
+    gathers = {k: jnp.asarray(v) for k, v in gathers.items()}
+
+    @jax.jit
+    def step(pos):
+        out = encode_step(pos, gathers, bits=11)
+        return out["symbols"], out["counts"]
+
+    pos = jnp.asarray(positions)
+    syms, counts = step(pos)
+    syms.block_until_ready()  # compile
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        syms, counts = step(pos)
+    syms.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    raw_bytes = positions.nbytes
+    mbps = raw_bytes / dt / 1e6
+    print(json.dumps({
+        "metric": "device_encode_step_throughput",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_HOST_MBPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,277 @@
+"""End-to-end encode->decode round-trip tests.
+
+The decoder is the primary correctness oracle (the reference's in-tree
+decoder is disabled; no Rust toolchain exists in this image to run the
+reference encoder). Geometry is compared as multisets of per-face
+dequantized attribute values — exact equality up to -0.0/+0.0 and
+octahedral seam-equivalent codes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpudraco.decode import decode
+from tpudraco.encode import Config, encode
+from tpudraco.models import Attribute, AttributeDomain, AttributeType, Mesh, MeshBuilder
+from tpudraco.shared.octahedral import (
+    invert_diamond, oct_quantize_normals, octahedral_inverse_transform,
+    octahedral_transform,
+)
+
+REF_DATA = "/root/reference/draco-oxide/tests/data"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_DATA), reason="reference fixtures not mounted")
+
+
+def dequant_oct(vals, bits=8):
+    q = oct_quantize_normals(vals, bits)
+    scale = np.float32((1 << (bits - 1)) - 1)
+    return octahedral_inverse_transform(q.astype(np.float32) / scale - np.float32(1))
+
+
+def dequant_cw(att_vals, bits):
+    vals = att_vals.astype(np.float32)
+    mins = np.minimum(vals.min(axis=0), np.float32(0)).astype(np.float32)
+    maxs = np.maximum(vals.max(axis=0), np.float32(0)).astype(np.float32)
+    delta = np.float32(max(np.float32(0), np.max(maxs - mins)))
+    diff = (vals - mins).astype(np.float32)
+    normd = diff if delta == 0 else (diff / delta).astype(np.float32)
+    q = ((normd * np.float32((1 << bits) - 1)).astype(np.float32)
+         + np.float32(0.5)).astype(np.int64)
+    return (q.astype(np.float32) * (delta / np.float32((1 << bits) - 1))
+            + mins).astype(np.float32)
+
+
+def _canon(a):
+    a = np.asarray(a, dtype=np.float64).copy()
+    a[a == 0] = 0.0
+    return a
+
+
+def _face_multiset(faces, per_point):
+    return sorted(tuple(sorted(tuple(map(float, r)) for r in _canon(per_point[f])))
+                  for f in faces)
+
+
+BITS = {AttributeType.POSITION: 11, AttributeType.NORMAL: 8,
+        AttributeType.TEX_COORD: 10}
+
+
+def assert_roundtrip(mesh: Mesh):
+    blob = encode(mesh)
+    dec = decode(blob)
+    assert dec.num_faces == mesh.num_faces
+    for ty in (AttributeType.POSITION, AttributeType.NORMAL,
+               AttributeType.TEX_COORD):
+        src = mesh.attributes_of_type(ty)
+        if not src:
+            continue
+        att = src[0]
+        if ty == AttributeType.NORMAL:
+            exp = dequant_oct(att.values)
+        else:
+            exp = dequant_cw(att.values, BITS[ty])
+        exp_pp = exp[att.unique_indices()]
+        got_att = dec.attributes_of_type(ty)[0]
+        got = _face_multiset(dec.faces, got_att.values_per_point())
+        want = _face_multiset(mesh.faces, exp_pp)
+        assert got == want, f"{ty.name} round-trip mismatch"
+    return blob, dec
+
+
+@needs_ref
+@pytest.mark.parametrize("name", ["tetrahedron.obj", "sphere.obj",
+                                  "cube_quads.obj", "torus.obj",
+                                  "punctured_sphere.obj"])
+def test_roundtrip_fixture(name):
+    from tpudraco.io import load_obj
+    mesh = load_obj(os.path.join(REF_DATA, name))
+    blob, _ = assert_roundtrip(mesh)
+    assert blob[:5] == b"DRACO"
+    assert blob[5:7] == bytes([2, 2])
+
+
+def _build(faces, pos, normals=None, tex=None):
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces))
+    pid = b.add_attribute(np.asarray(pos, dtype=np.float32),
+                          AttributeType.POSITION, AttributeDomain.POSITION)
+    if normals is not None:
+        b.add_attribute(np.asarray(normals, dtype=np.float32),
+                        AttributeType.NORMAL, AttributeDomain.CORNER,
+                        parents=[pid])
+    if tex is not None:
+        b.add_attribute(np.asarray(tex, dtype=np.float32),
+                        AttributeType.TEX_COORD, AttributeDomain.CORNER,
+                        parents=[pid])
+    return b.build()
+
+
+def test_roundtrip_single_triangle():
+    mesh = _build([[0, 1, 2]], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    assert_roundtrip(mesh)
+
+
+def test_roundtrip_quad():
+    mesh = _build([[0, 1, 2], [2, 1, 3]],
+                  [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+    assert_roundtrip(mesh)
+
+
+def test_roundtrip_two_components():
+    mesh = _build([[0, 1, 2], [3, 4, 5]],
+                  [[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                   [5, 0, 0], [6, 0, 0], [5, 1, 0]])
+    assert_roundtrip(mesh)
+
+
+def test_roundtrip_bowtie_non_manifold_vertex():
+    mesh = _build([[0, 1, 2], [0, 3, 4]],
+                  [[0, 0, 0], [1, 0, 0], [0, 1, 0], [-1, 1, 0], [0, -1, 0]])
+    assert_roundtrip(mesh)
+
+
+def test_roundtrip_closed_octahedron():
+    pos = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                    [0, 0, 1], [0, 0, -1]], dtype=np.float32)
+    faces = [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+             [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]]
+    normals = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    mesh = _build(faces, pos, normals=normals)
+    assert_roundtrip(mesh)
+
+
+def test_roundtrip_random_grids():
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 6 + trial * 3
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        pos = np.stack([xs.ravel(), ys.ravel(),
+                        rng.rand(n * n) * 2], axis=1).astype(np.float32)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                faces.append([a, a + 1, a + n])
+                faces.append([a + 1, a + n + 1, a + n])
+        mesh = _build(faces, pos)
+        assert_roundtrip(mesh)
+
+
+def test_roundtrip_grid_with_holes():
+    n = 8
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    pos = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            if (i, j) in ((2, 2), (4, 5)):
+                continue  # punch holes
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    mesh = _build(faces, pos.astype(np.float32))
+    assert_roundtrip(mesh)
+
+
+@needs_ref
+def test_traverser_oracle_tetrahedron():
+    # shared/attribute/sequence.rs:155-208: expected visit orders
+    from tpudraco.encode.connectivity import EdgebreakerEncoder
+    from tpudraco.io import load_obj
+    from tpudraco.models.corner_table import TableView
+    from tpudraco.shared.sequencer import compute_sequence
+    from tpudraco.wire import ByteWriter
+
+    mesh = load_obj(os.path.join(REF_DATA, "tetrahedron.obj"))
+    eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
+    out = eb.encode(ByteWriter())
+    ct = out.corner_table.corner_table
+
+    view = TableView(ct, None)
+    seq = compute_sequence(view, list(out.corners_of_edgebreaker))
+    assert [ct.point(c) for c in seq] == [3, 1, 0, 2]
+
+    tex_table = out.corner_table.attribute_tables[1]
+    tview = TableView(ct, tex_table)
+    tseq = compute_sequence(tview, list(out.corners_of_edgebreaker))
+    assert [ct.point(c) for c in tseq] == [3, 1, 0, 2, 5, 4]
+
+
+def test_octahedral_transform_inverse():
+    # geom.rs:160-197 oracle: unit vectors and diagonals invert exactly
+    vs = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0],
+                   [0, 0, -1], [1, 1, 1], [-1, -1, -1], [1, -1, 1],
+                   [-1, 1, -1], [1, 1, -1], [-1, -1, 1], [1, -1, -1]],
+                  dtype=np.float64)
+    n = (vs / np.linalg.norm(vs, axis=1, keepdims=True)).astype(np.float32)
+    rec = octahedral_inverse_transform(octahedral_transform(n))
+    assert np.max(np.sum((rec - n) ** 2, axis=1)) < 1e-10
+
+
+def test_invert_diamond_involution_generic():
+    rng = np.random.RandomState(3)
+    pts = rng.randint(-126, 127, size=(4000, 2))
+    pts = pts[(pts != 0).all(axis=1)]
+    # exclude the boundary lines where the fold is many-to-one
+    pts = pts[(np.abs(pts) != 127).all(axis=1)]
+    assert np.array_equal(invert_diamond(invert_diamond(pts)), pts)
+
+
+def test_oct_orthogonal_transform_roundtrip_fuzz():
+    from tpudraco.decode.attribute import _make_inverse_transform
+    from tpudraco.encode.transforms import OctOrthogonalTransform
+    from tpudraco.shared.octahedral import into_faithful_oct_quantization
+
+    class W:
+        def write_u32(self, v):
+            pass
+
+    grid = np.stack(np.meshgrid(np.arange(0, 255, 8), np.arange(0, 255, 8)),
+                    axis=-1).reshape(-1, 2)
+    faithful = np.unique(into_faithful_oct_quantization(grid), axis=0)
+    inv = _make_inverse_transform(3, {})
+    rng = np.random.RandomState(5)
+    for _ in range(500):
+        orig = faithful[rng.randint(len(faithful))][None, :]
+        pred = faithful[rng.randint(len(faithful))]
+        if rng.rand() < 0.5:
+            pred = -pred
+        corr = OctOrthogonalTransform().squeeze(orig.copy(),
+                                                np.array([pred]), W())
+        got = inv(corr[0].astype(np.int64), pred.astype(np.int64))
+        # exact, or a seam-equivalent octahedral code of the same normal
+        # (the (255,255) faithful corner is ambiguous with (1,1) by the
+        # reference's mod-255 design: same normal within one quantization
+        # step, hence the 1e-3 tolerance)
+        if not np.array_equal(got, orig[0]):
+            scale = np.float32(127)
+            a = octahedral_inverse_transform(got.astype(np.float32) / scale - 1)
+            b = octahedral_inverse_transform(orig[0].astype(np.float32) / scale - 1)
+            assert np.allclose(a, b, atol=1e-3), (orig[0], pred, got)
+
+
+def test_wrapped_difference_roundtrip_fuzz():
+    from tpudraco.decode.attribute import _make_inverse_transform
+    from tpudraco.encode.transforms import WrappedDifferenceTransform
+
+    class W:
+        def __init__(self):
+            self.vals = []
+
+        def write_u32(self, v):
+            self.vals.append(v)
+
+    rng = np.random.RandomState(6)
+    for _ in range(50):
+        origs = rng.randint(0, 2048, size=(100, 3))
+        preds = rng.randint(-500, 2500, size=(100, 3))
+        w = W()
+        corr = WrappedDifferenceTransform().squeeze(origs, preds, w)
+        vmin = w.vals[0] - (1 << 32) if w.vals[0] >= (1 << 31) else w.vals[0]
+        vmax = w.vals[1] - (1 << 32) if w.vals[1] >= (1 << 31) else w.vals[1]
+        inv = _make_inverse_transform(1, {"min": vmin, "max": vmax})
+        got = np.stack([inv(corr[k], preds[k]) for k in range(len(origs))])
+        assert np.array_equal(got, origs)

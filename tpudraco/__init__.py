@@ -20,3 +20,22 @@ Layer map (mirrors SURVEY.md §1 for the reference):
 """
 
 __version__ = "0.1.0"
+
+from .models import (  # noqa: E402
+    Attribute, AttributeDomain, AttributeType, ComponentType, Mesh,
+    MeshBuilder,
+)
+# import the packages eagerly, then rebind the top-level callables so
+# `tpudraco.encode(...)` / `tpudraco.decode(...)` work (the function
+# attributes intentionally shadow the same-named submodules)
+from . import decode as decode_mod  # noqa: E402
+from . import encode as encode_mod  # noqa: E402
+from .encode import Config  # noqa: E402
+
+encode = encode_mod.encode
+decode = decode_mod.decode
+
+
+def load_obj(path):
+    from .io import load_obj as _load
+    return _load(path)

@@ -1,0 +1,96 @@
+"""Top-level Draco decoder: header -> metadata -> connectivity (Spirale
+Reversi) -> attributes -> mesh assembly.
+
+The reference's in-tree decoder is WIP/disabled (lib.rs:13-14); this is a
+complete fresh implementation mirroring our encoder (and the reference
+encoder's stream layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.attribute import Attribute
+from ..models.mesh import Mesh
+from ..wire.byte_io import ByteReader
+from .attribute import decode_attributes
+from .connectivity import DecodeError, decode_connectivity
+
+METADATA_FLAG_MASK = 32768
+
+
+def decode_header(reader: ByteReader) -> dict:
+    magic = reader.read_bytes(5)
+    if magic != b"DRACO":
+        raise DecodeError("not a Draco stream")
+    major = reader.read_u8()
+    minor = reader.read_u8()
+    geometry_type = reader.read_u8()
+    method = reader.read_u8()
+    flags = reader.read_u16()
+    return {"version": (major, minor), "geometry_type": geometry_type,
+            "method": method, "flags": flags}
+
+
+def decode_metadata(reader: ByteReader) -> None:
+    # encoder writes a stub u32 0 (encode/metadata/mod.rs:9-20)
+    n = reader.read_u32()
+    if n != 0:
+        raise DecodeError("non-empty metadata not supported yet")
+
+
+def decode(data: bytes) -> Mesh:
+    reader = ByteReader(data)
+    header = decode_header(reader)
+    if header["flags"] & METADATA_FLAG_MASK:
+        decode_metadata(reader)
+    if header["method"] != 1:
+        raise DecodeError("only edgebreaker streams are supported")
+    conn = decode_connectivity(reader)
+    atts = decode_attributes(reader, conn)
+    return _assemble_mesh(conn, atts)
+
+
+def _assemble_mesh(conn, atts) -> Mesh:
+    """Draco point construction: corners with identical per-attribute vertex
+    tuples share a point; faces index points."""
+    ct = conn.corner_table
+    C = ct.num_corners
+    if not atts:
+        faces = np.arange(C, dtype=np.int64).reshape(-1, 3)
+        return Mesh(faces=faces, attributes=[])
+
+    per_att_vertex = np.stack(
+        [np.asarray(a.vertex_of_corner, dtype=np.int64) for a in atts], axis=1)
+    # unique tuples in first-appearance order
+    key = np.ascontiguousarray(per_att_vertex)
+    void = key.view(np.dtype((np.void, key.dtype.itemsize * key.shape[1]))).ravel()
+    _, first_idx, inverse = np.unique(void, return_index=True,
+                                      return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    point_of_corner = rank[inverse.ravel()]
+    keep_corners = np.sort(first_idx)
+
+    faces = point_of_corner.reshape(-1, 3)
+
+    attributes = []
+    pos_id = None
+    for i, a in enumerate(atts):
+        att = Attribute(a.values_by_vertex, a.att_type, a.domain,
+                        att_id=i, unique_id=a.unique_id, dedup=False)
+        pm = np.asarray(a.vertex_of_corner, dtype=np.int64)[keep_corners]
+        if not np.array_equal(pm, np.arange(len(pm))) or len(pm) != len(att.values):
+            att.point_map = pm
+        if pos_id is None and a.att_type == 0:
+            pos_id = i
+        attributes.append(att)
+    if pos_id is not None:
+        for att in attributes:
+            if att.att_id != pos_id and att.att_type in (1, 3):
+                att.parents = [pos_id]
+    return Mesh(faces=faces, attributes=attributes)
+
+
+__all__ = ["decode", "decode_header", "DecodeError"]

@@ -1,0 +1,370 @@
+"""Attribute decoding: parse headers, rANS-decode residuals, invert the
+prediction/transform pipeline, dequantize.
+
+Mirrors tpudraco.encode.attribute (the reference's decoder is WIP; this is a
+fresh inverse built against our encoder and the reference's encoder
+semantics, cited per stage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.rans import RabsDecoder
+from ..entropy.symbol_coding import decode_symbols
+from ..models.attribute import Attribute, AttributeDomain, AttributeType, ComponentType
+from ..models.corner_table import (
+    NONE, next_corner, prev_corner, recompute_attribute_vertices,
+)
+from ..shared.octahedral import octahedral_inverse_transform
+from ..shared.prediction import (
+    PRED_DELTA, PRED_NONE, PRED_NORMAL, PRED_PARALLELOGRAM, PRED_TEX_COORDS,
+    PredictionState, make_prediction,
+)
+from ..shared.sequencer import compute_sequence
+from ..wire.byte_io import ByteReader
+from ..wire.varint import leb128_read, unzigzag
+from .connectivity import ConnectivityDecodeResult, DecodeError
+
+# transform wire ids (encode/transforms.py)
+XFORM_NONE = 0xFF
+XFORM_DIFFERENCE = 0
+XFORM_WRAPPED_DIFFERENCE = 1
+XFORM_OCT_ORTHOGONAL = 3
+
+PORT_TO_BITS = 1
+PORT_QUANTIZATION = 2
+PORT_OCTAHEDRAL = 3
+
+
+class _DecView:
+    """TableView-alike over the decoded corner table; ``point(c) == c``."""
+
+    def __init__(self, ct, att_corner_to_vertex=None, att_left_most=None,
+                 is_edge_on_seam=None, num_att_vertices=None) -> None:
+        self.ct = ct
+        self.actv = att_corner_to_vertex
+        self.alm = att_left_most
+        self.seam = is_edge_on_seam
+        self.nav = num_att_vertices
+
+    @property
+    def num_corners(self):
+        return self.ct.num_corners
+
+    def num_faces(self):
+        return self.ct.num_faces()
+
+    @property
+    def num_vertices(self):
+        return self.nav if self.actv is not None else self.ct.num_vertices
+
+    def point(self, c):
+        return c
+
+    def vertex(self, c):
+        if self.actv is not None:
+            return int(self.actv[c])
+        return self.ct.vertex(c)
+
+    def opp(self, c):
+        if self.seam is not None and self.seam[c]:
+            return NONE
+        return self.ct.opp(c)
+
+    def left_most_corner(self, v):
+        if self.alm is not None:
+            return self.alm[v]
+        return self.ct.left_most_corner(v)
+
+    def get_right_corner(self, c):
+        return self.opp(next_corner(c))
+
+    def get_left_corner(self, c):
+        return self.opp(prev_corner(c))
+
+    def swing_right(self, c):
+        o = self.opp(prev_corner(c))
+        return prev_corner(o) if o != NONE else NONE
+
+    def swing_left(self, c):
+        o = self.opp(next_corner(c))
+        return next_corner(o) if o != NONE else NONE
+
+    def is_on_boundary(self, v):
+        return self.swing_left(self.left_most_corner(v)) == NONE
+
+
+class DecodedAttribute:
+    def __init__(self, att_type, domain, component_type, num_components,
+                 unique_id, values_by_vertex, vertex_of_corner,
+                 quantized_by_vertex=None) -> None:
+        self.att_type = att_type
+        self.domain = domain
+        self.component_type = component_type
+        self.num_components = num_components
+        self.unique_id = unique_id
+        self.values_by_vertex = values_by_vertex  # (V_att, N) final values
+        self.vertex_of_corner = vertex_of_corner  # (C,)
+        # portabilized integer values — prediction of child attributes reads
+        # the *quantized* parent (attribute_encoder.rs: parents are the
+        # portabilized attributes)
+        self.quantized_by_vertex = quantized_by_vertex
+
+
+def decode_attributes(reader: ByteReader,
+                      conn: ConnectivityDecodeResult) -> list[DecodedAttribute]:
+    num_atts = reader.read_u8()
+    headers = []
+    for _ in range(num_atts):
+        dec_id = reader.read_u8()
+        domain = reader.read_u8()
+        traversal = reader.read_u8()
+        headers.append({"dec_id": dec_id, "domain": domain,
+                        "traversal": traversal})
+    for h in headers:
+        one = reader.read_u8()
+        if one != 1:
+            raise DecodeError("expected one attribute per decoder")
+        h["att_type"] = AttributeType(reader.read_u8())
+        h["component_type"] = ComponentType(reader.read_u8())
+        h["num_components"] = reader.read_u8()
+        h["normalized"] = reader.read_u8()
+        h["unique_id"] = reader.read_u8()
+        h["port_type"] = reader.read_u8()
+
+    ct = conn.corner_table
+    decoded: list[DecodedAttribute] = []
+    parent_candidates: dict[AttributeType, DecodedAttribute] = {}
+    for i, h in enumerate(headers):
+        att_table_idx = (h["dec_id"] + 1) & 0xFF  # inverse of (i-1) wrap
+        if att_table_idx == 0 or att_table_idx - 1 >= len(conn.att_seams):
+            view = _DecView(ct)
+        else:
+            seam = conn.att_seams[att_table_idx - 1]
+            is_v_seam = np.zeros(ct.num_vertices, dtype=bool)
+            seam_corners = np.nonzero(seam)[0]
+            for c in seam_corners:
+                is_v_seam[ct.vertex(next_corner(int(c)))] = True
+                is_v_seam[ct.vertex(prev_corner(int(c)))] = True
+            actv, alm, nav, _ = recompute_attribute_vertices(
+                ct, seam, is_v_seam)
+            view = _DecView(ct, actv, alm, seam, nav)
+
+        da = _decode_one(reader, h, view, conn, decoded)
+        decoded.append(da)
+        parent_candidates[h["att_type"]] = da
+    return decoded
+
+
+def _decode_one(reader: ByteReader, h: dict, view: _DecView,
+                conn: ConnectivityDecodeResult,
+                decoded_so_far: list[DecodedAttribute]) -> DecodedAttribute:
+    scheme_id = reader.read_u8()
+    xform_id = reader.read_u8()
+
+    sequence = compute_sequence(view, list(conn.seed_corners))
+    num_values = len(sequence)
+
+    rans_flag = reader.read_u8()
+    if not rans_flag:
+        raise DecodeError("non-rANS attribute payload not supported")
+
+    # number of components *of the portabilized attribute*
+    n = 2 if h["port_type"] == PORT_OCTAHEDRAL else h["num_components"]
+    symbols = decode_symbols(num_values * n, n, reader).reshape(num_values, n)
+
+    # --- metadata (ordering depends on prediction scheme,
+    #     attribute_encoder.rs:362-382) ---
+    xmeta = {}
+    pred_meta = {}
+    if scheme_id == PRED_NORMAL:
+        _read_transform_meta(reader, xform_id, xmeta)
+        pred_meta["flips"] = _read_normal_flips(reader, num_values)
+    elif scheme_id == PRED_TEX_COORDS:
+        pred_meta["orientations"] = _read_tex_orientations(reader)
+        _read_transform_meta(reader, xform_id, xmeta)
+    else:
+        _read_transform_meta(reader, xform_id, xmeta)
+
+    port_meta = _read_port_meta(reader, h["port_type"], n)
+
+    # --- reconstruct portabilized values along the traversal ---
+    # parents are referenced through the decoded position attribute
+    parents = []
+    if scheme_id in (PRED_NORMAL, PRED_TEX_COORDS, PRED_PARALLELOGRAM):
+        pos = next((d for d in decoded_so_far
+                    if d.att_type == AttributeType.POSITION), None)
+        if pos is not None:
+            parents = [_CornerIndexedParent(pos)]
+
+    pred = make_prediction(scheme_id, view, parents, n)
+    state = PredictionState(view.num_vertices)
+    values_by_vertex = np.zeros((view.num_vertices, n), dtype=np.int64)
+    decoded_mask = np.zeros(view.num_vertices, dtype=bool)
+
+    def att_get(c_point: int) -> np.ndarray:
+        v = view.vertex(c_point)
+        return values_by_vertex[v]
+
+    flips = pred_meta.get("flips")
+    orientations = pred_meta.get("orientations")
+    if orientations is not None:
+        pred.pending_orientations = list(orientations)
+    inv = _make_inverse_transform(xform_id, xmeta)
+
+    for k, c in enumerate(sequence):
+        if flips is not None:
+            pred.pending_flip = bool(flips[k])
+        p = pred.predict(c, state, att_get)
+        v = view.vertex(c)
+        state.push(v)
+        values_by_vertex[v] = inv(symbols[k].astype(np.int64), p.astype(np.int64))
+        decoded_mask[v] = True
+
+    # --- dequantize ---
+    out_vals = _deportabilize(values_by_vertex, h, port_meta)
+
+    actv = (view.actv if view.actv is not None
+            else np.asarray(view.ct.corner_to_vertex))
+    return DecodedAttribute(
+        h["att_type"], AttributeDomain(h["domain"]), h["component_type"],
+        h["num_components"], h["unique_id"], out_vals, np.asarray(actv),
+        quantized_by_vertex=values_by_vertex)
+
+
+class _CornerIndexedParent:
+    """Adapter exposing a decoded attribute through the encoder-side parent
+    interface (value_at_point / num_points with point == corner)."""
+
+    def __init__(self, da: DecodedAttribute) -> None:
+        self.da = da
+        self.num_points = len(da.vertex_of_corner)
+
+    def value_at_point(self, c: int) -> np.ndarray:
+        return self.da.quantized_by_vertex[self.da.vertex_of_corner[c]]
+
+    @property
+    def att_type(self):
+        return self.da.att_type
+
+
+def _read_transform_meta(reader, xform_id, out: dict) -> None:
+    if xform_id == XFORM_WRAPPED_DIFFERENCE:
+        vmin = reader.read_u32()
+        vmax = reader.read_u32()
+        out["min"] = vmin - (1 << 32) if vmin >= (1 << 31) else vmin
+        out["max"] = vmax - (1 << 32) if vmax >= (1 << 31) else vmax
+    elif xform_id == XFORM_OCT_ORTHOGONAL:
+        out["max_q"] = reader.read_u32()
+        out["center"] = reader.read_u32()
+    elif xform_id in (XFORM_DIFFERENCE, XFORM_NONE):
+        pass
+    else:
+        raise DecodeError(f"unsupported transform {xform_id}")
+
+
+def _read_normal_flips(reader, count: int) -> list[bool]:
+    """Flips were RAbS-coded in forward order (mesh_normal_prediction.rs:
+    147-164), so decoding yields them reversed."""
+    prob_zero = reader.read_u8()
+    size = leb128_read(reader)
+    blob = reader.read_bytes(size)
+    dec = RabsDecoder(ByteReader(blob), len(blob), prob_zero)
+    bits = [dec.read() for _ in range(count)]
+    return [bool(b) for b in reversed(bits)]
+
+
+def _read_tex_orientations(reader) -> list[bool]:
+    """u32 count + RAbS delta bits anchored at the stream end
+    (mesh_prediction_for_texture_coordinates.rs:221-260)."""
+    count = reader.read_u32()
+    prob_zero = reader.read_u8()
+    size = leb128_read(reader)
+    blob = reader.read_bytes(size)
+    dec = RabsDecoder(ByteReader(blob), len(blob), prob_zero)
+    last = True
+    rev = []
+    for _ in range(count):
+        b = dec.read()
+        if b == 0:
+            last = not last
+        rev.append(last)
+    return list(reversed(rev))
+
+
+def _read_port_meta(reader, port_type: int, n: int) -> dict:
+    if port_type == PORT_QUANTIZATION:
+        mins = np.array([reader.read_f32() for _ in range(n)], dtype=np.float32)
+        delta_max = np.float32(reader.read_f32())
+        bits = reader.read_u8()
+        return {"mins": mins, "delta_max": delta_max, "bits": bits}
+    if port_type == PORT_OCTAHEDRAL:
+        return {"bits": reader.read_u8()}
+    if port_type == PORT_TO_BITS:
+        return {}
+    raise DecodeError(f"unsupported portabilization {port_type}")
+
+
+def _make_inverse_transform(xform_id: int, meta: dict):
+    if xform_id == XFORM_DIFFERENCE:
+        def inv(corr, pred):
+            return pred + unzigzag(corr.astype(np.uint64))
+        return inv
+    if xform_id == XFORM_NONE:
+        def inv(corr, pred):
+            return corr
+        return inv
+    if xform_id == XFORM_WRAPPED_DIFFERENCE:
+        vmin, vmax = meta["min"], meta["max"]
+        max_diff = 1 + vmax - vmin
+
+        def inv(corr, pred):
+            pred_c = np.clip(pred, vmin, vmax)
+            t = pred_c + unzigzag(corr.astype(np.uint64))
+            t = np.where(t > vmax, t - max_diff,
+                         np.where(t < vmin, t + max_diff, t))
+            return t
+        return inv
+    if xform_id == XFORM_OCT_ORTHOGONAL:
+        from ..shared.octahedral import invert_diamond, invert_diamond_inverse
+
+        def inv(corr, pred):
+            one = 255 // 2
+            p = pred.astype(np.int64) - one
+            # replicate the encoder's forward canonicalization of pred
+            flip = abs(int(p[0])) + abs(int(p[1])) > one
+            if flip:
+                p = invert_diamond(p)
+            rot = 0
+            if p.any():
+                while p[0] >= 0 or p[1] > 0:
+                    p = np.array([-p[1], p[0]], dtype=np.int64)
+                    rot += 1
+            # o' == p' + corr (mod 255), canonicalized into [-127, 127]
+            o = ((p + corr + one) % 255) - one
+            # undo rotations (inverse of (x,y)->(-y,x) is (x,y)->(y,-x))
+            for _ in range(rot):
+                o = np.array([o[1], -o[0]], dtype=np.int64)
+            if flip:
+                o = invert_diamond_inverse(o)
+            return o + one
+        return inv
+    raise DecodeError(f"unsupported transform {xform_id}")
+
+
+def _deportabilize(values: np.ndarray, h: dict, meta: dict) -> np.ndarray:
+    port_type = h["port_type"]
+    if port_type == PORT_TO_BITS:
+        return values.astype(ComponentType(h["component_type"]).np_dtype)
+    if port_type == PORT_QUANTIZATION:
+        bits = meta["bits"]
+        scale = np.float32(meta["delta_max"]) / np.float32((1 << bits) - 1)
+        vals = (values.astype(np.float32) * scale + meta["mins"]).astype(np.float32)
+        return vals.astype(ComponentType(h["component_type"]).np_dtype)
+    if port_type == PORT_OCTAHEDRAL:
+        scale = np.float32((1 << (meta["bits"] - 1)) - 1)
+        uv = (values.astype(np.float32) / scale - np.float32(1.0)).astype(np.float32)
+        return octahedral_inverse_transform(uv).astype(
+            ComponentType(h["component_type"]).np_dtype)
+    raise DecodeError(f"unsupported portabilization {port_type}")

@@ -1,0 +1,68 @@
+"""Top-level Draco encoder.
+
+Stream layout (encode/mod.rs:59-97): header -> optional metadata ->
+connectivity -> attributes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..models.mesh import Mesh
+from ..wire.byte_io import ByteWriter
+from .attribute import encode_attributes
+from .connectivity import EdgebreakerEncoder
+
+GEOMETRY_POINT_CLOUD = 0
+GEOMETRY_TRIANGULAR_MESH = 1
+
+METHOD_SEQUENTIAL = 0
+METHOD_EDGEBREAKER = 1
+
+METADATA_FLAG_MASK = 32768
+
+
+@dataclass
+class Config:
+    """Encoder configuration (encode/mod.rs:22-42). Defaults mirror
+    ConfigType::default(): edgebreaker triangular mesh, no metadata."""
+    geometry_type: int = GEOMETRY_TRIANGULAR_MESH
+    encoder_method: int = METHOD_EDGEBREAKER
+    metadata: bool = False
+    # per-attribute-type overrides land here in later rounds
+    extra: dict = field(default_factory=dict)
+
+
+def encode_header(writer: ByteWriter, cfg: Config) -> None:
+    """"DRACO", version 2.2, geometry type, method, u16 flags
+    (encode/header/mod.rs:24-55)."""
+    writer.write_bytes(b"DRACO")
+    writer.write_u8(2)
+    writer.write_u8(2)
+    writer.write_u8(cfg.geometry_type)
+    writer.write_u8(METHOD_EDGEBREAKER)  # reference always writes edgebreaker
+    writer.write_u16(METADATA_FLAG_MASK if cfg.metadata else 0)
+
+
+def encode_metadata(mesh: Mesh, writer: ByteWriter) -> None:
+    """Stub matching the reference (encode/metadata/mod.rs:9-20)."""
+    writer.write_u32(0)
+
+
+def encode(mesh: Mesh, writer: ByteWriter | None = None,
+           cfg: Config | None = None) -> bytes:
+    """Encode a mesh into the Draco v2.2 bitstream. Returns the bytes (and
+    also appends into ``writer`` when given)."""
+    cfg = cfg or Config()
+    writer = writer if writer is not None else ByteWriter()
+    encode_header(writer, cfg)
+    if cfg.metadata:
+        encode_metadata(mesh, writer)
+    eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
+    conn_out = eb.encode(writer)
+    encode_attributes(mesh.attributes, writer, conn_out)
+    return writer.getvalue()
+
+
+__all__ = ["Config", "encode", "encode_header", "encode_metadata",
+           "GEOMETRY_TRIANGULAR_MESH", "METHOD_EDGEBREAKER"]

@@ -1,0 +1,143 @@
+"""Attribute encoding: header, then per attribute
+portabilize -> traverse -> predict -> transform -> rANS.
+
+Reference behavior: draco-oxide/src/encode/attribute/mod.rs:13-93 (driver +
+headers) and attribute_encoder.rs:138-390 (pipeline; metadata ordering
+quirks :362-382).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+from ..models.attribute import Attribute, AttributeType
+from ..models.corner_table import TableView
+from ..shared.clers import TRAVERSAL_DEPTH_FIRST
+from ..shared.prediction import (
+    PRED_DELTA, PRED_NORMAL, PRED_PARALLELOGRAM, PRED_TEX_COORDS,
+    PredictionState, make_prediction,
+)
+from ..shared.sequencer import compute_sequence
+from .connectivity import ConnectivityOutput
+from .portabilization import default_portabilization_for, portabilize
+from .transforms import (
+    XFORM_DIFFERENCE, XFORM_OCT_ORTHOGONAL, XFORM_WRAPPED_DIFFERENCE,
+    make_transform,
+)
+
+
+def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
+    """(prediction scheme, transform) defaults
+    (attribute_encoder.rs:59-108)."""
+    if att_type == AttributeType.POSITION:
+        return PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
+    if att_type == AttributeType.NORMAL:
+        return PRED_NORMAL, XFORM_OCT_ORTHOGONAL
+    if att_type == AttributeType.TEX_COORD:
+        return PRED_TEX_COORDS, XFORM_WRAPPED_DIFFERENCE
+    if att_type == AttributeType.CUSTOM:
+        return PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
+    return PRED_DELTA, XFORM_DIFFERENCE
+
+
+def encode_attributes(attributes: list[Attribute], writer,
+                      conn_out: ConnectivityOutput) -> None:
+    writer.write_u8(len(attributes))
+    for i, att in enumerate(attributes):
+        # decoder id: (i-1) wrapping, so position (index 0) gets 0xFF
+        # meaning "universal corner table" (encode/attribute/mod.rs:33)
+        writer.write_u8((i - 1) & 0xFF)
+        writer.write_u8(att.domain)
+        writer.write_u8(TRAVERSAL_DEPTH_FIRST)
+
+    for att in attributes:
+        writer.write_u8(1)  # one attribute per decoder
+        writer.write_u8(att.att_type)
+        writer.write_u8(att.component_type)
+        writer.write_u8(att.num_components)
+        writer.write_u8(0)  # normalized flag
+        uid = att.unique_id if att.unique_id is not None else att.att_id
+        writer.write_u8(uid & 0xFF)
+        port_type, _bits = default_portabilization_for(att.att_type)
+        writer.write_u8(port_type)
+
+    port_atts: dict[int, Attribute] = {}
+    for i, att in enumerate(attributes):
+        parents = [port_atts[pid] for pid in att.parents]
+        port_att = _encode_one(att, i, parents, conn_out, writer)
+        port_atts[att.att_id] = port_att
+
+
+def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
+                conn_out: ConnectivityOutput, writer) -> Attribute:
+    scheme_id, xform_id = default_prediction_for(att.att_type)
+    writer.write_u8(scheme_id)
+    writer.write_u8(xform_id)
+
+    aict = conn_out.corner_table
+    att_table = None
+    if att_data_id > 0 and att_data_id - 1 < len(aict.attribute_tables):
+        att_table = aict.attribute_tables[att_data_id - 1]
+    view = TableView(aict.corner_table, att_table)
+
+    sequence = compute_sequence(view, list(conn_out.corners_of_edgebreaker))
+
+    # portabilize (writes quantization metadata into a side buffer)
+    port_type, bits = default_portabilization_for(att.att_type)
+    port_buf = _Buf()
+    port_att = portabilize(att, port_type, bits, port_buf)
+
+    # predict + record traversal
+    n = port_att.num_components
+    pred = make_prediction(scheme_id, view, parents, n)
+    state = PredictionState(view.num_vertices)
+    per_point = port_att.values[port_att.unique_indices()].astype(np.int64)
+
+    def att_get(p: int) -> np.ndarray:
+        return per_point[p]
+
+    origs = np.empty((len(sequence), n), dtype=np.int64)
+    preds = np.empty((len(sequence), n), dtype=np.int64)
+    for k, c in enumerate(sequence):
+        preds[k] = pred.predict(c, state, att_get)
+        state.push(view.vertex(c))
+        origs[k] = per_point[view.point(c)]
+
+    xform = make_transform(xform_id)
+    xbuf = _Buf()
+    symbols = xform.squeeze(origs, preds, xbuf)
+
+    writer.write_u8(1)  # rans_encoding flag
+    encode_symbols(symbols.astype(np.uint64).ravel(), n, DIRECT_CODED, writer)
+
+    # metadata ordering is prediction-type-dependent for draco compatibility
+    # (attribute_encoder.rs:362-382)
+    if scheme_id == PRED_NORMAL:
+        writer.write_bytes(xbuf.buf)
+        pred.metadata_bytes(writer)
+    elif scheme_id == PRED_TEX_COORDS:
+        pred.metadata_bytes(writer)
+        writer.write_bytes(xbuf.buf)
+    else:
+        writer.write_bytes(xbuf.buf)
+    writer.write_bytes(port_buf.buf)
+    return port_att
+
+
+class _Buf:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def write_u8(self, v: int) -> None:
+        self.buf.append(v & 0xFF)
+
+    def write_u32(self, v: int) -> None:
+        self.buf += (v & 0xFFFFFFFF).to_bytes(4, "little")
+
+    def write_f32(self, v: float) -> None:
+        import struct
+        self.buf += struct.pack("<f", v)
+
+    def write_bytes(self, b) -> None:
+        self.buf += b

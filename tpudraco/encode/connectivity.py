@@ -1,0 +1,338 @@
+"""Connectivity encoders: edgebreaker (Standard traversal) and sequential.
+
+Reference behavior:
+  - draco-oxide/src/encode/connectivity/edgebreaker.rs (DFS symbol emission
+    :261-350, boundary processing :226-256, begin_from :411-431, stream
+    layout :458-530, DefaultTraversal encode :575-657)
+  - .../sequential.rs (u64 face count, method byte, width-switched indices)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.rans import RabsEncoder
+from ..models.attribute import Attribute, AttributeType
+from ..models.corner_table import (
+    NONE, AllInclusiveCornerTable, AttributeCornerTable, CornerTable,
+    next_corner, prev_corner,
+)
+from ..shared.clers import (
+    C, CRLIGHT_CODES, E, EB_STANDARD, L, ORIENTATION_LEFT, ORIENTATION_RIGHT,
+    R, S,
+)
+from ..wire.bit_io import BitWriter
+from ..wire.varint import leb128_write
+
+
+class EdgebreakerError(Exception):
+    pass
+
+
+class ConnectivityOutput:
+    """Carried from the connectivity encoder to the attribute encoder
+    (edgebreaker.rs Output)."""
+
+    def __init__(self, corner_table: AllInclusiveCornerTable,
+                 corners_of_edgebreaker: list[int], method: str) -> None:
+        self.corner_table = corner_table
+        self.corners_of_edgebreaker = corners_of_edgebreaker
+        self.method = method
+
+
+class EdgebreakerEncoder:
+    """Standard-traversal edgebreaker over the corner table."""
+
+    def __init__(self, faces: np.ndarray, attributes: list[Attribute]) -> None:
+        pos = next(a for a in attributes
+                   if a.att_type == AttributeType.POSITION)
+        self.ct = CornerTable(faces, pos)
+        # per-attribute seam tables, skipping the position attribute
+        # (edgebreaker.rs:171-193)
+        self.att_data = [
+            AttributeCornerTable(self.ct, a)
+            for a in attributes if a.att_type != AttributeType.POSITION
+        ]
+        V = self.ct.num_vertices
+        self.visited_vertices = np.zeros(V, dtype=bool)
+        self.visited_faces = np.zeros(self.ct.num_faces(), dtype=bool)
+        self.visited_holes: list[bool] = []
+        self.vertex_hole_id = np.full(V, NONE, dtype=np.int64)
+        self.corner_stack: list[int] = []
+        self.last_symbol_idx = -1
+        self.processed_corners: list[int] = []
+        self.face_to_split_symbol: dict[int, int] = {}
+        self.num_split_symbols = 0
+        self.init_face_corners: list[int] = []
+        self.symbols: list[int] = []
+        self.interior_cfg: list[bool] = []
+        self.topology_splits: list[tuple[int, int, int]] = []  # (merge, split, orient)
+
+    # --- boundary bookkeeping (edgebreaker.rs:195-256) -------------------
+    def _compute_boundaries(self) -> None:
+        ct = self.ct
+        for c in range(ct.num_corners):
+            if ct.opp(c) == NONE:
+                v = ct.vertex(next_corner(c))
+                if self.vertex_hole_id[v] != NONE:
+                    continue
+                boundary_idx = len(self.visited_holes)
+                self.visited_holes.append(False)
+                cc = c
+                while self.vertex_hole_id[v] == NONE:
+                    self.vertex_hole_id[v] = boundary_idx
+                    cc = next_corner(cc)
+                    while ct.opp(cc) != NONE:
+                        cc = next_corner(ct.opp(cc))
+                    v = ct.vertex(next_corner(cc))
+
+    def _process_boundary(self, start_corner: int,
+                          encode_first_vertex: bool) -> int:
+        ct = self.ct
+        corner = prev_corner(start_corner)
+        while ct.opp(corner) != NONE:
+            corner = next_corner(ct.opp(corner))
+        start_v = ct.vertex(start_corner)
+        n = 0
+        if encode_first_vertex:
+            self.visited_vertices[start_v] = True
+            n += 1
+        self.visited_holes[self.vertex_hole_id[start_v]] = True
+        curr_v = ct.vertex(prev_corner(corner))
+        while curr_v != start_v:
+            self.visited_vertices[curr_v] = True
+            n += 1
+            corner = next_corner(corner)
+            while ct.opp(corner) != NONE:
+                corner = next_corner(ct.opp(corner))
+            curr_v = ct.vertex(prev_corner(corner))
+        return n
+
+    # --- traversal helpers ------------------------------------------------
+    def _right_visited(self, c: int) -> bool:
+        rc = self.ct.get_right_corner(c)
+        return True if rc == NONE else bool(self.visited_faces[rc // 3])
+
+    def _left_visited(self, c: int) -> bool:
+        lc = self.ct.get_left_corner(c)
+        return True if lc == NONE else bool(self.visited_faces[lc // 3])
+
+    def _check_split(self, merging_symbol_idx: int, orientation: int,
+                     split_face: int) -> None:
+        idx = self.face_to_split_symbol.get(split_face)
+        if idx is not None:
+            self.topology_splits.append((merging_symbol_idx, idx, orientation))
+
+    def _begin_from(self, face_idx: int) -> tuple[bool, int]:
+        ct = self.ct
+        corner = 3 * face_idx
+        for _ in range(3):
+            if ct.opp(corner) == NONE:
+                return False, corner
+            if self.vertex_hole_id[ct.vertex(corner)] != NONE:
+                right = corner
+                while right != NONE:
+                    corner = right
+                    right = ct.swing_right(right)
+                return False, prev_corner(corner)
+            corner = next_corner(corner)
+        return True, corner
+
+    def _edgebreaker_from(self, c: int) -> None:
+        """DFS emitting one CLERS symbol per face (edgebreaker.rs:261-350)."""
+        ct = self.ct
+        self.corner_stack.clear()
+        self.corner_stack.append(c)
+        num_faces = ct.num_faces()
+        while self.corner_stack:
+            c = self.corner_stack[-1]
+            if self.visited_faces[c // 3]:
+                self.corner_stack.pop()
+                continue
+            num_visited = 0
+            while num_visited < num_faces:
+                num_visited += 1
+                self.last_symbol_idx += 1
+                face_idx = c // 3
+                self.visited_faces[face_idx] = True
+                self.processed_corners.append(c)
+                v = ct.vertex(c)
+                if not self.visited_vertices[v]:
+                    self.visited_vertices[v] = True
+                    if self.vertex_hole_id[v] == NONE:
+                        self.symbols.append(C)
+                        c = ct.get_right_corner(c)
+                        continue
+                right_c = ct.get_right_corner(c)
+                left_c = ct.get_left_corner(c)
+                if self._right_visited(c):
+                    if right_c != NONE:
+                        self._check_split(self.last_symbol_idx,
+                                          ORIENTATION_RIGHT, right_c // 3)
+                    if self._left_visited(c):
+                        if left_c != NONE:
+                            self._check_split(self.last_symbol_idx,
+                                              ORIENTATION_LEFT, left_c // 3)
+                        self.symbols.append(E)
+                        self.corner_stack.pop()
+                        break
+                    else:
+                        self.symbols.append(R)
+                        c = left_c
+                else:
+                    if self._left_visited(c):
+                        if left_c != NONE:
+                            self._check_split(self.last_symbol_idx,
+                                              ORIENTATION_LEFT, left_c // 3)
+                        self.symbols.append(L)
+                        c = right_c
+                    else:
+                        self.symbols.append(S)
+                        self.num_split_symbols += 1
+                        hole = self.vertex_hole_id[v]
+                        if hole != NONE and not self.visited_holes[hole]:
+                            self._process_boundary(c, False)
+                        self.face_to_split_symbol[face_idx] = self.last_symbol_idx
+                        self.corner_stack[-1] = left_c
+                        self.corner_stack.append(right_c)
+                        break
+
+    def encode(self, writer) -> ConnectivityOutput:
+        """Full edgebreaker stream (edgebreaker.rs:458-530)."""
+        ct = self.ct
+        writer.write_u8(EB_STANDARD)  # traversal decoder type
+        self._compute_boundaries()
+        leb128_write(ct.num_vertices, writer)
+        leb128_write(ct.num_faces(), writer)
+        writer.write_u8(len(self.att_data))
+
+        for c in range(ct.num_corners):
+            face_idx = c // 3
+            if self.visited_faces[face_idx]:
+                continue
+            is_interior, start_corner = self._begin_from(face_idx)
+            self.interior_cfg.append(is_interior)
+            if is_interior:
+                v = ct.vertex(start_corner)
+                n = ct.vertex(next_corner(start_corner))
+                p = ct.vertex(prev_corner(start_corner))
+                self.visited_vertices[v] = True
+                self.visited_vertices[n] = True
+                self.visited_vertices[p] = True
+                self.visited_faces[face_idx] = True
+                self.init_face_corners.append(next_corner(start_corner))
+                corner_opp = ct.opp(next_corner(start_corner))
+                self._edgebreaker_from(corner_opp)
+            else:
+                self._process_boundary(next_corner(start_corner), True)
+                self._edgebreaker_from(start_corner)
+
+        leb128_write(len(self.symbols), writer)
+        leb128_write(self.num_split_symbols, writer)
+        self._encode_topology_splits(writer)
+        self._encode_traversal(writer)
+
+        corners = list(reversed(self.init_face_corners)) + self.processed_corners
+        att_views = [None] + list(self.att_data)  # idx 0 = universal
+        all_tables = AllInclusiveCornerTable(ct, self.att_data)
+        return ConnectivityOutput(all_tables, corners, "edgebreaker")
+
+    def _encode_topology_splits(self, writer) -> None:
+        """leb128 count + per-split deltas + 1 orientation bit each
+        (edgebreaker.rs:375-403)."""
+        leb128_write(len(self.topology_splits), writer)
+        last = 0
+        for merge, split, _orient in self.topology_splits:
+            leb128_write(merge - last, writer)
+            leb128_write(merge - split, writer)
+            last = merge
+        bw = BitWriter(writer, msb_first=False)
+        for _, _, orient in self.topology_splits:
+            bw.write_bits(1, 1 if orient == ORIENTATION_RIGHT else 0)
+        bw.close()
+
+    def _encode_traversal(self, writer) -> None:
+        """DefaultTraversal::encode (edgebreaker.rs:575-657): reversed CrLight
+        symbols (LSB-first, leb128 size prefix), RAbS start-face flags, then
+        per-attribute RAbS seam flags."""
+        sym_buf_w = _ByteBuf()
+        bw = BitWriter(sym_buf_w, msb_first=False)
+        for s in reversed(self.symbols):
+            size, bits = CRLIGHT_CODES[s]
+            bw.write_bits(size, bits)
+        bw.close()
+        leb128_write(len(sym_buf_w.buf), writer)
+        writer.write_bytes(sym_buf_w.buf)
+
+        # start-face interior flags
+        n0 = sum(1 for cfg in self.interior_cfg if not cfg)
+        zp = int(np.float32(n0) / np.float32(len(self.interior_cfg))
+                 * np.float32(256.0) + np.float32(0.5)) if self.interior_cfg else 0
+        zero_prob = max(1, min(255, zp))
+        writer.write_u8(zero_prob)
+        enc = RabsEncoder(zero_prob)
+        for cfg in reversed(self.interior_cfg):
+            enc.write(1 if cfg else 0)
+        blob = enc.flush()
+        leb128_write(len(blob), writer)
+        writer.write_bytes(blob)
+
+        # attribute seam flags: replay corners in reverse, for each
+        # non-boundary edge of each newly visited face record whether the
+        # attribute-table opposite is a seam (edgebreaker.rs:610-653)
+        ct = self.ct
+        visited_faces = np.zeros(ct.num_faces(), dtype=bool)
+        seams: list[list[int]] = [[] for _ in self.att_data]
+        for c in reversed(self.processed_corners):
+            corners = (c, next_corner(c), prev_corner(c))
+            visited_faces[c // 3] = True
+            for ci in corners:
+                opp = ct.opp(ci)
+                if opp == NONE:
+                    continue
+                if visited_faces[opp // 3]:
+                    continue
+                for j, ad in enumerate(self.att_data):
+                    seams[j].append(1 if ad.opp(ci, ct) == NONE else 0)
+        for seam_bits in seams:
+            n0 = sum(1 for s in seam_bits if not s)
+            zp = int(np.float32(n0) / np.float32(len(seam_bits))
+                     * np.float32(256.0) + np.float32(0.5)) if seam_bits else 0
+            prob_zero = max(1, min(255, zp))
+            writer.write_u8(prob_zero)
+            enc = RabsEncoder(prob_zero)
+            for s in reversed(seam_bits):
+                enc.write(s)
+            blob = enc.flush()
+            leb128_write(len(blob), writer)
+            writer.write_bytes(blob)
+
+
+class _ByteBuf:
+    """Minimal ByteWriter for in-memory sub-buffers."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def write_u8(self, v: int) -> None:
+        self.buf.append(v & 0xFF)
+
+
+def encode_sequential(faces: np.ndarray, num_points: int, writer) -> None:
+    """Sequential connectivity (sequential.rs): u64 face count, u8 method
+    (DirectIndices=1), indices at 8/16/32 bits or leb128 for the 21-bit
+    range, switched on the point count."""
+    writer.write_u64(len(faces))
+    writer.write_u8(1)  # DirectIndices
+    flat = np.asarray(faces, dtype=np.int64).ravel()
+    if num_points < 0x100:
+        writer.write_bytes(flat.astype(np.uint8).tobytes())
+    elif num_points < 0x10000:
+        writer.write_bytes(flat.astype("<u2").tobytes())
+    elif num_points < (1 << 21):
+        for v in flat.tolist():
+            leb128_write(v, writer)
+    elif num_points < 0x1000000:
+        writer.write_bytes(flat.astype("<u4").tobytes())
+    else:
+        raise ValueError("too many vertices for sequential connectivity")

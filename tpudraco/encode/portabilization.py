@@ -1,0 +1,89 @@
+"""Portabilization (quantization) of attributes into integer space.
+
+Reference behavior: draco-oxide/src/encode/attribute/portabilization/
+(wire ids + defaults mod.rs:84-143; quantization_coordinate_wise.rs;
+octahedral_quantization.rs; to_bits.rs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.attribute import Attribute, AttributeType
+from ..shared.octahedral import oct_quantize_normals
+
+# wire ids (portabilization/mod.rs:84-108)
+PORT_TO_BITS = 1
+PORT_QUANTIZATION = 2
+PORT_OCTAHEDRAL = 3
+
+
+def default_portabilization_for(att_type: AttributeType) -> tuple[int, int]:
+    """(type id, quantization bits) defaults (mod.rs:101-143):
+    Normal -> octahedral 8, TexCoord -> quant 10, Custom -> ToBits,
+    else quant 11."""
+    if att_type == AttributeType.NORMAL:
+        return PORT_OCTAHEDRAL, 8
+    if att_type == AttributeType.TEX_COORD:
+        return PORT_QUANTIZATION, 10
+    if att_type == AttributeType.CUSTOM:
+        return PORT_TO_BITS, 11
+    return PORT_QUANTIZATION, 11
+
+
+def _clone_with_values(att: Attribute, values: np.ndarray) -> Attribute:
+    out = Attribute(values, att.att_type, att.domain, parents=att.parents,
+                    att_id=att.att_id, name=att.name, dedup=False)
+    out.point_map = att.point_map
+    out.unique_id = att.unique_id
+    return out
+
+
+def quantize_coordinate_wise(att: Attribute, bits: int, writer) -> Attribute:
+    """Per reference (quantization_coordinate_wise.rs): min/max are seeded
+    with ZERO (a reference quirk — min <= 0 and max >= 0 always), one shared
+    delta_max over all components, value = trunc((v-min)/range * (2^bits-1)
+    + 0.5), all math in float32. Metadata: min vec f32 LE, delta_max f32,
+    u8 bits."""
+    vals = att.values.astype(np.float32)
+    zero = np.float32(0.0)
+    mins = np.minimum(vals.min(axis=0), zero).astype(np.float32) \
+        if len(vals) else np.zeros(att.num_components, np.float32)
+    maxs = np.maximum(vals.max(axis=0), zero).astype(np.float32) \
+        if len(vals) else np.zeros(att.num_components, np.float32)
+    delta_max = np.float32(max(np.float32(0.0), np.max(maxs - mins))) \
+        if len(vals) else np.float32(0.0)
+
+    for m in mins:
+        writer.write_f32(float(m))
+    writer.write_f32(float(delta_max))
+    writer.write_u8(bits)
+
+    diff = (vals - mins).astype(np.float32)
+    if float(delta_max) == 0.0:
+        normalized = diff
+    else:
+        normalized = (diff / delta_max).astype(np.float32)
+    scale = np.float32((1 << bits) - 1)
+    quantized = (normalized * scale).astype(np.float32)
+    q = (quantized + np.float32(0.5)).astype(np.float32).astype(np.int64)
+    return _clone_with_values(att, q.astype(np.int32))
+
+
+def quantize_octahedral(att: Attribute, bits: int, writer) -> Attribute:
+    """Normal attribute -> 2-component octahedral ints
+    (octahedral_quantization.rs). Metadata: u8 bits."""
+    assert att.att_type == AttributeType.NORMAL
+    writer.write_u8(bits)
+    q = oct_quantize_normals(att.values, bits)
+    return _clone_with_values(att, q)
+
+
+def portabilize(att: Attribute, port_type: int, bits: int, writer) -> Attribute:
+    if port_type == PORT_QUANTIZATION:
+        return quantize_coordinate_wise(att, bits, writer)
+    if port_type == PORT_OCTAHEDRAL:
+        return quantize_octahedral(att, bits, writer)
+    if port_type == PORT_TO_BITS:
+        return att  # identity (to_bits.rs)
+    raise ValueError(f"unsupported portabilization {port_type}")

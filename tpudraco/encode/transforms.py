@@ -1,0 +1,113 @@
+"""Prediction-residual transforms (encoder side), vectorized over the whole
+traversal sequence.
+
+Reference behavior: draco-oxide/src/encode/attribute/prediction_transform/
+(wire ids mod.rs:89-102; wrapped_difference.rs; oct_orthogonal.rs;
+difference.rs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..wire.varint import zigzag
+
+# wire ids (prediction_transform/mod.rs:89-102)
+XFORM_NONE = 0xFF
+XFORM_DIFFERENCE = 0
+XFORM_WRAPPED_DIFFERENCE = 1
+XFORM_OCT_REFLECTION = 2
+XFORM_OCT_ORTHOGONAL = 3
+XFORM_ORTHOGONAL = 4
+
+
+class DifferenceTransform:
+    """zigzag(orig - pred) (difference.rs)."""
+    xform_id = XFORM_DIFFERENCE
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        return zigzag(origs.astype(np.int64) - preds.astype(np.int64))
+
+
+class NoTransform:
+    """Passthrough of the original values (prediction_transform/mod.rs:131-165)."""
+    xform_id = XFORM_NONE
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        return origs.astype(np.uint64)
+
+
+class WrappedDifferenceTransform:
+    """Global min/max of orig; pred clamped into [min,max]; residual wrapped
+    into [min_corr, max_corr]; zigzag (wrapped_difference.rs:36-99).
+    Metadata: min, max as raw i32 LE."""
+    xform_id = XFORM_WRAPPED_DIFFERENCE
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        origs = origs.astype(np.int64)
+        preds = preds.astype(np.int64)
+        if origs.size:
+            vmax = int(origs.max())
+            vmin = int(origs.min())
+        else:
+            vmax, vmin = -(1 << 31), (1 << 31) - 1  # i32::MIN / MAX inits
+        max_diff = 1 + vmax - vmin
+        max_corr = max_diff // 2
+        min_corr = -max_corr
+        if (max_diff & 1) == 0:
+            max_corr -= 1
+        pred_c = np.clip(preds, vmin, vmax)
+        val = origs - pred_c
+        corr = np.where(val > max_corr, val - max_diff,
+                        np.where(val < min_corr, val + max_diff, val))
+        writer.write_u32(vmin & 0xFFFFFFFF)  # i32 LE
+        writer.write_u32(vmax & 0xFFFFFFFF)
+        return zigzag(corr)
+
+
+class OctOrthogonalTransform:
+    """Octahedral orthogonal residual for oct-quantized normals
+    (oct_orthogonal.rs:23-85). Metadata: u32 max=255, u32 center=127."""
+    xform_id = XFORM_OCT_ORTHOGONAL
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        from ..shared.octahedral import invert_diamond
+        one = 255 // 2
+        orig = origs.astype(np.int64) - one
+        pred = preds.astype(np.int64) - one
+
+        # hemisphere flip when pred is outside the diamond (|p0|+|p1| > 127),
+        # using draco's involutive InvertDiamond (see shared.octahedral)
+        flip = (np.abs(pred).sum(axis=1)) > one
+        pred = np.where(flip[:, None], invert_diamond(pred), pred)
+        orig = np.where(flip[:, None], invert_diamond(orig), orig)
+
+        # rotate in 90° steps until pred lands in the third quadrant
+        # (p0 < 0 and p1 <= 0); at most 3 rotations, vectorized
+        nonzero = (pred != 0).any(axis=1)
+        for _ in range(4):
+            todo = nonzero & ((pred[:, 0] >= 0) | (pred[:, 1] > 0))
+            if not todo.any():
+                break
+            rp = np.stack([-pred[:, 1], pred[:, 0]], axis=1)
+            ro = np.stack([-orig[:, 1], orig[:, 0]], axis=1)
+            pred = np.where(todo[:, None], rp, pred)
+            orig = np.where(todo[:, None], ro, orig)
+
+        corr = orig - pred
+        corr = np.where(corr < 0, corr + 255, corr)
+        writer.write_u32(255)
+        writer.write_u32(255 // 2)
+        return corr.astype(np.uint64)
+
+
+def make_transform(xform_id: int):
+    if xform_id == XFORM_DIFFERENCE:
+        return DifferenceTransform()
+    if xform_id == XFORM_WRAPPED_DIFFERENCE:
+        return WrappedDifferenceTransform()
+    if xform_id == XFORM_OCT_ORTHOGONAL:
+        return OctOrthogonalTransform()
+    if xform_id == XFORM_NONE:
+        return NoTransform()
+    raise ValueError(f"unsupported prediction transform {xform_id}")

@@ -11,10 +11,12 @@ from .corner_table import (
     AllInclusiveCornerTable,
     AttributeCornerTable,
     CornerTable,
+    TableView,
     next_corner,
     next_corners,
     prev_corner,
     prev_corners,
+    recompute_attribute_vertices,
 )
 from .mesh import Mesh
 
@@ -23,6 +25,7 @@ __all__ = [
     "unique_rows_first_occurrence",
     "MeshBuilder", "MeshBuildError",
     "NONE", "AllInclusiveCornerTable", "AttributeCornerTable", "CornerTable",
+    "TableView", "recompute_attribute_vertices",
     "next_corner", "next_corners", "prev_corner", "prev_corners",
     "Mesh",
 ]

@@ -94,6 +94,9 @@ class CornerTable:
     def get_right_corner(self, c: int) -> int:
         return int(self.opposite[next_corner(c)])
 
+    def left_most_corner(self, v: int) -> int:
+        return int(self.left_most[v])
+
     def is_on_boundary(self, v: int) -> bool:
         return self.swing_left(int(self.left_most[v])) == NONE
 
@@ -276,6 +279,56 @@ class CornerTable:
         self.left_most = np.asarray(left_most, dtype=np.int64)
 
 
+def recompute_attribute_vertices(ct, is_edge_on_seam: np.ndarray,
+                                 is_vertex_on_seam: np.ndarray,
+                                 att_unique_of_point=None):
+    """Split vertices at seam edges (attribute_corner_table.rs:79-137).
+
+    ``ct`` provides universal navigation (left_most, swing_right, point,
+    num_vertices); seam-aware swing-left uses ``is_edge_on_seam``.
+    Returns (corner_to_vertex, left_most_per_new_vertex, num_new_vertices,
+    vertex_to_attribute_map-or-None)."""
+
+    def seam_swing_left(c: int) -> int:
+        nc = next_corner(c)
+        if is_edge_on_seam[nc]:
+            return NONE
+        o = ct.opp(nc)
+        return next_corner(o) if o != NONE else NONE
+
+    corner_to_vertex = np.zeros(ct.num_corners, dtype=np.int64)
+    left_most: list[int] = []
+    v2a: list[int] | None = [] if att_unique_of_point is not None else None
+    num_new = 0
+    for v in range(ct.num_vertices):
+        c = ct.left_most_corner(v)
+        first_vert_id = num_new
+        num_new += 1
+        if v2a is not None:
+            v2a.append(int(att_unique_of_point[ct.point(c)]))
+        first_c = c
+        if is_vertex_on_seam[v]:
+            curr = seam_swing_left(first_c)
+            while curr != NONE:
+                first_c = curr
+                if curr == c:
+                    raise ValueError("closed loop on a seam vertex")
+                curr = seam_swing_left(curr)
+        corner_to_vertex[first_c] = first_vert_id
+        left_most.append(first_c)
+        curr = ct.swing_right(first_c)  # universal swing (reference quirk)
+        while curr != NONE and curr != first_c:
+            if is_edge_on_seam[next_corner(curr)]:
+                first_vert_id = num_new
+                num_new += 1
+                if v2a is not None:
+                    v2a.append(int(att_unique_of_point[ct.point(curr)]))
+                left_most.append(curr)
+            corner_to_vertex[curr] = first_vert_id
+            curr = ct.swing_right(curr)
+    return corner_to_vertex, left_most, num_new, v2a
+
+
 class AttributeCornerTable:
     """Per-attribute connectivity with seam edges where the attribute value
     differs across an edge (attribute_corner_table.rs)."""
@@ -315,11 +368,11 @@ class AttributeCornerTable:
             self.is_vertex_on_seam[ctv[next_corners(arr)]] = True
             self.is_vertex_on_seam[ctv[prev_corners(arr)]] = True
 
-        self.corner_to_vertex = np.zeros(C, dtype=np.int64)
-        self.vertex_to_attribute_map: list[int] = []
-        self.left_most: list[int] = []
-        self.num_vertices = ct.num_vertices
-        self._recompute_vertices(att, ct)
+        self._ct_ref = ct
+        (self.corner_to_vertex, self.left_most, self.num_vertices,
+         self.vertex_to_attribute_map) = recompute_attribute_vertices(
+            ct, self.is_edge_on_seam, self.is_vertex_on_seam,
+            att.unique_indices())
 
     # seam-aware navigation (universal next/prev, seam-filtered opposite)
     def opp(self, c: int, ct: CornerTable) -> int:
@@ -344,39 +397,60 @@ class AttributeCornerTable:
     def is_on_boundary(self, v: int) -> bool:
         return self.swing_left(int(self.left_most[v]), self._ct_ref) == NONE
 
-    def _recompute_vertices(self, att, ct: CornerTable) -> None:
-        """Split vertices at seams (attribute_corner_table.rs:79-137)."""
-        self._ct_ref = ct
-        num_new = 0
-        att_unique = att.unique_indices()
-        for v in range(ct.num_vertices):
-            c = int(ct.left_most[v])
-            first_vert_id = num_new
-            num_new += 1
-            p = ct.point(c)
-            self.vertex_to_attribute_map.append(int(att_unique[p]))
 
-            first_c = c
-            if self.is_vertex_on_seam[v]:
-                # swing left (seam-aware) to the first seam-bounded corner
-                curr = self.swing_left(first_c, ct)
-                while curr != NONE:
-                    first_c = curr
-                    assert curr != c, "closed loop on a seam vertex"
-                    curr = self.swing_left(curr, ct)
-            self.corner_to_vertex[first_c] = first_vert_id
-            self.left_most.append(first_c)
-            curr = ct.swing_right(first_c)  # universal swing (reference)
-            while curr != NONE and curr != first_c:
-                if self.is_edge_on_seam[next_corner(curr)]:
-                    first_vert_id = num_new
-                    num_new += 1
-                    p = ct.point(curr)
-                    self.vertex_to_attribute_map.append(int(att_unique[p]))
-                    self.left_most.append(curr)
-                self.corner_to_vertex[curr] = first_vert_id
-                curr = ct.swing_right(curr)
-        self.num_vertices = num_new
+class TableView:
+    """Uniform navigation interface over the universal corner table or an
+    attribute corner table (mirror of GenericCornerTable /
+    RefAttributeCornerTable in all_inclusive_corner_table.rs)."""
+
+    def __init__(self, universal: CornerTable,
+                 att_table: "AttributeCornerTable | None" = None) -> None:
+        self.u = universal
+        self.a = att_table
+
+    @property
+    def num_corners(self) -> int:
+        return self.u.num_corners
+
+    def num_faces(self) -> int:
+        return self.u.num_faces()
+
+    @property
+    def num_vertices(self) -> int:
+        return self.a.num_vertices if self.a is not None else self.u.num_vertices
+
+    def point(self, c: int) -> int:
+        return self.u.point(c)
+
+    def vertex(self, c: int) -> int:
+        return self.a.vertex(c) if self.a is not None else self.u.vertex(c)
+
+    def opp(self, c: int) -> int:
+        if self.a is not None:
+            return self.a.opp(c, self.u)
+        return self.u.opp(c)
+
+    def left_most_corner(self, v: int) -> int:
+        if self.a is not None:
+            return self.a.left_most_corner(v)
+        return int(self.u.left_most[v])
+
+    def get_right_corner(self, c: int) -> int:
+        return self.opp(next_corner(c))
+
+    def get_left_corner(self, c: int) -> int:
+        return self.opp(prev_corner(c))
+
+    def swing_right(self, c: int) -> int:
+        o = self.opp(prev_corner(c))
+        return prev_corner(o) if o != NONE else NONE
+
+    def swing_left(self, c: int) -> int:
+        o = self.opp(next_corner(c))
+        return next_corner(o) if o != NONE else NONE
+
+    def is_on_boundary(self, v: int) -> bool:
+        return self.swing_left(self.left_most_corner(v)) == NONE
 
 
 class AllInclusiveCornerTable:

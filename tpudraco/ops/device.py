@@ -1,0 +1,129 @@
+"""Device (JAX/XLA) data-plane kernels for the encode pipeline.
+
+These mirror the host numpy reference implementations bit-for-bit
+(quantization math is float32, truncation toward zero) and run batched over
+SoA vertex arrays in HBM. XLA fuses the elementwise chain
+(quantize -> gather-predict -> residual -> zigzag) into a single pass.
+
+Reference semantics:
+  - quantization: encode/attribute/portabilization/
+    quantization_coordinate_wise.rs (min seeded with 0, shared delta_max)
+  - parallelogram prediction: shared/attribute/prediction_scheme/
+    mesh_parallelogram_prediction.rs:186-237 (pure gathers given the
+    precomputed traversal order + visited masks — the key TPU win: the
+    encoder-side prediction has no sequential dependency)
+  - zigzag: utils/mod.rs:152-168
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_kernel(values: jnp.ndarray, bits: int):
+    """Coordinate-wise quantization of (..., V, N) float32 values.
+
+    Returns (quantized int32, mins (..., N), delta_max (...,))."""
+    v = values.astype(jnp.float32)
+    zero = jnp.float32(0.0)
+    mins = jnp.minimum(v.min(axis=-2), zero)
+    maxs = jnp.maximum(v.max(axis=-2), zero)
+    delta_max = jnp.max(maxs - mins, axis=-1)
+    diff = v - mins[..., None, :]
+    safe = jnp.where(delta_max == 0, jnp.float32(1.0), delta_max)
+    normalized = jnp.where((delta_max == 0)[..., None, None], diff,
+                           diff / safe[..., None, None])
+    scale = jnp.float32((1 << bits) - 1)
+    q = (normalized * scale + jnp.float32(0.5)).astype(jnp.int32)
+    return q, mins, delta_max
+
+
+def dequantize_kernel(q: jnp.ndarray, mins: jnp.ndarray,
+                      delta_max: jnp.ndarray, bits: int) -> jnp.ndarray:
+    scale = delta_max.astype(jnp.float32) / jnp.float32((1 << bits) - 1)
+    return (q.astype(jnp.float32) * scale[..., None, None]
+            + mins[..., None, :]).astype(jnp.float32)
+
+
+def zigzag_kernel(v: jnp.ndarray) -> jnp.ndarray:
+    v = v.astype(jnp.int32)
+    return jnp.where(v >= 0, v << 1, ((-(v + 1)) << 1) + 1).astype(jnp.uint32)
+
+
+def unzigzag_kernel(u: jnp.ndarray) -> jnp.ndarray:
+    u = u.astype(jnp.uint32)
+    half = (u >> 1).astype(jnp.int32)
+    return jnp.where((u & 1) == 0, half, -half - 1)
+
+
+def parallelogram_predict_kernel(values: jnp.ndarray,
+                                 gather_next: jnp.ndarray,
+                                 gather_prev: jnp.ndarray,
+                                 gather_opp: jnp.ndarray,
+                                 gather_fallback: jnp.ndarray,
+                                 can_parallelogram: jnp.ndarray,
+                                 has_fallback: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized parallelogram prediction over a precomputed traversal.
+
+    All predictions are pure gathers on the encoder side: the host
+    precomputes, per traversal step, the value indices of the
+    next/prev/opposite corners, the visited-before masks, and the fallback
+    (most-recent) value index. pred = a + b - diagonal where available,
+    else the fallback value, else 0."""
+    a = values[..., gather_next, :].astype(jnp.int32)
+    b = values[..., gather_prev, :].astype(jnp.int32)
+    d = values[..., gather_opp, :].astype(jnp.int32)
+    fb = values[..., gather_fallback, :].astype(jnp.int32)
+    para = a + b - d
+    fallback = jnp.where(has_fallback[..., None], fb, 0)
+    return jnp.where(can_parallelogram[..., None], para, fallback)
+
+
+def wrapped_difference_kernel(origs: jnp.ndarray, preds: jnp.ndarray):
+    """Wrapped-difference residual (wrapped_difference.rs:36-99), batched.
+    Returns (zigzagged corrections uint32, vmin, vmax)."""
+    o = origs.astype(jnp.int32)
+    vmax = o.max(axis=(-2, -1))
+    vmin = o.min(axis=(-2, -1))
+    max_diff = 1 + vmax - vmin
+    max_corr = max_diff // 2
+    min_corr = -max_corr
+    max_corr = jnp.where((max_diff & 1) == 0, max_corr - 1, max_corr)
+    p = jnp.clip(preds.astype(jnp.int32), vmin[..., None, None],
+                 vmax[..., None, None])
+    val = o - p
+    md = max_diff[..., None, None]
+    corr = jnp.where(val > max_corr[..., None, None], val - md,
+                     jnp.where(val < min_corr[..., None, None], val + md, val))
+    return zigzag_kernel(corr), vmin, vmax
+
+
+def bincount_kernel(symbols: jnp.ndarray, num_bins: int) -> jnp.ndarray:
+    """Per-row frequency counts (rANS table construction). symbols (B, T)."""
+    def one(row):
+        return jnp.zeros(num_bins, jnp.int32).at[row].add(1)
+    return jax.vmap(one)(symbols.astype(jnp.int32))
+
+
+def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
+                hist_bins: int = 1 << 12):
+    """The fused device encode compute for a batch of meshes sharing one
+    topology: quantize -> parallelogram predict (gathers) ->
+    wrapped-difference residual -> zigzag -> symbol histogram.
+
+    positions: (B, V, 3) float32; gathers: (T,) index/mask arrays from the
+    host topology pass. Returns residual symbols + clamped rANS histogram +
+    quantization metadata; the host performs the final entropy coding and
+    bitstream assembly."""
+    q, mins, delta_max = quantize_kernel(positions, bits)
+    q_trav = q[:, gathers["order"], :]
+    preds = parallelogram_predict_kernel(
+        q, gathers["next"], gathers["prev"], gathers["opp"],
+        gathers["fallback"], gathers["can_para"], gathers["has_fallback"])
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
+    flat = corr.reshape(corr.shape[0], -1)
+    counts = bincount_kernel(jnp.minimum(flat, hist_bins - 1), hist_bins)
+    return {"symbols": corr, "counts": counts, "mins": mins,
+            "delta_max": delta_max, "vmin": vmin, "vmax": vmax}

@@ -1,0 +1,134 @@
+"""Octahedral normal transform (scalar + vectorized forms).
+
+Reference behavior: draco-oxide/src/encode/attribute/prediction_transform/
+geom.rs (octahedral_transform :40-91, inverse :95-137,
+into_faithful_oct_quantization :139-157).
+
+All float math is float32 to match the reference's f32 arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def octahedral_transform(v: np.ndarray) -> np.ndarray:
+    """(..., 3) float/int vectors -> (..., 2) float32 octahedral coords.
+
+    Integer inputs are normalized first (geom.rs:48-57); float inputs are
+    used raw (the abs-sum division makes the result scale-invariant)."""
+    v = np.asarray(v)
+    if not np.issubdtype(v.dtype, np.floating):
+        f = v.astype(np.float32)
+        norm = np.sqrt(np.sum(f * f, axis=-1, keepdims=True, dtype=np.float32)
+                       ).astype(np.float32)
+        f = (f / norm).astype(np.float32)
+        return octahedral_transform(f)
+    v = v.astype(np.float32)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    abs_sum = (np.abs(x) + np.abs(y) + np.abs(z)).astype(np.float32)
+    u = (y / abs_sum).astype(np.float32)
+    w = (z / abs_sum).astype(np.float32)
+    one = np.float32(1.0)
+    # fold the lower hemisphere (x < 0); note u_out/v_out both read the
+    # *original* u, w (geom.rs:66-81)
+    u_out = np.where(u < 0, np.abs(w) - one, one - np.abs(w)).astype(np.float32)
+    v_out = np.where(w < 0, np.abs(u) - one, one - np.abs(u)).astype(np.float32)
+    neg = x < 0
+    return np.stack([np.where(neg, u_out, u), np.where(neg, v_out, w)],
+                    axis=-1).astype(np.float32)
+
+
+def octahedral_inverse_transform(uv: np.ndarray) -> np.ndarray:
+    """(..., 2) float32 octahedral coords -> (..., 3) unit float32 vectors."""
+    uv = np.asarray(uv, dtype=np.float32)
+    u, v = uv[..., 0], uv[..., 1]
+    x = (np.float32(1.0) - np.abs(u) - np.abs(v)).astype(np.float32)
+    y = u.copy()
+    z = v.copy()
+    outside = (np.abs(u) + np.abs(v)) > 1.0
+    y_sign = np.where(y > 0, np.float32(1.0), np.float32(-1.0))
+    z_sign = np.where(z > 0, np.float32(1.0), np.float32(-1.0))
+    y = np.where(outside, ((np.float32(1.0) - np.abs(v)) * y_sign).astype(np.float32), y)
+    z = np.where(outside, ((np.float32(1.0) - np.abs(u)) * z_sign).astype(np.float32), z)
+    norm = np.sqrt(x * x + y * y + z * z).astype(np.float32)
+    return np.stack([x / norm, y / norm, z / norm], axis=-1).astype(np.float32)
+
+
+def into_faithful_oct_quantization(q: np.ndarray) -> np.ndarray:
+    """Edge fixups on quantized (..., 2) int oct coords (geom.rs:139-157).
+    Uses the hardcoded max=255 from the reference (8-bit normals)."""
+    q = np.asarray(q, dtype=np.int64)
+    u, v = q[..., 0], q[..., 1]
+    mx, half = 255, 127
+    x, y = u.copy(), v.copy()
+    corner = ((u == 0) & (v == 0)) | ((u == 255) & (v == 0)) | ((u == 0) & (v == 255))
+    cond1 = (~corner) & (u == 0) & (v > half)
+    y = np.where(cond1, half - (v - half), y)
+    cond2 = (~corner) & (~cond1) & (u == mx) & (v < half)
+    y = np.where(cond2, half + (half - v), y)
+    cond3 = (~corner) & (~cond1) & (~cond2) & (v == mx) & (u < half)
+    x = np.where(cond3, half + (half - u), x)
+    cond4 = (~corner) & (~cond1) & (~cond2) & (~cond3) & (v == 0) & (u > half)
+    x = np.where(cond4, half - (u - half), x)
+    x = np.where(corner, mx, x)
+    y = np.where(corner, mx, y)
+    return np.stack([x, y], axis=-1)
+
+
+def invert_diamond(v: np.ndarray, center: int = 127) -> np.ndarray:
+    """Octahedral inside-out mirror on centered int coords (..., 2).
+
+    This is Google Draco's involutive InvertDiamond (OctahedronToolBox).
+    The reference's own flip formula (oct_orthogonal.rs:38-50) equals this
+    map on generic points but collapses on the zero/±center lines; we use
+    the involution so decode is exact."""
+    v = np.asarray(v, dtype=np.int64)
+    s, t = v[..., 0], v[..., 1]
+    both_nonneg = (s >= 0) & (t >= 0)
+    both_nonpos = (s <= 0) & (t <= 0)
+    sign_s = np.where(both_nonneg, 1, np.where(both_nonpos, -1,
+                                               np.where(s > 0, 1, -1)))
+    sign_t = np.where(both_nonneg, 1, np.where(both_nonpos, -1,
+                                               np.where(t > 0, 1, -1)))
+    cs = sign_s * center
+    ct = sign_t * center
+    s2 = 2 * s - cs
+    t2 = 2 * t - ct
+    rotate = (sign_s * sign_t) >= 0
+    ns = np.where(rotate, -t2, t2)
+    nt = np.where(rotate, -s2, s2)
+    # the sums are always even, so the halving is exact
+    return np.stack([(ns + cs) // 2, (nt + ct) // 2], axis=-1)
+
+
+def invert_diamond_inverse(w) -> np.ndarray:
+    """Exact preimage of invert_diamond where one exists.
+
+    invert_diamond is an involution on generic points but not on the square
+    boundary; enumerate the four per-quadrant affine inversions plus the
+    involutive guess and return the first that maps forward to ``w``
+    (preferring the involutive guess, which favors the faithful-quantized
+    side of ambiguous boundary points)."""
+    w = np.asarray(w, dtype=np.int64)
+    w0, w1 = int(w[0]), int(w[1])
+    cands = [invert_diamond(w),
+             np.array([127 - w1, 127 - w0], dtype=np.int64),
+             np.array([-w1 - 127, -w0 - 127], dtype=np.int64),
+             np.array([w1 + 127, w0 - 127], dtype=np.int64),
+             np.array([w1 - 127, w0 + 127], dtype=np.int64)]
+    for v in cands:
+        if np.array_equal(invert_diamond(v), w):
+            return v
+    return cands[0]
+
+
+def oct_quantize_normals(vals: np.ndarray, bits: int) -> np.ndarray:
+    """Quantize (..., 3) normals to (..., 2) int32 octahedral coords
+    (octahedral_quantization.rs:49-65): shift to [0,2], scale by
+    (1 << (bits-1)) - 1, truncate toward zero, then faithful fixups."""
+    oct = octahedral_transform(vals) + np.float32(1.0)
+    scale = np.float32((1 << (bits - 1)) - 1)
+    quantized = (oct.astype(np.float32) * scale).astype(np.float32)
+    q = quantized.astype(np.int64)  # f32 -> int truncation toward zero
+    return into_faithful_oct_quantization(q).astype(np.int32)
