@@ -50,17 +50,35 @@ def encode_metadata(mesh: Mesh, writer: ByteWriter) -> None:
 
 
 def encode(mesh: Mesh, writer: ByteWriter | None = None,
-           cfg: Config | None = None) -> bytes:
+           cfg: Config | None = None, recorder=None) -> bytes:
     """Encode a mesh into the Draco v2.2 bitstream. Returns the bytes (and
-    also appends into ``writer`` when given)."""
+    also appends into ``writer`` when given). ``recorder`` is an optional
+    tpudraco.eval.EvalRecorder capturing per-stage metrics."""
+    from ..eval import NULL
+    rec = recorder if recorder is not None else NULL
     cfg = cfg or Config()
     writer = writer if writer is not None else ByteWriter()
+    rec.scope_begin("compression info", writer)
+    rec.scope_begin("header", writer)
     encode_header(writer, cfg)
+    rec.scope_end(writer)
     if cfg.metadata:
+        rec.scope_begin("metadata", writer)
         encode_metadata(mesh, writer)
+        rec.scope_end(writer)
+    rec.scope_begin("connectivity info", writer)
     eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
     conn_out = eb.encode(writer)
-    encode_attributes(mesh.attributes, writer, conn_out)
+    rec.write_pair("num_faces", int(mesh.num_faces))
+    rec.write_pair("num_vertices", int(eb.ct.num_vertices))
+    rec.write_pair("num_symbols", len(eb.symbols))
+    rec.write_pair("num_split_symbols", eb.num_split_symbols)
+    rec.write_pair("topology_splits", len(eb.topology_splits))
+    rec.scope_end(writer)
+    rec.scope_begin("attributes", writer)
+    encode_attributes(mesh.attributes, writer, conn_out, recorder=rec)
+    rec.scope_end(writer)
+    rec.scope_end(writer)
     return writer.getvalue()
 
 

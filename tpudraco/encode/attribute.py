@@ -42,7 +42,10 @@ def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
 
 
 def encode_attributes(attributes: list[Attribute], writer,
-                      conn_out: ConnectivityOutput) -> None:
+                      conn_out: ConnectivityOutput, recorder=None) -> None:
+    from ..eval import NULL
+    rec = recorder if recorder is not None else NULL
+    rec.write_pair("attributes count", len(attributes))
     writer.write_u8(len(attributes))
     for i, att in enumerate(attributes):
         # decoder id: (i-1) wrapping, so position (index 0) gets 0xFF
@@ -65,13 +68,22 @@ def encode_attributes(attributes: list[Attribute], writer,
     port_atts: dict[int, Attribute] = {}
     for i, att in enumerate(attributes):
         parents = [port_atts[pid] for pid in att.parents]
-        port_att = _encode_one(att, i, parents, conn_out, writer)
+        rec.scope_begin(f"attribute {i} ({att.att_type.name})", writer)
+        port_att = _encode_one(att, i, parents, conn_out, writer, rec)
+        rec.write_pair("num_values", int(att.num_points))
+        rec.write_pair("num_unique_values", int(att.num_unique_values))
+        rec.scope_end(writer)
         port_atts[att.att_id] = port_att
 
 
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
-                conn_out: ConnectivityOutput, writer) -> Attribute:
+                conn_out: ConnectivityOutput, writer, rec=None) -> Attribute:
+    from ..eval import NULL
+    if rec is None:
+        rec = NULL
     scheme_id, xform_id = default_prediction_for(att.att_type)
+    rec.write_pair("prediction_scheme", scheme_id)
+    rec.write_pair("prediction_transform", xform_id)
     writer.write_u8(scheme_id)
     writer.write_u8(xform_id)
 

@@ -1,3 +1,13 @@
+from .gltf import (
+    DracoTranscoder,
+    GltfError,
+    load_gltf,
+    load_gltf_to_scene,
+    save_scene_glb,
+)
 from .obj import load_obj, save_obj
 
-__all__ = ["load_obj", "save_obj"]
+__all__ = [
+    "DracoTranscoder", "GltfError", "load_gltf", "load_gltf_to_scene",
+    "save_scene_glb", "load_obj", "save_obj",
+]

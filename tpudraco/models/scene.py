@@ -1,0 +1,186 @@
+"""Scene/asset model: node hierarchy, mesh groups, materials, textures,
+structural metadata. Host-side metadata only — no device work.
+
+Reference behavior: draco-oxide/src/core/scene/mod.rs (Scene, TrsMatrix,
+MeshGroup/MeshInstance), core/material.rs, core/texture.rs,
+core/structural_metadata.rs, core/mesh/{meh_features,metadata}.rs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TrsMatrix:
+    """Translation-rotation-scale or explicit matrix transform
+    (scene/mod.rs:272+)."""
+    translation: np.ndarray | None = None  # (3,)
+    rotation: np.ndarray | None = None     # (4,) quaternion xyzw
+    scale: np.ndarray | None = None        # (3,)
+    matrix: np.ndarray | None = None       # (4, 4)
+
+    def compute_transformation_matrix(self) -> np.ndarray:
+        if self.matrix is not None:
+            return np.asarray(self.matrix, dtype=np.float64).reshape(4, 4)
+        m = np.eye(4)
+        if self.scale is not None:
+            m[:3, :3] *= np.asarray(self.scale, dtype=np.float64)
+        if self.rotation is not None:
+            x, y, z, w = np.asarray(self.rotation, dtype=np.float64)
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            m[:3, :3] = r @ m[:3, :3]
+        if self.translation is not None:
+            m[:3, 3] = np.asarray(self.translation, dtype=np.float64)
+        return m
+
+    def is_identity(self) -> bool:
+        return (self.matrix is None and self.translation is None
+                and self.rotation is None and self.scale is None)
+
+
+@dataclass
+class SceneNode:
+    name: str = ""
+    children: list[int] = field(default_factory=list)
+    parents: list[int] = field(default_factory=list)
+    trs: TrsMatrix = field(default_factory=TrsMatrix)
+    mesh_group_index: int | None = None
+    skin_index: int | None = None
+    light_index: int | None = None
+
+
+@dataclass
+class MeshInstance:
+    """One (mesh, material) pairing inside a mesh group
+    (scene/mod.rs:323-395)."""
+    mesh_index: int
+    material_index: int | None = None
+    mesh_features: list = field(default_factory=list)
+
+
+@dataclass
+class MeshGroup:
+    name: str = ""
+    instances: list[MeshInstance] = field(default_factory=list)
+
+
+@dataclass
+class TextureMap:
+    texture_index: int
+    tex_coord: int = 0
+    transform: dict | None = None  # KHR_texture_transform passthrough
+
+
+@dataclass
+class Image:
+    name: str = ""
+    mime_type: str = ""
+    data: bytes = b""
+    uri: str | None = None
+
+    def sniff_format(self) -> str:
+        """Magic-byte format sniffing (io/texture_io.rs:21-93)."""
+        d = self.data
+        if d[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if d[:2] == b"\xff\xd8":
+            return "jpeg"
+        if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
+            return "webp"
+        if d[:2] == b"sB" or d[:4] == b"\x13\xab\xa1\x34":
+            return "basis"
+        if d[:12] == b"\xabKTX 20\xbb\r\n\x1a\n":
+            return "ktx2"
+        return "unknown"
+
+
+@dataclass
+class Texture:
+    image_index: int
+    sampler: dict | None = None
+    name: str = ""
+
+
+@dataclass
+class TextureLibrary:
+    images: list[Image] = field(default_factory=list)
+    textures: list[Texture] = field(default_factory=list)
+
+
+@dataclass
+class Material:
+    """PBR metallic-roughness material (material.rs:97-220); extension
+    payloads are carried through as raw JSON."""
+    name: str = ""
+    base_color_factor: tuple = (1.0, 1.0, 1.0, 1.0)
+    metallic_factor: float = 1.0
+    roughness_factor: float = 1.0
+    emissive_factor: tuple = (0.0, 0.0, 0.0)
+    base_color_texture: TextureMap | None = None
+    metallic_roughness_texture: TextureMap | None = None
+    normal_texture: TextureMap | None = None
+    occlusion_texture: TextureMap | None = None
+    emissive_texture: TextureMap | None = None
+    alpha_mode: str = "OPAQUE"
+    alpha_cutoff: float = 0.5
+    double_sided: bool = False
+    unlit: bool = False
+    extensions: dict = field(default_factory=dict)
+
+
+@dataclass
+class MaterialLibrary:
+    materials: list[Material] = field(default_factory=list)
+    texture_library: TextureLibrary = field(default_factory=TextureLibrary)
+
+
+@dataclass
+class PropertyTable:
+    """EXT_structural_metadata property table
+    (structural_metadata.rs:44-199) — carried as raw JSON + buffers."""
+    name: str = ""
+    count: int = 0
+    json: dict = field(default_factory=dict)
+    buffers: list[bytes] = field(default_factory=list)
+
+
+@dataclass
+class StructuralMetadata:
+    schema: dict = field(default_factory=dict)
+    property_tables: list[PropertyTable] = field(default_factory=list)
+    property_attributes: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class MeshFeatures:
+    """EXT_mesh_features record (core/mesh/meh_features.rs:4-12)."""
+    feature_count: int = 0
+    attribute_index: int | None = None
+    texture_map: TextureMap | None = None
+    property_table_index: int | None = None
+    label: str = ""
+
+
+class Scene:
+    """Mesh library + groups/instances + node tree (scene/mod.rs)."""
+
+    def __init__(self) -> None:
+        self.meshes: list = []           # Mesh objects
+        self.mesh_groups: list[MeshGroup] = []
+        self.nodes: list[SceneNode] = []
+        self.root_nodes: list[int] = []
+        self.material_library = MaterialLibrary()
+        self.structural_metadata = StructuralMetadata()
+        self.metadata: dict[str, str] = {}
+        self.animations_json: list = []  # passthrough (reference stubs these)
+        self.skins_json: list = []
+
+    def num_meshes(self) -> int:
+        return len(self.meshes)

@@ -2,7 +2,10 @@
 order to produce the vertex-visit sequence consumed by the attribute
 prediction pipeline (both encoder and decoder).
 
-Reference behavior: draco-oxide/src/shared/attribute/sequence.rs.
+Reference behavior: draco-oxide/src/shared/attribute/sequence.rs. The
+reference prunes handle entries with an O(stack) scan per face
+(sequence.rs:98-131); we keep identical semantics with O(1) amortized lazy
+deletion (entries are tagged and tombstoned per face).
 """
 
 from __future__ import annotations
@@ -16,8 +19,27 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
     (sequence.rs:48-152). ``init_stack`` is consumed (popped from the end)."""
     visited_vertices = [False] * view.num_vertices
     visited_faces = [False] * view.num_faces()
-    stack = list(init_stack)
     out: list[int] = []
+
+    # stack entries are (corner, serial); prune marks serials dead
+    stack: list[tuple[int, int]] = [(c, i) for i, c in enumerate(init_stack)]
+    serial = len(init_stack)
+    dead: set[int] = set()
+    face_entries: dict[int, list[int]] = {}
+    for c, s in stack:
+        face_entries.setdefault(c // 3, []).append(s)
+
+    def push(c: int) -> None:
+        nonlocal serial
+        stack.append((c, serial))
+        face_entries.setdefault(c // 3, []).append(serial)
+        serial += 1
+
+    def prune(face_idx: int) -> None:
+        ids = face_entries.get(face_idx)
+        if ids:
+            dead.update(ids)
+            ids.clear()
 
     def visit(v: int, c: int) -> None:
         if not visited_vertices[v]:
@@ -25,7 +47,14 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
         visited_vertices[v] = True
 
     while stack:
-        curr = stack.pop()
+        curr, sid = stack.pop()
+        if sid in dead:
+            dead.discard(sid)
+            continue
+        # keep face_entries consistent: this entry is consumed
+        ids = face_entries.get(curr // 3)
+        if ids and sid in ids:
+            ids.remove(sid)
         if visited_faces[curr // 3]:
             continue
         v = view.vertex(curr)
@@ -37,7 +66,7 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
             # draco order: next corner first, then previous, then current
             visit(next_v, next_c)
             visit(prev_v, prev_c)
-            stack.append(curr)
+            push(curr)
             continue
 
         face_idx = curr // 3
@@ -46,7 +75,7 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
         if not visited_vertices[v]:
             visit(v, curr)
             if not view.is_on_boundary(v):
-                stack.append(view.get_right_corner(curr))
+                push(view.get_right_corner(curr))
                 continue
 
         visit(v, curr)
@@ -56,28 +85,18 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
         right_visited = right_c != NONE and visited_faces[right_c // 3]
         left_visited = left_c != NONE and visited_faces[left_c // 3]
 
-        def prune_handles() -> None:
-            # remove stale stack entries pointing into this face
-            # (sequence.rs:98-131 handle-aware pruning)
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i] // 3 == face_idx:
-                    del stack[i]
-
         if right_visited:
-            if left_visited:
-                prune_handles()
-            else:
-                prune_handles()
-                if left_c != NONE:
-                    stack.append(left_c)
+            prune(face_idx)
+            if not left_visited and left_c != NONE:
+                push(left_c)
         else:
             if left_visited:
-                prune_handles()
+                prune(face_idx)
                 if right_c != NONE:
-                    stack.append(right_c)
+                    push(right_c)
             else:
                 if left_c != NONE:
-                    stack.append(left_c)
+                    push(left_c)
                 if right_c != NONE:
-                    stack.append(right_c)
+                    push(right_c)
     return out

@@ -1,0 +1,82 @@
+"""Command-line interface: OBJ/glTF encode, decode, and transcode.
+
+Mirrors the reference CLI (cli/src/main.rs: `-i x.obj -o y.drc` and
+`--transcode -i x.glb -o y.glb`), plus decode (`-i x.drc -o y.obj`) which
+the reference cannot do (its decoder is disabled).
+
+Usage:
+  python -m tpudraco.tools.cli -i mesh.obj -o mesh.drc
+  python -m tpudraco.tools.cli -i mesh.drc -o mesh.obj
+  python -m tpudraco.tools.cli --transcode -i scene.glb -o scene_draco.glb
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpudraco",
+                                description="TPU-native Draco codec")
+    p.add_argument("-i", "--input", required=True, help="input file")
+    p.add_argument("-o", "--output", required=True, help="output file")
+    p.add_argument("--transcode", action="store_true",
+                   help="glTF -> draco-compressed glTF")
+    p.add_argument("--eval", dest="eval_json", default=None,
+                   help="write per-stage metrics JSON to this path")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    in_ext = os.path.splitext(args.input)[1].lower()
+    out_ext = os.path.splitext(args.output)[1].lower()
+    t0 = time.perf_counter()
+
+    if args.transcode or (in_ext in (".gltf", ".glb") and out_ext in (".gltf", ".glb")):
+        from ..io import DracoTranscoder
+        DracoTranscoder().transcode_file(args.input, args.output)
+    elif out_ext == ".drc":
+        from ..encode import encode
+        from ..eval import EvalRecorder
+        if in_ext == ".obj":
+            from ..io import load_obj
+            mesh = load_obj(args.input)
+        elif in_ext in (".gltf", ".glb"):
+            from ..io import load_gltf
+            mesh = load_gltf(args.input)
+        else:
+            print(f"unsupported input format {in_ext}", file=sys.stderr)
+            return 2
+        rec = EvalRecorder() if args.eval_json else None
+        blob = encode(mesh, recorder=rec)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        if rec:
+            rec.dump(args.eval_json)
+    elif in_ext == ".drc":
+        from ..decode import decode
+        with open(args.input, "rb") as f:
+            mesh = decode(f.read())
+        if out_ext == ".obj":
+            from ..io import save_obj
+            save_obj(mesh, args.output)
+        else:
+            print(f"unsupported output format {out_ext}", file=sys.stderr)
+            return 2
+    else:
+        print(f"unsupported conversion {in_ext} -> {out_ext}", file=sys.stderr)
+        return 2
+
+    if not args.quiet:
+        dt = time.perf_counter() - t0
+        in_size = os.path.getsize(args.input)
+        out_size = os.path.getsize(args.output)
+        print(f"{args.input} ({in_size}B) -> {args.output} ({out_size}B) "
+              f"ratio {in_size / max(out_size, 1):.2f}x in {dt:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
