@@ -94,6 +94,18 @@ class _DecView:
     def is_on_boundary(self, v):
         return self.swing_left(self.left_most_corner(v)) == NONE
 
+    def as_arrays(self):
+        """(effective opposite, corner_to_vertex, left_most) for the native
+        topology passes."""
+        opp = np.asarray(self.ct.opposite, dtype=np.int64)
+        if self.seam is not None:
+            opp = np.where(self.seam, NONE, opp)
+        ctv = (np.asarray(self.actv, dtype=np.int64) if self.actv is not None
+               else np.asarray(self.ct.corner_to_vertex, dtype=np.int64))
+        lm = (np.asarray(self.alm, dtype=np.int64) if self.alm is not None
+              else np.asarray(self.ct.left_most, dtype=np.int64))
+        return opp, ctv, lm
+
 
 class DecodedAttribute:
     def __init__(self, att_type, domain, component_type, num_components,
@@ -198,29 +210,41 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
         if pos is not None:
             parents = [_CornerIndexedParent(pos)]
 
-    pred = make_prediction(scheme_id, view, parents, n)
-    state = PredictionState(view.num_vertices)
-    values_by_vertex = np.zeros((view.num_vertices, n), dtype=np.int64)
-    decoded_mask = np.zeros(view.num_vertices, dtype=bool)
-
-    def att_get(c_point: int) -> np.ndarray:
-        v = view.vertex(c_point)
-        return values_by_vertex[v]
-
     flips = pred_meta.get("flips")
     orientations = pred_meta.get("orientations")
-    if orientations is not None:
-        pred.pending_orientations = list(orientations)
-    inv = _make_inverse_transform(xform_id, xmeta)
 
-    for k, c in enumerate(sequence):
-        if flips is not None:
-            pred.pending_flip = bool(flips[k])
-        p = pred.predict(c, state, att_get)
-        v = view.vertex(c)
-        state.push(v)
-        values_by_vertex[v] = inv(symbols[k].astype(np.int64), p.astype(np.int64))
-        decoded_mask[v] = True
+    values_by_vertex = None
+    if scheme_id in (PRED_DELTA, PRED_PARALLELOGRAM) and xform_id in (0, 1):
+        # native sequential decode chain (falls back below when unavailable)
+        from ..native import topo
+        arrays = view.as_arrays()
+        values_by_vertex = topo.decode_pred_transform(
+            arrays[0], arrays[1], arrays[2], np.asarray(sequence),
+            symbols.astype(np.uint64),
+            1 if scheme_id == PRED_PARALLELOGRAM else 0, xform_id,
+            xmeta.get("min", 0), xmeta.get("max", 0), view.num_vertices)
+
+    if values_by_vertex is None:
+        pred = make_prediction(scheme_id, view, parents, n)
+        state = PredictionState(view.num_vertices)
+        values_by_vertex = np.zeros((view.num_vertices, n), dtype=np.int64)
+
+        def att_get(c_point: int) -> np.ndarray:
+            v = view.vertex(c_point)
+            return values_by_vertex[v]
+
+        if orientations is not None:
+            pred.pending_orientations = list(orientations)
+        inv = _make_inverse_transform(xform_id, xmeta)
+
+        for k, c in enumerate(sequence):
+            if flips is not None:
+                pred.pending_flip = bool(flips[k])
+            p = pred.predict(c, state, att_get)
+            v = view.vertex(c)
+            state.push(v)
+            values_by_vertex[v] = inv(symbols[k].astype(np.int64),
+                                      p.astype(np.int64))
 
     # --- dequantize ---
     out_vals = _deportabilize(values_by_vertex, h, port_meta)
@@ -271,8 +295,8 @@ def _read_normal_flips(reader, count: int) -> list[bool]:
     size = leb128_read(reader)
     blob = reader.read_bytes(size)
     dec = RabsDecoder(ByteReader(blob), len(blob), prob_zero)
-    bits = [dec.read() for _ in range(count)]
-    return [bool(b) for b in reversed(bits)]
+    bits = dec.read_all(count)
+    return [bool(b) for b in bits[::-1]]
 
 
 def _read_tex_orientations(reader) -> list[bool]:
@@ -283,10 +307,10 @@ def _read_tex_orientations(reader) -> list[bool]:
     size = leb128_read(reader)
     blob = reader.read_bytes(size)
     dec = RabsDecoder(ByteReader(blob), len(blob), prob_zero)
+    bits = dec.read_all(count)
     last = True
     rev = []
-    for _ in range(count):
-        b = dec.read()
+    for b in bits.tolist():
         if b == 0:
             last = not last
         rev.append(last)

@@ -336,20 +336,23 @@ def _decode_att_seams(ct: DecodedCornerTable, num_symbols: int,
         out.append(seam)
     if not seam_streams:
         return out
-    decoders = [RabsDecoder(ByteReader(blob), len(blob), prob)
-                for prob, blob in seam_streams]
+    # first pass: collect the edge replay order, then bulk-decode each
+    # attribute's RAbS stream (native fast path) and scatter the marks
     visited = np.zeros(ct.num_faces(), dtype=bool)
+    edges: list[tuple[int, int]] = []
     for f in range(num_symbols):
         c = 3 * f
         visited[f] = True
         for ci in (c, c + 1, c + 2):
             opp = ct.opp(ci)
-            if opp == NONE:
+            if opp == NONE or visited[opp // 3]:
                 continue
-            if visited[opp // 3]:
-                continue
-            for j, dec in enumerate(decoders):
-                if dec.read():
-                    out[j][ci] = True
-                    out[j][opp] = True
+            edges.append((ci, opp))
+    if edges:
+        earr = np.asarray(edges, dtype=np.int64)
+        for j, (prob, blob) in enumerate(seam_streams):
+            dec = RabsDecoder(ByteReader(blob), len(blob), prob)
+            bits = dec.read_all(len(edges)).astype(bool)
+            out[j][earr[bits, 0]] = True
+            out[j][earr[bits, 1]] = True
     return out

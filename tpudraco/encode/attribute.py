@@ -100,21 +100,27 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     port_buf = _Buf()
     port_att = portabilize(att, port_type, bits, port_buf)
 
-    # predict + record traversal
+    # predict + record traversal. Parallelogram and delta predictions are
+    # pure gathers on the encoder side and run vectorized; normal/texcoord
+    # keep the reference per-vertex loop (value-dependent decisions).
     n = port_att.num_components
     pred = make_prediction(scheme_id, view, parents, n)
     state = PredictionState(view.num_vertices)
     per_point = port_att.values[port_att.unique_indices()].astype(np.int64)
 
-    def att_get(p: int) -> np.ndarray:
-        return per_point[p]
+    if scheme_id in (PRED_PARALLELOGRAM, PRED_DELTA) and len(sequence):
+        origs, preds = _vectorized_predict(
+            scheme_id, view, sequence, port_att, per_point)
+    else:
+        def att_get(p: int) -> np.ndarray:
+            return per_point[p]
 
-    origs = np.empty((len(sequence), n), dtype=np.int64)
-    preds = np.empty((len(sequence), n), dtype=np.int64)
-    for k, c in enumerate(sequence):
-        preds[k] = pred.predict(c, state, att_get)
-        state.push(view.vertex(c))
-        origs[k] = per_point[view.point(c)]
+        origs = np.empty((len(sequence), n), dtype=np.int64)
+        preds = np.empty((len(sequence), n), dtype=np.int64)
+        for k, c in enumerate(sequence):
+            preds[k] = pred.predict(c, state, att_get)
+            state.push(view.vertex(c))
+            origs[k] = per_point[view.point(c)]
 
     xform = make_transform(xform_id)
     xbuf = _Buf()
@@ -135,6 +141,44 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
         writer.write_bytes(xbuf.buf)
     writer.write_bytes(port_buf.buf)
     return port_att
+
+
+def _vectorized_predict(scheme_id, view, sequence, port_att, per_point):
+    """Vectorized parallelogram/delta prediction over the whole traversal
+    (the gathers come from the native topology pass when available)."""
+    from ..native import topo
+    from ..ops.gathers import build_parallelogram_gathers
+
+    seq = np.asarray(sequence, dtype=np.int64)
+    eff_opp, ctv, lm = view.as_arrays()
+    unique_of_point = port_att.unique_indices()
+    point_of_corner = view.u.faces_points.ravel() if hasattr(view, "u") else None
+    vals = port_att.values.astype(np.int64)
+
+    origs_idx = unique_of_point[point_of_corner[seq]]
+    origs = vals[origs_idx]
+    if scheme_id == PRED_DELTA:
+        preds = np.zeros_like(origs)
+        if len(seq) > 1:
+            prev_vs = ctv[seq[:-1]]
+            fb_corners = lm[prev_vs]
+            fb_idx = unique_of_point[point_of_corner[fb_corners]]
+            preds[1:] = vals[fb_idx]
+        return origs, preds
+
+    val_of_corner = unique_of_point[point_of_corner]
+    g = topo.parallelogram_gathers(eff_opp, ctv, lm, val_of_corner, seq)
+    if g is None:
+        g = build_parallelogram_gathers(view, seq.tolist(), unique_of_point)
+    a = vals[g["next"]]
+    b = vals[g["prev"]]
+    d = vals[g["opp"]]
+    fb = vals[g["fallback"]]
+    para = a + b - d
+    preds = np.where(np.asarray(g["can_para"], dtype=bool)[:, None], para,
+                     np.where(np.asarray(g["has_fallback"], dtype=bool)[:, None],
+                              fb, 0))
+    return origs, preds
 
 
 class _Buf:

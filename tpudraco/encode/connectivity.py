@@ -201,31 +201,42 @@ class EdgebreakerEncoder:
         """Full edgebreaker stream (edgebreaker.rs:458-530)."""
         ct = self.ct
         writer.write_u8(EB_STANDARD)  # traversal decoder type
-        self._compute_boundaries()
         leb128_write(ct.num_vertices, writer)
         leb128_write(ct.num_faces(), writer)
         writer.write_u8(len(self.att_data))
 
-        for c in range(ct.num_corners):
-            face_idx = c // 3
-            if self.visited_faces[face_idx]:
-                continue
-            is_interior, start_corner = self._begin_from(face_idx)
-            self.interior_cfg.append(is_interior)
-            if is_interior:
-                v = ct.vertex(start_corner)
-                n = ct.vertex(next_corner(start_corner))
-                p = ct.vertex(prev_corner(start_corner))
-                self.visited_vertices[v] = True
-                self.visited_vertices[n] = True
-                self.visited_vertices[p] = True
-                self.visited_faces[face_idx] = True
-                self.init_face_corners.append(next_corner(start_corner))
-                corner_opp = ct.opp(next_corner(start_corner))
-                self._edgebreaker_from(corner_opp)
-            else:
-                self._process_boundary(next_corner(start_corner), True)
-                self._edgebreaker_from(start_corner)
+        from ..native import topo
+        native_out = topo.edgebreaker(ct.opposite, ct.corner_to_vertex,
+                                      ct.num_vertices)
+        if native_out is not None:
+            self.symbols = native_out["symbols"]
+            self.processed_corners = native_out["processed"]
+            self.interior_cfg = native_out["interior_cfg"]
+            self.init_face_corners = native_out["init_face_corners"]
+            self.topology_splits = native_out["splits"]
+            self.num_split_symbols = native_out["num_split_symbols"]
+        else:
+            self._compute_boundaries()
+            for c in range(ct.num_corners):
+                face_idx = c // 3
+                if self.visited_faces[face_idx]:
+                    continue
+                is_interior, start_corner = self._begin_from(face_idx)
+                self.interior_cfg.append(is_interior)
+                if is_interior:
+                    v = ct.vertex(start_corner)
+                    n = ct.vertex(next_corner(start_corner))
+                    p = ct.vertex(prev_corner(start_corner))
+                    self.visited_vertices[v] = True
+                    self.visited_vertices[n] = True
+                    self.visited_vertices[p] = True
+                    self.visited_faces[face_idx] = True
+                    self.init_face_corners.append(next_corner(start_corner))
+                    corner_opp = ct.opp(next_corner(start_corner))
+                    self._edgebreaker_from(corner_opp)
+                else:
+                    self._process_boundary(next_corner(start_corner), True)
+                    self._edgebreaker_from(start_corner)
 
         leb128_write(len(self.symbols), writer)
         leb128_write(self.num_split_symbols, writer)

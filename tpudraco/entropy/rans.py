@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..wire.byte_io import ByteReader, ByteWriter
+from ..wire.byte_io import ByteReader, ByteWriter, ReverseByteReader
 from ..wire.varint import leb128_read, leb128_write
 
 L_RANS_BASE = 4096
@@ -64,7 +64,9 @@ def _read_initial_state(rev, l_base: int) -> int:
 class RansEncoder:
     """Byte-wise rANS encoder over a normalized frequency table.
 
-    ``freq_counts`` must sum to 1 << precision."""
+    ``freq_counts`` must sum to 1 << precision. Symbols are buffered and the
+    sequential state recurrence runs at flush — in native C++ when available
+    (tpudraco.native), else the Python reference loop."""
 
     def __init__(self, freq_counts, precision: int = DEFAULT_RANS_PRECISION,
                  l_rans_base: int | None = None) -> None:
@@ -76,43 +78,48 @@ class RansEncoder:
         self.l_base = l_rans_base if l_rans_base is not None else default_l_rans_base(precision)
         self.freqs = freq_counts
         self.cums = np.concatenate(([0], np.cumsum(freq_counts)[:-1]))
-        self.state = self.l_base
-        self.out = bytearray()
+        self._chunks: list[np.ndarray] = []
 
     def write(self, idx: int) -> None:
-        freq = int(self.freqs[idx])
-        state = self.state
-        limit = ((self.l_base >> self.precision) * freq) << 8
-        while state >= limit:
-            self.out.append(state & 0xFF)
-            state >>= 8
-        self.state = ((state // freq) << self.precision) + state % freq + int(self.cums[idx])
+        self._chunks.append(np.asarray([idx], dtype=np.int64))
 
     def write_all(self, symbols) -> None:
-        # Hot loop: rebind to locals. (Native/C++ path replaces this.)
+        self._chunks.append(np.asarray(symbols, dtype=np.int64))
+
+    def _encode_python(self, symbols: np.ndarray) -> bytes:
         freqs = self.freqs
         cums = self.cums
         precision = self.precision
         base_sh = self.l_base >> precision
-        state = self.state
-        out = self.out
-        for s in np.asarray(symbols).tolist():
+        state = self.l_base
+        out = bytearray()
+        for s in symbols.tolist():
             freq = int(freqs[s])
             limit = (base_sh * freq) << 8
             while state >= limit:
                 out.append(state & 0xFF)
                 state >>= 8
-            self.state = state = ((state // freq) << precision) + state % freq + int(cums[s])
+            state = ((state // freq) << precision) + state % freq + int(cums[s])
+        _flush_state(state - self.l_base, out)
+        return bytes(out)
 
     def flush(self) -> bytes:
-        _flush_state(self.state - self.l_base, self.out)
-        return bytes(self.out)
+        symbols = (np.concatenate(self._chunks) if self._chunks
+                   else np.zeros(0, dtype=np.int64))
+        from .. import native
+        blob = native.rans_encode(symbols, self.freqs, self.cums,
+                                  self.precision, self.l_base) \
+            if native.load_library() is not None else None
+        if blob is None:
+            blob = self._encode_python(symbols)
+        return blob
 
 
 class RabsEncoder:
     """Binary rANS coder with a fixed zero-symbol probability byte
     (encode/entropy/rans.rs:71-128). Note: renormalization is a single
-    ``if``, not a loop, mirroring the reference."""
+    ``if``, not a loop, mirroring the reference. Bits are buffered and
+    encoded at flush (native C++ when available)."""
 
     def __init__(self, freq_count_0: int, precision: int = DEFAULT_RABS_PRECISION,
                  l_rabs_base: int | None = None) -> None:
@@ -120,37 +127,54 @@ class RabsEncoder:
         self.freq0 = freq_count_0
         self.freq1 = (1 << precision) - freq_count_0
         self.l_base = l_rabs_base if l_rabs_base is not None else L_RANS_BASE
-        self.state = self.l_base
-        self.out = bytearray()
+        self._bits: list[int] = []
 
     def write(self, value: int) -> None:
-        freq = self.freq1 if value > 0 else self.freq0
-        if self.state >= ((self.l_base >> self.precision) * freq) << 8:
-            self.out.append(self.state & 0xFF)
-            self.state >>= 8
-        q, r = divmod(self.state, freq)
-        self.state = (q << self.precision) + r + (0 if value > 0 else self.freq1)
+        self._bits.append(1 if value > 0 else 0)
 
     def write_all(self, bits) -> None:
-        for b in np.asarray(bits).tolist():
-            self.write(int(b))
+        self._bits.extend(1 if int(b) > 0 else 0
+                          for b in np.asarray(bits).ravel().tolist())
+
+    def _encode_python(self, bits) -> bytes:
+        state = self.l_base
+        out = bytearray()
+        base_sh = self.l_base >> self.precision
+        for b in bits:
+            freq = self.freq1 if b else self.freq0
+            if state >= (base_sh * freq) << 8:
+                out.append(state & 0xFF)
+                state >>= 8
+            q, r = divmod(state, freq)
+            state = (q << self.precision) + r + (0 if b else self.freq1)
+        _flush_state(state - self.l_base, out)
+        return bytes(out)
 
     def flush(self) -> bytes:
-        _flush_state(self.state - self.l_base, self.out)
-        return bytes(self.out)
+        from .. import native
+        blob = None
+        if native.load_library() is not None:
+            blob = native.rabs_encode(np.asarray(self._bits, dtype=np.uint8),
+                                      self.freq0, self.precision, self.l_base)
+        if blob is None:
+            blob = self._encode_python(self._bits)
+        return blob
 
 
 class RansDecoder:
     """Decodes symbols back-to-front from a forward reader; consumes
-    ``offset`` bytes of the stream (the whole rANS blob)."""
+    ``offset`` bytes of the stream (the whole rANS blob). ``read_all`` uses
+    the native C++ path when no incremental read has started."""
 
     def __init__(self, reader: ByteReader, offset: int, freq_counts,
                  precision: int = DEFAULT_RANS_PRECISION,
                  l_rans_base: int | None = None) -> None:
         self.precision = precision
         self.l_base = l_rans_base if l_rans_base is not None else default_l_rans_base(precision)
-        self.rev = reader.spawn_reverse_reader(offset)
-        self.state = _read_initial_state(self.rev, self.l_base)
+        self._blob = reader.read_bytes(offset)
+        self._started = False
+        self.rev = None
+        self.state = 0
         freq_counts = np.asarray(freq_counts, dtype=np.int64)
         if int(freq_counts.sum()) != (1 << precision):
             raise ValueError("freq counts incompatible with precision")
@@ -160,7 +184,14 @@ class RansDecoder:
         self.slots = np.repeat(
             np.arange(len(freq_counts), dtype=np.int64), freq_counts)
 
+    def _start_python(self) -> None:
+        if not self._started:
+            self.rev = ReverseByteReader(memoryview(self._blob))
+            self.state = _read_initial_state(self.rev, self.l_base)
+            self._started = True
+
     def read(self) -> int:
+        self._start_python()
         state = self.state
         l_base = self.l_base
         while state < l_base:
@@ -171,6 +202,15 @@ class RansDecoder:
         return idx
 
     def read_all(self, n: int) -> np.ndarray:
+        if not self._started:
+            from .. import native
+            if native.load_library() is not None:
+                out = native.rans_decode(self._blob, self.freqs, self.cums,
+                                         self.slots, self.precision,
+                                         self.l_base, n)
+                if out is not None:
+                    self._started = True  # python state no longer valid
+                    return out.astype(np.int64)
         out = np.empty(n, dtype=np.int64)
         for i in range(n):
             out[i] = self.read()
@@ -187,10 +227,19 @@ class RabsDecoder:
         if freq_count_0 >= (1 << precision):
             raise ValueError("invalid freq_count_0")
         self.l_base = l_rabs_base if l_rabs_base is not None else L_RANS_BASE
-        self.rev = reader.spawn_reverse_reader(offset)
-        self.state = _read_initial_state(self.rev, self.l_base)
+        self._blob = reader.read_bytes(offset)
+        self._started = False
+        self.rev = None
+        self.state = 0
+
+    def _start_python(self) -> None:
+        if not self._started:
+            self.rev = ReverseByteReader(memoryview(self._blob))
+            self.state = _read_initial_state(self.rev, self.l_base)
+            self._started = True
 
     def read(self) -> int:
+        self._start_python()
         if self.state < self.l_base:
             self.state = (self.state << 8) + self.rev.read_u8_back()
         x = self.state
@@ -204,6 +253,14 @@ class RabsDecoder:
         return 0
 
     def read_all(self, n: int) -> np.ndarray:
+        if not self._started:
+            from .. import native
+            if native.load_library() is not None:
+                out = native.rabs_decode(self._blob, self.freq0,
+                                         self.precision, self.l_base, n)
+                if out is not None:
+                    self._started = True
+                    return out.astype(np.int64)
         out = np.empty(n, dtype=np.int64)
         for i in range(n):
             out[i] = self.read()

@@ -58,14 +58,27 @@ class CornerTable:
                 f"mesh contains unused vertices: {np.nonzero(~used)[0][:8]}")
 
         self.num_vertices = len(used)
-        self.opposite = np.full(self.num_corners, NONE, dtype=np.int64)
         self.non_manifold_vertex_parents: list[int] = []
 
-        self._compute_table()
-        if self._contains_non_manifold_edges():
-            self._handle_non_manifold_edges()
-        self.left_most = np.full(self.num_vertices, NONE, dtype=np.int64)
-        self._compute_left_most_corners()
+        from ..native import topo
+        opp = topo.compute_table(self.corner_to_vertex, self.num_vertices)
+        if opp is not None:
+            self.opposite = opp
+            if topo.has_non_manifold_edges(self.corner_to_vertex):
+                topo.break_non_manifold_edges(self.opposite,
+                                              self.corner_to_vertex)
+            new_v, lm, parents = topo.left_most(
+                self.corner_to_vertex, self.opposite, self.num_vertices)
+            self.num_vertices = new_v
+            self.left_most = lm
+            self.non_manifold_vertex_parents = parents
+        else:
+            self.opposite = np.full(self.num_corners, NONE, dtype=np.int64)
+            self._compute_table()
+            if self._contains_non_manifold_edges():
+                self._handle_non_manifold_edges()
+            self.left_most = np.full(self.num_vertices, NONE, dtype=np.int64)
+            self._compute_left_most_corners()
 
     # --- basic navigation -------------------------------------------------
     def num_faces(self) -> int:
@@ -451,6 +464,15 @@ class TableView:
 
     def is_on_boundary(self, v: int) -> bool:
         return self.swing_left(self.left_most_corner(v)) == NONE
+
+    def as_arrays(self):
+        """(effective opposite, corner_to_vertex, left_most) numpy arrays for
+        the native topology passes (seam-masked for attribute tables)."""
+        if self.a is not None:
+            eff_opp = np.where(self.a.is_edge_on_seam, NONE, self.u.opposite)
+            return (eff_opp, self.a.corner_to_vertex,
+                    np.asarray(self.a.left_most, dtype=np.int64))
+        return self.u.opposite, self.u.corner_to_vertex, self.u.left_most
 
 
 class AllInclusiveCornerTable:

@@ -1,0 +1,203 @@
+"""ctypes wrappers for the native topology passes (topology.cpp).
+
+Every function returns None when the native library is unavailable; callers
+fall back to the Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from . import load_library
+
+_i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+_i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+_u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
+_configured = False
+
+
+def _lib():
+    global _configured
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _configured:
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        I64P = ctypes.POINTER(i64)
+        I32P = ctypes.POINTER(i32)
+        U8P = ctypes.POINTER(ctypes.c_uint8)
+        lib.tpud_compute_table.restype = None
+        lib.tpud_compute_table.argtypes = [I64P, i64, i64, I64P]
+        lib.tpud_has_non_manifold_edges.restype = i32
+        lib.tpud_has_non_manifold_edges.argtypes = [I64P, i64]
+        lib.tpud_break_non_manifold_edges.restype = None
+        lib.tpud_break_non_manifold_edges.argtypes = [I64P, I64P, i64]
+        lib.tpud_left_most.restype = i64
+        lib.tpud_left_most.argtypes = [I64P, I64P, i64, i64, I64P, I64P, I64P]
+        lib.tpud_sequence.restype = i64
+        lib.tpud_sequence.argtypes = [I64P, I64P, I64P, i64, i64, I64P, i64, I64P]
+        lib.tpud_parallelogram_gathers.restype = None
+        lib.tpud_parallelogram_gathers.argtypes = [
+            I64P, I64P, I64P, I64P, I64P, i64, i64,
+            I32P, I32P, I32P, I32P, I32P, U8P, U8P]
+        lib.tpud_edgebreaker.restype = i32
+        lib.tpud_edgebreaker.argtypes = [
+            I64P, I64P, i64, i64, U8P, I64P, I64P, U8P, I64P, I64P, I64P,
+            I64P, I64P, I64P, I64P]
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        lib.tpud_decode_pred_transform.restype = i32
+        lib.tpud_decode_pred_transform.argtypes = [
+            I64P, I64P, I64P, I64P, i64, U64P, i32, i32, i32, i64, i64,
+            i64, I64P]
+        _configured = True
+    return lib
+
+
+def compute_table(ctv: np.ndarray, num_vertices: int) -> np.ndarray | None:
+    lib = _lib()
+    if lib is None:
+        return None
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    opposite = np.full(len(ctv), -1, dtype=np.int64)
+    lib.tpud_compute_table(_i64p(ctv), len(ctv), num_vertices, _i64p(opposite))
+    return opposite
+
+
+def has_non_manifold_edges(ctv: np.ndarray) -> bool | None:
+    lib = _lib()
+    if lib is None:
+        return None
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    return bool(lib.tpud_has_non_manifold_edges(_i64p(ctv), len(ctv)))
+
+
+def break_non_manifold_edges(opposite: np.ndarray, ctv: np.ndarray) -> bool:
+    lib = _lib()
+    if lib is None:
+        return False
+    assert opposite.dtype == np.int64 and opposite.flags.c_contiguous
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    lib.tpud_break_non_manifold_edges(_i64p(opposite), _i64p(ctv), len(ctv))
+    return True
+
+
+def left_most(ctv: np.ndarray, opposite: np.ndarray, num_vertices: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    assert ctv.dtype == np.int64 and ctv.flags.c_contiguous
+    opposite = np.ascontiguousarray(opposite, dtype=np.int64)
+    C = len(ctv)
+    lm = np.empty(num_vertices + C, dtype=np.int64)
+    parents = np.empty(C, dtype=np.int64)
+    n_par = np.zeros(1, dtype=np.int64)
+    new_v = lib.tpud_left_most(_i64p(ctv), _i64p(opposite), C, num_vertices,
+                               _i64p(lm), _i64p(parents), _i64p(n_par))
+    return int(new_v), lm[:new_v], parents[:int(n_par[0])].tolist()
+
+
+def sequence(opposite_eff: np.ndarray, ctv: np.ndarray, lm: np.ndarray,
+             init_stack) -> np.ndarray | None:
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite_eff = np.ascontiguousarray(opposite_eff, dtype=np.int64)
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    lm = np.ascontiguousarray(lm, dtype=np.int64)
+    init = np.ascontiguousarray(init_stack, dtype=np.int64)
+    out = np.empty(len(lm), dtype=np.int64)
+    n = lib.tpud_sequence(_i64p(opposite_eff), _i64p(ctv), _i64p(lm),
+                          len(ctv), len(lm), _i64p(init), len(init),
+                          _i64p(out))
+    return out[:n]
+
+
+def parallelogram_gathers(opposite_eff, ctv, lm, val_of_corner, seq):
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite_eff = np.ascontiguousarray(opposite_eff, dtype=np.int64)
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    lm = np.ascontiguousarray(lm, dtype=np.int64)
+    voc = np.ascontiguousarray(val_of_corner, dtype=np.int64)
+    seq = np.ascontiguousarray(seq, dtype=np.int64)
+    T = len(seq)
+    order = np.empty(T, dtype=np.int32)
+    g_next = np.empty(T, dtype=np.int32)
+    g_prev = np.empty(T, dtype=np.int32)
+    g_opp = np.empty(T, dtype=np.int32)
+    g_fb = np.empty(T, dtype=np.int32)
+    can_para = np.empty(T, dtype=np.uint8)
+    has_fb = np.empty(T, dtype=np.uint8)
+    lib.tpud_parallelogram_gathers(
+        _i64p(opposite_eff), _i64p(ctv), _i64p(lm), _i64p(voc), _i64p(seq),
+        T, len(lm), _i32p(order), _i32p(g_next), _i32p(g_prev), _i32p(g_opp),
+        _i32p(g_fb), _u8p(can_para), _u8p(has_fb))
+    return {"order": order, "next": g_next, "prev": g_prev, "opp": g_opp,
+            "fallback": g_fb, "can_para": can_para.astype(bool),
+            "has_fallback": has_fb.astype(bool)}
+
+
+def decode_pred_transform(opposite_eff, ctv, lm, seq, corr: np.ndarray,
+                          scheme: int, xform: int, vmin: int, vmax: int,
+                          num_vertices: int) -> np.ndarray | None:
+    """Sequential decode chain. corr (T, N) uint64 zigzagged residuals;
+    returns values_by_vertex (V, N) int64."""
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite_eff = np.ascontiguousarray(opposite_eff, dtype=np.int64)
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    lm = np.ascontiguousarray(lm, dtype=np.int64)
+    seq = np.ascontiguousarray(seq, dtype=np.int64)
+    corr = np.ascontiguousarray(corr, dtype=np.uint64)
+    T, N = corr.shape
+    out = np.zeros((num_vertices, N), dtype=np.int64)
+    u64p = corr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    rc = lib.tpud_decode_pred_transform(
+        _i64p(opposite_eff), _i64p(ctv), _i64p(lm), _i64p(seq), T, u64p,
+        N, scheme, xform, vmin, vmax, num_vertices, _i64p(out))
+    if rc != 0:
+        return None
+    return out
+
+
+def edgebreaker(opposite: np.ndarray, ctv: np.ndarray, num_vertices: int):
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite = np.ascontiguousarray(opposite, dtype=np.int64)
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    C = len(ctv)
+    F = C // 3
+    symbols = np.empty(F, dtype=np.uint8)
+    processed = np.empty(F, dtype=np.int64)
+    interior = np.empty(F + 1, dtype=np.uint8)
+    init_corners = np.empty(F + 1, dtype=np.int64)
+    splits = np.empty(3 * max(F, 1), dtype=np.int64)
+    hole_id = np.empty(num_vertices, dtype=np.int64)
+    n_sym = np.zeros(1, dtype=np.int64)
+    n_comp = np.zeros(1, dtype=np.int64)
+    n_init = np.zeros(1, dtype=np.int64)
+    n_splits = np.zeros(1, dtype=np.int64)
+    n_split_symbols = np.zeros(1, dtype=np.int64)
+    rc = lib.tpud_edgebreaker(
+        _i64p(opposite), _i64p(ctv), C, num_vertices,
+        _u8p(symbols), _i64p(n_sym), _i64p(processed), _u8p(interior),
+        _i64p(n_comp), _i64p(init_corners), _i64p(n_init), _i64p(splits),
+        _i64p(n_splits), _i64p(n_split_symbols), _i64p(hole_id))
+    if rc != 0:
+        return None
+    ns = int(n_splits[0])
+    return {
+        "symbols": symbols[:int(n_sym[0])].tolist(),
+        "processed": processed[:int(n_sym[0])].tolist(),
+        "interior_cfg": [bool(x) for x in interior[:int(n_comp[0])]],
+        "init_face_corners": init_corners[:int(n_init[0])].tolist(),
+        "splits": [(int(splits[3 * i]), int(splits[3 * i + 1]),
+                    int(splits[3 * i + 2])) for i in range(ns)],
+        "num_split_symbols": int(n_split_symbols[0]),
+        "vertex_hole_id": hole_id,
+    }

@@ -17,6 +17,12 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
     """Returns the corner-visit sequence (one corner per newly visited
     vertex), seeded with the edgebreaker's component corners
     (sequence.rs:48-152). ``init_stack`` is consumed (popped from the end)."""
+    if hasattr(view, "as_arrays"):
+        from ..native import topo
+        arrays = view.as_arrays()
+        out = topo.sequence(arrays[0], arrays[1], arrays[2], init_stack)
+        if out is not None:
+            return out.tolist()
     visited_vertices = [False] * view.num_vertices
     visited_faces = [False] * view.num_faces()
     out: list[int] = []
