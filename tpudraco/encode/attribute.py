@@ -42,7 +42,8 @@ def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
 
 
 def encode_attributes(attributes: list[Attribute], writer,
-                      conn_out: ConnectivityOutput, recorder=None) -> None:
+                      conn_out: ConnectivityOutput, recorder=None,
+                      sequences: dict | None = None) -> None:
     from ..eval import NULL
     rec = recorder if recorder is not None else NULL
     rec.write_pair("attributes count", len(attributes))
@@ -69,7 +70,9 @@ def encode_attributes(attributes: list[Attribute], writer,
     for i, att in enumerate(attributes):
         parents = [port_atts[pid] for pid in att.parents]
         rec.scope_begin(f"attribute {i} ({att.att_type.name})", writer)
-        port_att = _encode_one(att, i, parents, conn_out, writer, rec)
+        seq = sequences.get(i) if sequences else None
+        port_att = _encode_one(att, i, parents, conn_out, writer, rec,
+                               sequence=seq)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -77,7 +80,8 @@ def encode_attributes(attributes: list[Attribute], writer,
 
 
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
-                conn_out: ConnectivityOutput, writer, rec=None) -> Attribute:
+                conn_out: ConnectivityOutput, writer, rec=None,
+                sequence=None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -93,7 +97,8 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
         att_table = aict.attribute_tables[att_data_id - 1]
     view = TableView(aict.corner_table, att_table)
 
-    sequence = compute_sequence(view, list(conn_out.corners_of_edgebreaker))
+    if sequence is None:
+        sequence = compute_sequence(view, list(conn_out.corners_of_edgebreaker))
 
     # portabilize (writes quantization metadata into a side buffer)
     port_type, bits = default_portabilization_for(att.att_type)

@@ -1,0 +1,178 @@
+"""Data-parallel batch encoding over a mesh corpus.
+
+The distribution plane of SURVEY.md §2.9: independent meshes shard across
+chips; per-group topology (corner table + edgebreaker + traversal) is
+computed once and broadcast; the fused device step (quantize -> predict ->
+residual -> zigzag) runs batched on the accelerator; encoded blobs are
+gathered back in input order (the "bitstream order" contract).
+
+Guarantee: batch output bytes are identical to per-mesh sequential
+encode() — determinism is the distributed test oracle (SURVEY.md §4d).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+
+from ..encode import Config, encode
+from ..models import AttributeType, Mesh, TableView
+from ..wire.byte_io import ByteWriter
+
+
+class PreparedTopology:
+    """Reusable connectivity state for meshes sharing one topology: the
+    connectivity byte blob, the corner tables, and per-attribute traversal
+    sequences."""
+
+    def __init__(self, mesh: Mesh) -> None:
+        from ..encode.connectivity import EdgebreakerEncoder
+        from ..shared.sequencer import compute_sequence
+
+        self.signature = topology_signature(mesh)
+        w = ByteWriter()
+        eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
+        self.conn_out = eb.encode(w)
+        self.conn_bytes = w.getvalue()
+        self.sequences: dict[int, list[int]] = {}
+        aict = self.conn_out.corner_table
+        for i in range(len(mesh.attributes)):
+            att_table = None
+            if 0 < i <= len(aict.attribute_tables):
+                att_table = aict.attribute_tables[i - 1]
+            view = TableView(aict.corner_table, att_table)
+            self.sequences[i] = compute_sequence(
+                view, list(self.conn_out.corners_of_edgebreaker))
+
+
+def topology_signature(mesh: Mesh) -> str:
+    """Meshes share a PreparedTopology iff faces and all per-attribute
+    value-dedup maps coincide."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(mesh.faces).tobytes())
+    for a in mesh.attributes:
+        h.update(bytes([a.att_type, a.domain, a.num_components]))
+        h.update(np.ascontiguousarray(a.unique_indices()).tobytes())
+    return h.hexdigest()
+
+
+def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
+                         cfg: Config | None = None) -> bytes:
+    """encode() with the connectivity stage replayed from the cache."""
+    from ..encode import encode_header, encode_metadata
+    from ..encode.attribute import encode_attributes
+
+    cfg = cfg or Config()
+    writer = ByteWriter()
+    encode_header(writer, cfg)
+    if cfg.metadata:
+        encode_metadata(mesh, writer)
+    writer.write_bytes(topo.conn_bytes)
+    encode_attributes(mesh.attributes, writer, topo.conn_out,
+                      sequences=topo.sequences)
+    return writer.getvalue()
+
+
+class BatchEncoder:
+    """Encodes a corpus with topology-group batching and (optionally) the
+    device compute step sharded over a JAX device mesh."""
+
+    def __init__(self, use_device: bool = False, devices=None) -> None:
+        self.use_device = use_device
+        self.devices = devices
+        self._topo_cache: dict[str, PreparedTopology] = {}
+
+    def encode_mesh(self, mesh: Mesh) -> bytes:
+        sig = topology_signature(mesh)
+        topo = self._topo_cache.get(sig)
+        if topo is None:
+            topo = PreparedTopology(mesh)
+            self._topo_cache[sig] = topo
+        return encode_with_topology(mesh, topo)
+
+    def encode_meshes(self, meshes: list[Mesh]) -> list[bytes | None]:
+        """Per-mesh error isolation: a failing mesh yields None and does not
+        abort the batch (SURVEY.md §5.3)."""
+        out: list[bytes | None] = []
+        for m in meshes:
+            try:
+                out.append(self.encode_mesh(m))
+            except Exception:
+                out.append(None)
+        return out
+
+    def encode_corpus(self, inputs: list[str], out_dir: str,
+                      resume: bool = True) -> dict:
+        """File-level corpus driver with resume (skip existing outputs) and
+        per-mesh error isolation. Returns a report dict."""
+        from ..io import load_gltf, load_obj
+
+        os.makedirs(out_dir, exist_ok=True)
+        report = {"encoded": 0, "skipped": 0, "failed": [],
+                  "total_in_bytes": 0, "total_out_bytes": 0}
+        t0 = time.perf_counter()
+        for path in inputs:
+            name = os.path.splitext(os.path.basename(path))[0] + ".drc"
+            out_path = os.path.join(out_dir, name)
+            if resume and os.path.isfile(out_path):
+                report["skipped"] += 1
+                continue
+            try:
+                ext = os.path.splitext(path)[1].lower()
+                mesh = load_obj(path) if ext == ".obj" else load_gltf(path)
+                blob = self.encode_mesh(mesh)
+                tmp = out_path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, out_path)
+                report["encoded"] += 1
+                report["total_in_bytes"] += os.path.getsize(path)
+                report["total_out_bytes"] += len(blob)
+            except Exception as e:  # error isolation
+                report["failed"].append({"path": path, "error": repr(e)})
+        report["seconds"] = round(time.perf_counter() - t0, 3)
+        with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        return report
+
+
+def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
+                        pos_att, bits: int = 11, mesh_axis=None):
+    """Device compute for a batch of meshes sharing one topology: runs the
+    fused quantize/predict/residual step (optionally shard_map'ed over a
+    'data' mesh axis) and returns per-mesh residual symbol arrays.
+
+    The result feeds the host entropy coder; symbols match the host pipeline
+    bit-for-bit (tests/test_device_ops.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..native import topo as ntopo
+    from ..ops import encode_step
+    from ..ops.gathers import build_parallelogram_gathers
+
+    view = TableView(topo.conn_out.corner_table.corner_table)
+    seq = topo.sequences[0]
+    unique_of_point = pos_att.unique_indices()
+    arrays = view.as_arrays()
+    voc = unique_of_point[view.u.faces_points.ravel()]
+    g = ntopo.parallelogram_gathers(arrays[0], arrays[1], arrays[2], voc,
+                                    np.asarray(seq))
+    if g is None:
+        g = build_parallelogram_gathers(view, seq, unique_of_point)
+    gathers = {k: jnp.asarray(v) for k, v in g.items()}
+
+    def step(pos):
+        return encode_step(pos, gathers, bits=bits)["symbols"]
+
+    if mesh_axis is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        step = shard_map(step, mesh=mesh_axis,
+                         in_specs=P("data", None, None),
+                         out_specs=P("data", None, None))
+    return np.asarray(jax.jit(step)(jnp.asarray(positions_batch)))
