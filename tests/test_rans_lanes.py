@@ -1,0 +1,73 @@
+"""Device multi-lane rANS must be bit-exact with the host coder."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tpudraco.entropy.rans import RansDecoder, RansEncoder, normalize_freq_counts
+from tpudraco.ops.rans_lanes import encode_streams_device, rans_decode_lanes
+from tpudraco.wire import ByteReader
+
+
+def _host_encode(stream, dist):
+    enc = RansEncoder(dist, precision=12)
+    enc.write_all(stream)
+    return enc.flush()
+
+
+def test_lanes_match_host_bytes():
+    rng = np.random.RandomState(0)
+    raw_counts = rng.randint(1, 50, size=37)
+    dist = normalize_freq_counts(raw_counts, 12)
+    streams = [rng.randint(0, 37, size=rng.randint(5, 400)).astype(np.int32)
+               for _ in range(16)]
+    device_blobs = encode_streams_device(streams, raw_counts)
+    for s, blob in zip(streams, device_blobs):
+        assert blob == _host_encode(s, dist)
+
+
+def test_lanes_decode_roundtrip():
+    rng = np.random.RandomState(1)
+    raw_counts = rng.randint(1, 30, size=20)
+    dist = normalize_freq_counts(raw_counts, 12)
+    cums = np.concatenate(([0], np.cumsum(dist)[:-1]))
+    slots = np.repeat(np.arange(len(dist)), dist)
+    streams = [rng.randint(0, 20, size=120).astype(np.int32)
+               for _ in range(8)]
+    blobs = encode_streams_device(streams, raw_counts)
+
+    cap = max(len(b) for b in blobs)
+    bufs = np.zeros((8, cap), dtype=np.uint8)
+    nbytes = np.zeros(8, dtype=np.int32)
+    for i, b in enumerate(blobs):
+        bufs[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        nbytes[i] = len(b)
+    counts = np.full(8, 120, dtype=np.int32)
+    out = np.asarray(rans_decode_lanes(
+        jnp.asarray(bufs), jnp.asarray(nbytes),
+        jnp.asarray(dist, dtype=jnp.uint32),
+        jnp.asarray(cums, dtype=jnp.uint32),
+        jnp.asarray(slots, dtype=jnp.int32), counts))
+    # rANS decodes in reverse encode order
+    for i, s in enumerate(streams):
+        assert np.array_equal(out[i][:120], s[::-1])
+
+    # cross-check one lane against the host decoder
+    r = ByteReader(blobs[0])
+    dec = RansDecoder(r, len(blobs[0]), dist, precision=12)
+    assert np.array_equal(dec.read_all(120), streams[0][::-1])
+
+
+def test_lanes_varying_lengths_and_skew():
+    rng = np.random.RandomState(2)
+    counts = np.zeros(9, dtype=np.int64)
+    counts[0] = 1000  # heavily skewed: long renormalization runs
+    counts[8] = 1
+    streams = [np.zeros(rng.randint(1, 200), dtype=np.int32) for _ in range(5)]
+    streams[2][:] = 8  # rare symbol everywhere -> max renorm pressure
+    dist = normalize_freq_counts(counts, 12)
+    blobs = encode_streams_device(streams, counts)
+    for s, blob in zip(streams, blobs):
+        assert blob == _host_encode(s, dist)
