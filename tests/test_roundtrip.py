@@ -59,8 +59,8 @@ BITS = {AttributeType.POSITION: 11, AttributeType.NORMAL: 8,
         AttributeType.TEX_COORD: 10}
 
 
-def assert_roundtrip(mesh: Mesh):
-    blob = encode(mesh)
+def assert_roundtrip(mesh: Mesh, cfg: Config | None = None):
+    blob = encode(mesh, cfg=cfg)
     dec = decode(blob)
     assert dec.num_faces == mesh.num_faces
     for ty in (AttributeType.POSITION, AttributeType.NORMAL,
@@ -91,6 +91,20 @@ def test_roundtrip_fixture(name):
     blob, _ = assert_roundtrip(mesh)
     assert blob[:5] == b"DRACO"
     assert blob[5:7] == bytes([2, 2])
+
+
+@needs_ref
+@pytest.mark.parametrize("name", ["tetrahedron.obj", "sphere.obj",
+                                  "torus.obj", "punctured_sphere.obj"])
+def test_roundtrip_fixture_valence(name):
+    from tpudraco.io import load_obj
+    from tpudraco.shared.clers import EB_VALENCE
+    mesh = load_obj(os.path.join(REF_DATA, name))
+    blob, _ = assert_roundtrip(mesh, cfg=Config(traversal=EB_VALENCE))
+    if name == "torus.obj":
+        # regular connectivity: context-coded symbols beat CrLight bits
+        std = encode(mesh)
+        assert len(blob) < len(std)
 
 
 def _build(faces, pos, normals=None, tex=None):

@@ -1,93 +1,33 @@
 """Edgebreaker connectivity decoding (Spirale Reversi over the reversed
 CLERS stream) + attribute seam decoding.
 
-The decoder rebuilds a corner table face by face while reading symbols in
-reverse emission order. Algorithm structure follows Google Draco's
-mesh_edgebreaker_decoder_impl (studied via the annotated transliteration in
-draco-oxide/src/decode/connectivity/spirale_reversi.rs:200-660).
+The reconstruction core lives in tpudraco.shared.spirale (shared with the
+valence-traversal encoder). This module parses the wire layout
+(edgebreaker.rs:458-530 for Standard; the Valence layout replaces the
+CrLight symbol buffer with per-context direct-coded rANS streams) and runs
+the core.
 """
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 from ..entropy.rans import RabsDecoder
+from ..entropy.symbol_coding import decode_symbols
 from ..models.corner_table import NONE, next_corner, prev_corner
-from ..shared.clers import C, E, EB_STANDARD, L, ORIENTATION_RIGHT, R, S, crlight_decode
+from ..shared.clers import EB_STANDARD, EB_VALENCE, ORIENTATION_RIGHT, crlight_decode
+from ..shared.spirale import (
+    NUM_VALENCE_CONTEXTS, DecodedCornerTable, DecodeError,
+    spirale_reversi_core, valence_context,
+)
 from ..wire.bit_io import BitReader
 from ..wire.byte_io import ByteReader
 from ..wire.varint import leb128_read
 
-
-class DecodeError(Exception):
-    pass
-
-
-class DecodedCornerTable:
-    """Growable corner table built during Spirale Reversi. Provides the same
-    navigation interface as models.corner_table.CornerTable, with
-    ``point(c) == c`` (decoder points are corners until final assembly)."""
-
-    def __init__(self, num_faces: int) -> None:
-        self.opposite = np.full(3 * num_faces, NONE, dtype=np.int64)
-        self.corner_to_vertex = np.full(3 * num_faces, NONE, dtype=np.int64)
-        self.left_most: list[int] = []
-        self.num_corners = 3 * num_faces
-        self.num_vertices = 0
-
-    def add_vertex(self) -> int:
-        self.left_most.append(NONE)
-        self.num_vertices += 1
-        return self.num_vertices - 1
-
-    def num_faces(self) -> int:
-        return self.num_corners // 3
-
-    def vertex(self, c: int) -> int:
-        return int(self.corner_to_vertex[c])
-
-    def point(self, c: int) -> int:
-        return c
-
-    def opp(self, c: int) -> int:
-        return int(self.opposite[c])
-
-    def set_opposite(self, a: int, b: int) -> None:
-        self.opposite[a] = b
-        self.opposite[b] = a
-
-    def swing_right(self, c: int) -> int:
-        o = self.opposite[prev_corner(c)]
-        return prev_corner(o) if o != NONE else NONE
-
-    def swing_left(self, c: int) -> int:
-        o = self.opposite[next_corner(c)]
-        return next_corner(o) if o != NONE else NONE
-
-    def get_right_corner(self, c: int) -> int:
-        return int(self.opposite[next_corner(c)])
-
-    def get_left_corner(self, c: int) -> int:
-        return int(self.opposite[prev_corner(c)])
-
-    def left_most_corner(self, v: int) -> int:
-        return self.left_most[v]
-
-    def is_on_boundary(self, v: int) -> bool:
-        return self.swing_left(self.left_most[v]) == NONE
-
-    def vertex_corners(self, v: int):
-        """All corners on vertex v, starting at the left-most corner and
-        swinging right."""
-        start = self.left_most[v]
-        out = []
-        c = start
-        while c != NONE:
-            out.append(c)
-            c = self.swing_right(c)
-            if c == start:
-                break
-        return out
+__all__ = ["DecodeError", "DecodedCornerTable", "ConnectivityDecodeResult",
+           "decode_connectivity"]
 
 
 class ConnectivityDecodeResult:
@@ -101,7 +41,7 @@ class ConnectivityDecodeResult:
 
 def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
     traversal_kind = reader.read_u8()
-    if traversal_kind != EB_STANDARD:
+    if traversal_kind not in (EB_STANDARD, EB_VALENCE):
         raise DecodeError(f"unsupported edgebreaker kind {traversal_kind}")
     num_vertices = leb128_read(reader)
     num_faces = leb128_read(reader)
@@ -123,136 +63,43 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
         for s in splits:
             s[2] = br.read_bits(1)  # 0 = left, 1 = right
 
-    # traversal buffers (symbol bits, start-face flags)
-    sym_size = leb128_read(reader)
-    sym_bytes = reader.read_bytes(sym_size)
-    start_face_prob_zero = reader.read_u8()
-    sf_size = leb128_read(reader)
-    sf_bytes = reader.read_bytes(sf_size)
+    if traversal_kind == EB_STANDARD:
+        # traversal buffers: CrLight symbols, start-face flags, seams
+        sym_size = leb128_read(reader)
+        sym_bytes = reader.read_bytes(sym_size)
+        start_face_prob_zero = reader.read_u8()
+        sf_size = leb128_read(reader)
+        sf_bytes = reader.read_bytes(sf_size)
+        seam_streams = _read_seam_streams(reader, num_att_data)
 
-    # per-attribute seam streams
-    seam_streams = []
-    for _ in range(num_att_data):
-        prob_zero = reader.read_u8()
-        size = leb128_read(reader)
-        blob = reader.read_bytes(size)
-        seam_streams.append((prob_zero, blob))
+        sym_reader = BitReader(ByteReader(sym_bytes), msb_first=False)
+
+        def get_symbol(ct, active_stack, symbol_id):
+            return crlight_decode(sym_reader)
+    else:
+        # Valence layout: start-face flags, seams, then per-context
+        # direct-coded symbol streams (decode order)
+        start_face_prob_zero = reader.read_u8()
+        sf_size = leb128_read(reader)
+        sf_bytes = reader.read_bytes(sf_size)
+        seam_streams = _read_seam_streams(reader, num_att_data)
+        queues: list[deque] = []
+        for _ in range(NUM_VALENCE_CONTEXTS):
+            n = leb128_read(reader)
+            if n:
+                queues.append(deque(decode_symbols(n, 1, reader).tolist()))
+            else:
+                queues.append(deque())
+
+        def get_symbol(ct, active_stack, symbol_id):
+            ctx = valence_context(ct, active_stack)
+            if not queues[ctx]:
+                raise DecodeError(f"valence context {ctx} exhausted")
+            return int(queues[ctx].popleft())
 
     ct = DecodedCornerTable(num_faces)
-    sym_reader = BitReader(ByteReader(sym_bytes), msb_first=False)
-
-    active_stack: list[int] = []
-    split_active_corners: dict[int, int] = {}
-    invalid_vertices: list[int] = []
-    max_num_vertices = num_vertices + num_split_symbols
-
-    num_decoded_faces = 0
-    for symbol_id in range(num_symbols):
-        face = num_decoded_faces
-        num_decoded_faces += 1
-        corner = 3 * face
-        symbol = crlight_decode(sym_reader)
-        check_split = False
-        if symbol == C:
-            if not active_stack:
-                raise DecodeError("C with empty active stack")
-            corner_a = active_stack[-1]
-            vertex_x = ct.vertex(next_corner(corner_a))
-            corner_b = next_corner(ct.left_most_corner(vertex_x))
-            if corner_a == corner_b:
-                raise DecodeError("C matched corners equal")
-            ct.set_opposite(corner_a, corner + 1)
-            ct.set_opposite(corner_b, corner + 2)
-            vert_a_prev = ct.vertex(prev_corner(corner_a))
-            vert_b_next = ct.vertex(next_corner(corner_b))
-            if vertex_x in (vert_a_prev, vert_b_next):
-                raise DecodeError("degenerate C face")
-            ct.corner_to_vertex[corner] = vertex_x
-            ct.corner_to_vertex[corner + 1] = vert_b_next
-            ct.corner_to_vertex[corner + 2] = vert_a_prev
-            ct.left_most[vert_a_prev] = corner + 2
-            active_stack[-1] = corner
-        elif symbol in (R, L):
-            if not active_stack:
-                raise DecodeError("R/L with empty active stack")
-            corner_a = active_stack[-1]
-            if symbol == R:
-                opp_corner, corner_l, corner_r = corner + 2, corner + 1, corner
-            else:
-                opp_corner, corner_l, corner_r = corner + 1, corner, corner + 2
-            ct.set_opposite(opp_corner, corner_a)
-            new_vert = ct.add_vertex()
-            if ct.num_vertices > max_num_vertices:
-                raise DecodeError("too many decoded vertices")
-            ct.corner_to_vertex[opp_corner] = new_vert
-            ct.left_most[new_vert] = opp_corner
-            vertex_r = ct.vertex(prev_corner(corner_a))
-            ct.corner_to_vertex[corner_r] = vertex_r
-            ct.left_most[vertex_r] = corner_r
-            ct.corner_to_vertex[corner_l] = ct.vertex(next_corner(corner_a))
-            active_stack[-1] = corner
-            check_split = True
-        elif symbol == S:
-            if not active_stack:
-                raise DecodeError("S with empty active stack")
-            corner_b = active_stack.pop()
-            stored = split_active_corners.pop(symbol_id, None)
-            if stored is not None:
-                active_stack.append(stored)
-            if not active_stack:
-                raise DecodeError("S with no second active corner")
-            corner_a = active_stack[-1]
-            if corner_a == corner_b:
-                raise DecodeError("S matched corners equal")
-            ct.set_opposite(corner_a, corner + 2)
-            ct.set_opposite(corner_b, corner + 1)
-            vertex_p = ct.vertex(prev_corner(corner_a))
-            ct.corner_to_vertex[corner] = vertex_p
-            ct.corner_to_vertex[corner + 1] = ct.vertex(next_corner(corner_a))
-            vert_b_prev = ct.vertex(prev_corner(corner_b))
-            ct.corner_to_vertex[corner + 2] = vert_b_prev
-            ct.left_most[vert_b_prev] = corner + 2
-            corner_n = next_corner(corner_b)
-            vertex_n = ct.vertex(corner_n)
-            ct.left_most[vertex_p] = ct.left_most_corner(vertex_n)
-            # remap all corners on vertex_n (CCW swing-left walk)
-            first_c = corner_n
-            while corner_n != NONE:
-                ct.corner_to_vertex[corner_n] = vertex_p
-                corner_n = ct.swing_left(corner_n)
-                if corner_n == first_c:
-                    raise DecodeError("S vertex walk looped")
-            ct.left_most[vertex_n] = NONE  # isolated
-            invalid_vertices.append(vertex_n)
-            active_stack[-1] = corner
-        elif symbol == E:
-            v0 = ct.add_vertex()
-            v1 = ct.add_vertex()
-            v2 = ct.add_vertex()
-            if ct.num_vertices > max_num_vertices:
-                raise DecodeError("too many decoded vertices")
-            ct.corner_to_vertex[corner] = v0
-            ct.corner_to_vertex[corner + 1] = v1
-            ct.corner_to_vertex[corner + 2] = v2
-            ct.left_most[v0] = corner
-            ct.left_most[v1] = corner + 1
-            ct.left_most[v2] = corner + 2
-            active_stack.append(corner)
-            check_split = True
-        else:
-            raise DecodeError(f"invalid symbol {symbol}")
-
-        if check_split:
-            encoder_symbol_id = num_symbols - symbol_id - 1
-            while splits and splits[-1][0] == encoder_symbol_id:
-                _, enc_split_id, orientation = splits.pop()
-                act_top = active_stack[-1]
-                if orientation == ORIENTATION_RIGHT:
-                    new_active = next_corner(act_top)
-                else:
-                    new_active = prev_corner(act_top)
-                dec_split_id = num_symbols - enc_split_id - 1
-                split_active_corners[dec_split_id] = new_active
+    active_stack, invalid_vertices, num_decoded_faces = spirale_reversi_core(
+        ct, num_symbols, num_split_symbols, num_vertices, splits, get_symbol)
 
     # start faces (interior flags drained in component-encode order)
     sf_rabs = RabsDecoder(ByteReader(sf_bytes), len(sf_bytes),
@@ -298,6 +145,16 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
 
     att_seams = _decode_att_seams(ct, num_symbols, seam_streams)
     return ConnectivityDecodeResult(ct, seed, att_seams, num_att_data)
+
+
+def _read_seam_streams(reader: ByteReader, num_att_data: int):
+    seam_streams = []
+    for _ in range(num_att_data):
+        prob_zero = reader.read_u8()
+        size = leb128_read(reader)
+        blob = reader.read_bytes(size)
+        seam_streams.append((prob_zero, blob))
+    return seam_streams
 
 
 def _remove_invalid_vertices(ct: DecodedCornerTable,

@@ -25,10 +25,14 @@ METADATA_FLAG_MASK = 32768
 @dataclass
 class Config:
     """Encoder configuration (encode/mod.rs:22-42). Defaults mirror
-    ConfigType::default(): edgebreaker triangular mesh, no metadata."""
+    ConfigType::default(): edgebreaker triangular mesh, Standard traversal,
+    no metadata."""
     geometry_type: int = GEOMETRY_TRIANGULAR_MESH
     encoder_method: int = METHOD_EDGEBREAKER
     metadata: bool = False
+    # EB_STANDARD (CrLight bits) or EB_VALENCE (per-context rANS streams,
+    # shared/connectivity/edgebreaker/mod.rs:20-53)
+    traversal: int = 0
     # per-attribute-type overrides land here in later rounds
     extra: dict = field(default_factory=dict)
 
@@ -67,7 +71,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         encode_metadata(mesh, writer)
         rec.scope_end(writer)
     rec.scope_begin("connectivity info", writer)
-    eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
+    eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
+                            traversal=cfg.traversal)
     conn_out = eb.encode(writer)
     rec.write_pair("num_faces", int(mesh.num_faces))
     rec.write_pair("num_vertices", int(eb.ct.num_vertices))

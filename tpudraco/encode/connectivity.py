@@ -12,14 +12,19 @@ from __future__ import annotations
 import numpy as np
 
 from ..entropy.rans import RabsEncoder
+from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
 from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import (
     NONE, AllInclusiveCornerTable, AttributeCornerTable, CornerTable,
     next_corner, prev_corner,
 )
 from ..shared.clers import (
-    C, CRLIGHT_CODES, E, EB_STANDARD, L, ORIENTATION_LEFT, ORIENTATION_RIGHT,
-    R, S,
+    C, CRLIGHT_CODES, E, EB_STANDARD, EB_VALENCE, L, ORIENTATION_LEFT,
+    ORIENTATION_RIGHT, R, S,
+)
+from ..shared.spirale import (
+    NUM_VALENCE_CONTEXTS, DecodedCornerTable, spirale_reversi_core,
+    valence_context,
 )
 from ..wire.bit_io import BitWriter
 from ..wire.varint import leb128_write
@@ -41,9 +46,14 @@ class ConnectivityOutput:
 
 
 class EdgebreakerEncoder:
-    """Standard-traversal edgebreaker over the corner table."""
+    """Edgebreaker over the corner table: Standard (CrLight) or Valence
+    (per-context rANS symbol streams) traversal encoding."""
 
-    def __init__(self, faces: np.ndarray, attributes: list[Attribute]) -> None:
+    def __init__(self, faces: np.ndarray, attributes: list[Attribute],
+                 traversal: int = EB_STANDARD) -> None:
+        if traversal not in (EB_STANDARD, EB_VALENCE):
+            raise EdgebreakerError(f"unsupported traversal kind {traversal}")
+        self.traversal_kind = traversal
         pos = next(a for a in attributes
                    if a.att_type == AttributeType.POSITION)
         self.ct = CornerTable(faces, pos)
@@ -200,7 +210,7 @@ class EdgebreakerEncoder:
     def encode(self, writer) -> ConnectivityOutput:
         """Full edgebreaker stream (edgebreaker.rs:458-530)."""
         ct = self.ct
-        writer.write_u8(EB_STANDARD)  # traversal decoder type
+        writer.write_u8(self.traversal_kind)  # traversal decoder type
         leb128_write(ct.num_vertices, writer)
         leb128_write(ct.num_faces(), writer)
         writer.write_u8(len(self.att_data))
@@ -241,7 +251,10 @@ class EdgebreakerEncoder:
         leb128_write(len(self.symbols), writer)
         leb128_write(self.num_split_symbols, writer)
         self._encode_topology_splits(writer)
-        self._encode_traversal(writer)
+        if self.traversal_kind == EB_VALENCE:
+            self._encode_valence_traversal(writer)
+        else:
+            self._encode_traversal(writer)
 
         corners = list(reversed(self.init_face_corners)) + self.processed_corners
         att_views = [None] + list(self.att_data)  # idx 0 = universal
@@ -274,7 +287,45 @@ class EdgebreakerEncoder:
         bw.close()
         leb128_write(len(sym_buf_w.buf), writer)
         writer.write_bytes(sym_buf_w.buf)
+        self._encode_start_faces(writer)
+        self._encode_seams(writer)
 
+    def _encode_valence_traversal(self, writer) -> None:
+        """Valence traversal body: RAbS start-face flags + seam flags (same
+        as Standard), then per-context direct-coded rANS symbol streams.
+
+        Contexts are assigned by *simulating the decoder*: the shared
+        Spirale Reversi core replays the symbols in decode order and buckets
+        each by the clamped valence of the attach vertex (shared/spirale.py
+        valence_context). Because the decoder runs the identical core, the
+        context sequence always matches — by construction, not by protocol
+        convention. Mirrors the intent of the reference's ValenceTraversal
+        (edgebreaker.rs:659-804), whose own valence path is bit-rotted."""
+        self._encode_start_faces(writer)
+        self._encode_seams(writer)
+
+        rev_symbols = list(reversed(self.symbols))
+        queues: list[list[int]] = [[] for _ in range(NUM_VALENCE_CONTEXTS)]
+
+        def get_symbol(ct, active_stack, symbol_id):
+            ctx = valence_context(ct, active_stack)
+            sym = rev_symbols[symbol_id]
+            queues[ctx].append(sym)
+            return sym
+
+        sim_ct = DecodedCornerTable(self.ct.num_faces())
+        splits_copy = [list(t) for t in self.topology_splits]
+        spirale_reversi_core(sim_ct, len(self.symbols),
+                             self.num_split_symbols, self.ct.num_vertices,
+                             splits_copy, get_symbol)
+
+        for q in queues:
+            leb128_write(len(q), writer)
+            if q:
+                encode_symbols(np.asarray(q, dtype=np.uint64), 1,
+                               DIRECT_CODED, writer)
+
+    def _encode_start_faces(self, writer) -> None:
         # start-face interior flags
         n0 = sum(1 for cfg in self.interior_cfg if not cfg)
         zp = int(np.float32(n0) / np.float32(len(self.interior_cfg))
@@ -288,6 +339,7 @@ class EdgebreakerEncoder:
         leb128_write(len(blob), writer)
         writer.write_bytes(blob)
 
+    def _encode_seams(self, writer) -> None:
         # attribute seam flags: replay corners in reverse, for each
         # non-boundary edge of each newly visited face record whether the
         # attribute-table opposite is a seam (edgebreaker.rs:610-653)

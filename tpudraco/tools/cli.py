@@ -27,6 +27,10 @@ def main(argv=None) -> int:
                    help="glTF -> draco-compressed glTF")
     p.add_argument("--eval", dest="eval_json", default=None,
                    help="write per-stage metrics JSON to this path")
+    p.add_argument("--traversal", choices=("standard", "valence"),
+                   default="standard",
+                   help="edgebreaker symbol coding (valence wins on large "
+                        "regular meshes)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -49,8 +53,12 @@ def main(argv=None) -> int:
         else:
             print(f"unsupported input format {in_ext}", file=sys.stderr)
             return 2
+        from ..encode import Config
+        from ..shared.clers import EB_STANDARD, EB_VALENCE
+        cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
+                     else EB_STANDARD)
         rec = EvalRecorder() if args.eval_json else None
-        blob = encode(mesh, recorder=rec)
+        blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
             f.write(blob)
         if rec:
