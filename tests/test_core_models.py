@@ -193,3 +193,50 @@ def test_diff_l2_norm_zero_for_identical():
     att = _pos_att([[0, 0, 0], [1, 0, 0], [0, 1, 0]])
     m = Mesh(faces=faces, attributes=[att])
     assert m.diff_l2_norm(m) < 1e-12
+
+
+def test_weak_eq_by_laplacian():
+    """Spectrum equality oracle (shared/connectivity/eq.rs:122-193):
+    invariant under vertex permutation; distinguishes genus."""
+    import numpy as np
+
+    from tpudraco.shared.connectivity_eq import weak_eq_by_laplacian
+
+    def torus_faces(n=6, m=6):
+        faces = []
+        for i in range(n):
+            for j in range(m):
+                a = i * m + j
+                b = i * m + (j + 1) % m
+                c = ((i + 1) % n) * m + j
+                d = ((i + 1) % n) * m + (j + 1) % m
+                faces.append([a, b, c])
+                faces.append([b, d, c])
+        return np.asarray(faces)
+
+    t = torus_faces()
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(t.max() + 1)
+    t_perm = perm[t]
+    assert weak_eq_by_laplacian(t, t_perm)
+    assert weak_eq_by_laplacian(t, np.roll(t_perm, 7, axis=0))
+
+    # octahedron (sphere, genus 0) differs from any same-size torus patch
+    octa = np.asarray([[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 1],
+                       [5, 2, 1], [5, 3, 2], [5, 4, 3], [5, 1, 4]])
+    small_t = torus_faces(2, 2)
+    assert len(octa) == len(small_t)
+    assert not weak_eq_by_laplacian(octa, small_t)
+
+    # decoder output is weakly equal to the encoder input
+    from tpudraco.decode import decode
+    from tpudraco.encode import encode
+    from tpudraco.models import AttributeDomain, AttributeType, MeshBuilder
+
+    pos = rng.rand(t.max() + 1, 3).astype(np.float32)
+    b = MeshBuilder()
+    b.set_connectivity_attribute(t)
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = b.build()
+    dec = decode(encode(mesh))
+    assert weak_eq_by_laplacian(mesh.faces, dec.faces)

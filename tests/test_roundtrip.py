@@ -128,6 +128,26 @@ def test_roundtrip_single_triangle():
     assert_roundtrip(mesh)
 
 
+def test_roundtrip_metadata():
+    from tpudraco.models import GeometryMetadata
+
+    mesh = _build([[0, 1, 2]], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    md = GeometryMetadata()
+    md.set_global("generator", "tpudraco")
+    md.add_attribute_entry(0, "name", "POSITION", sub={"unit": "m"})
+    mesh.metadata = md
+    blob, dec = assert_roundtrip(mesh)
+    assert dec.metadata is not None
+    assert dec.metadata.global_entry.key == b"generator"
+    assert dec.metadata.global_entry.value == b"tpudraco"
+    assert dec.metadata.attribute_entries[0].sub == {b"unit": b"m"}
+    # explicit empty-metadata flag also roundtrips
+    mesh.metadata = None
+    blob2 = encode(mesh, cfg=Config(metadata=True))
+    dec2 = decode(blob2)
+    assert dec2.metadata is not None and dec2.metadata.is_empty()
+
+
 def test_roundtrip_quad():
     mesh = _build([[0, 1, 2], [2, 1, 3]],
                   [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
@@ -289,3 +309,29 @@ def test_wrapped_difference_roundtrip_fuzz():
         inv = _make_inverse_transform(1, {"min": vmin, "max": vmax})
         got = np.stack([inv(corr[k], preds[k]) for k in range(len(origs))])
         assert np.array_equal(got, origs)
+
+
+def test_roundtrip_point_cloud():
+    """Geometry type 0 (a dead stub in the reference): quantized float
+    positions + integer custom attribute, no connectivity."""
+    from tpudraco.decode import decode as _decode
+    from tpudraco.encode import encode as _encode
+
+    rng = np.random.RandomState(3)
+    pos = (rng.rand(500, 3) * 10 - 5).astype(np.float32)
+    ids = rng.randint(-1000, 1000, size=(500, 1)).astype(np.int32)
+    mesh = Mesh(faces=np.zeros((0, 3), dtype=np.int64), attributes=[
+        Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION,
+                  att_id=0, dedup=False),
+        Attribute(ids, AttributeType.CUSTOM, AttributeDomain.POSITION,
+                  att_id=1, dedup=False),
+    ])
+    blob = _encode(mesh)
+    assert blob[7] == 0  # geometry type point cloud
+    dec = _decode(blob)
+    assert dec.num_faces == 0
+    got_pos = dec.attributes_of_type(AttributeType.POSITION)[0].values
+    # 11-bit quantization over a ~10 unit range -> <= ~0.005 error
+    assert np.max(np.abs(got_pos - pos)) < 10.0 / ((1 << 11) - 1)
+    got_ids = dec.attributes_of_type(AttributeType.CUSTOM)[0].values
+    assert np.array_equal(got_ids, ids)

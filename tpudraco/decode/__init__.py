@@ -12,6 +12,7 @@ import numpy as np
 
 from ..models.attribute import Attribute
 from ..models.mesh import Mesh
+from ..models.metadata import GeometryMetadata
 from ..wire.byte_io import ByteReader
 from .attribute import decode_attributes
 from .connectivity import DecodeError, decode_connectivity
@@ -32,23 +33,29 @@ def decode_header(reader: ByteReader) -> dict:
             "method": method, "flags": flags}
 
 
-def decode_metadata(reader: ByteReader) -> None:
-    # encoder writes a stub u32 0 (encode/metadata/mod.rs:9-20)
-    n = reader.read_u32()
-    if n != 0:
-        raise DecodeError("non-empty metadata not supported yet")
+def decode_metadata(reader: ByteReader) -> GeometryMetadata:
+    """Full metadata section parse (decode/metadata/mod.rs:24-104)."""
+    return GeometryMetadata.read_from(reader)
 
 
 def decode(data: bytes) -> Mesh:
     reader = ByteReader(data)
     header = decode_header(reader)
+    metadata = None
     if header["flags"] & METADATA_FLAG_MASK:
-        decode_metadata(reader)
+        metadata = decode_metadata(reader)
+    if header["geometry_type"] == 0:  # point cloud
+        from .point_cloud import decode_point_cloud
+        mesh = decode_point_cloud(reader)
+        mesh.metadata = metadata
+        return mesh
     if header["method"] != 1:
         raise DecodeError("only edgebreaker streams are supported")
     conn = decode_connectivity(reader)
     atts = decode_attributes(reader, conn)
-    return _assemble_mesh(conn, atts)
+    mesh = _assemble_mesh(conn, atts)
+    mesh.metadata = metadata
+    return mesh
 
 
 def _assemble_mesh(conn, atts) -> Mesh:

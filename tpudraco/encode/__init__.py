@@ -6,7 +6,7 @@ connectivity -> attributes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from ..models.mesh import Mesh
 from ..wire.byte_io import ByteWriter
@@ -39,18 +39,25 @@ class Config:
 
 def encode_header(writer: ByteWriter, cfg: Config) -> None:
     """"DRACO", version 2.2, geometry type, method, u16 flags
-    (encode/header/mod.rs:24-55)."""
+    (encode/header/mod.rs:24-55). The reference always writes edgebreaker;
+    point clouds (geometry type 0, a dead stub there) use sequential."""
     writer.write_bytes(b"DRACO")
     writer.write_u8(2)
     writer.write_u8(2)
     writer.write_u8(cfg.geometry_type)
-    writer.write_u8(METHOD_EDGEBREAKER)  # reference always writes edgebreaker
+    writer.write_u8(METHOD_SEQUENTIAL
+                    if cfg.geometry_type == GEOMETRY_POINT_CLOUD
+                    else METHOD_EDGEBREAKER)
     writer.write_u16(METADATA_FLAG_MASK if cfg.metadata else 0)
 
 
 def encode_metadata(mesh: Mesh, writer: ByteWriter) -> None:
-    """Stub matching the reference (encode/metadata/mod.rs:9-20)."""
-    writer.write_u32(0)
+    """Full metadata section (models/metadata.py wire format; the
+    reference's encoder is a stub at encode/metadata/mod.rs:9-20 that its
+    own decoder cannot parse — we always emit the decodable form)."""
+    from ..models.metadata import GeometryMetadata
+    md = mesh.metadata if mesh.metadata is not None else GeometryMetadata()
+    md.write_to(writer)
 
 
 def encode(mesh: Mesh, writer: ByteWriter | None = None,
@@ -61,6 +68,10 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     from ..eval import NULL
     rec = recorder if recorder is not None else NULL
     cfg = cfg or Config()
+    if mesh.metadata is not None and not mesh.metadata.is_empty():
+        cfg = replace(cfg, metadata=True)
+    if mesh.num_faces == 0 and mesh.attributes:
+        cfg = replace(cfg, geometry_type=GEOMETRY_POINT_CLOUD)
     writer = writer if writer is not None else ByteWriter()
     rec.scope_begin("compression info", writer)
     rec.scope_begin("header", writer)
@@ -70,6 +81,13 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         rec.scope_begin("metadata", writer)
         encode_metadata(mesh, writer)
         rec.scope_end(writer)
+    if cfg.geometry_type == GEOMETRY_POINT_CLOUD:
+        from .point_cloud import encode_point_cloud
+        rec.scope_begin("point cloud", writer)
+        encode_point_cloud(mesh, writer)
+        rec.scope_end(writer)
+        rec.scope_end(writer)
+        return writer.getvalue()
     rec.scope_begin("connectivity info", writer)
     eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
                             traversal=cfg.traversal)

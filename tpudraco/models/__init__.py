@@ -19,6 +19,7 @@ from .corner_table import (
     recompute_attribute_vertices,
 )
 from .mesh import Mesh
+from .metadata import GeometryMetadata, MetadataEntry
 
 __all__ = [
     "Attribute", "AttributeDomain", "AttributeType", "ComponentType",
@@ -28,4 +29,5 @@ __all__ = [
     "TableView", "recompute_attribute_vertices",
     "next_corner", "next_corners", "prev_corner", "prev_corners",
     "Mesh",
+    "GeometryMetadata", "MetadataEntry",
 ]

@@ -19,6 +19,7 @@ class Mesh:
         self.attributes: list[Attribute] = list(attributes or [])
         self.name = name
         self.material_library = None  # set by the glTF loader
+        self.metadata = None  # optional models.metadata.GeometryMetadata
 
     @property
     def num_faces(self) -> int:
