@@ -25,16 +25,25 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from tpudraco.ops import encode_step
+    from tpudraco.ops import (build_combined_matrix, encode_step,
+                              encode_step_pallas, predict_matmul_viable)
 
     batch, n = 64, 64  # 64 meshes x 4096 vertices
     positions, faces = g._make_mesh_batch(batch=batch, n=n, seed=1)
-    gathers = g._topology_gathers(positions[0], faces)
-    gathers = {k: jnp.asarray(v) for k, v in gathers.items()}
+    gn = g._topology_gathers(positions[0], faces)
+    gathers = {k: jnp.asarray(v) for k, v in gn.items()}
+    num_vals = positions.shape[1]
+    T = int(gn["order"].shape[0])
+    use_pallas = predict_matmul_viable(2 * T, num_vals, batch, 3)
+    M = (jnp.asarray(build_combined_matrix(gn, num_vals))
+         if use_pallas else None)
 
     @jax.jit
     def step(pos):
-        out = encode_step(pos, gathers, bits=11)
+        if use_pallas:
+            out = encode_step_pallas(pos, gathers, M, bits=11)
+        else:
+            out = encode_step(pos, gathers, bits=11)
         return out["symbols"], out["counts"]
 
     pos = jnp.asarray(positions)

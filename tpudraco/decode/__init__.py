@@ -39,8 +39,10 @@ def decode_metadata(reader: ByteReader) -> GeometryMetadata:
 
 
 def decode(data: bytes) -> Mesh:
+    from ..utils.debug import debug_expect
     reader = ByteReader(data)
     header = decode_header(reader)
+    debug_expect(reader, "header done")
     metadata = None
     if header["flags"] & METADATA_FLAG_MASK:
         metadata = decode_metadata(reader)
@@ -52,7 +54,9 @@ def decode(data: bytes) -> Mesh:
     if header["method"] != 1:
         raise DecodeError("only edgebreaker streams are supported")
     conn = decode_connectivity(reader)
+    debug_expect(reader, "connectivity done")
     atts = decode_attributes(reader, conn)
+    debug_expect(reader, "attributes done")
     mesh = _assemble_mesh(conn, atts)
     mesh.metadata = metadata
     return mesh

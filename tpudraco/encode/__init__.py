@@ -66,6 +66,7 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     also appends into ``writer`` when given). ``recorder`` is an optional
     tpudraco.eval.EvalRecorder capturing per-stage metrics."""
     from ..eval import NULL
+    from ..utils.debug import debug_write
     rec = recorder if recorder is not None else NULL
     cfg = cfg or Config()
     if mesh.metadata is not None and not mesh.metadata.is_empty():
@@ -77,6 +78,7 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     rec.scope_begin("header", writer)
     encode_header(writer, cfg)
     rec.scope_end(writer)
+    debug_write(writer, "header done")
     if cfg.metadata:
         rec.scope_begin("metadata", writer)
         encode_metadata(mesh, writer)
@@ -92,6 +94,7 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
                             traversal=cfg.traversal)
     conn_out = eb.encode(writer)
+    debug_write(writer, "connectivity done")
     rec.write_pair("num_faces", int(mesh.num_faces))
     rec.write_pair("num_vertices", int(eb.ct.num_vertices))
     rec.write_pair("num_symbols", len(eb.symbols))
@@ -101,6 +104,7 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     rec.scope_begin("attributes", writer)
     encode_attributes(mesh.attributes, writer, conn_out, recorder=rec)
     rec.scope_end(writer)
+    debug_write(writer, "attributes done")
     rec.scope_end(writer)
     return writer.getvalue()
 

@@ -184,3 +184,20 @@ class Scene:
 
     def num_meshes(self) -> int:
         return len(self.meshes)
+
+    def add_mesh(self, mesh, material_index: int | None = None,
+                 name: str = "") -> int:
+        """Append a mesh wrapped in its own group + root node; returns the
+        mesh index (convenience mirroring Scene::add_mesh usage in the
+        reference scene model, scene/mod.rs:323-395)."""
+        mesh_idx = len(self.meshes)
+        self.meshes.append(mesh)
+        group = MeshGroup(name=name or getattr(mesh, "name", ""),
+                          instances=[MeshInstance(mesh_idx, material_index)])
+        group_idx = len(self.mesh_groups)
+        self.mesh_groups.append(group)
+        node = SceneNode(name=name, mesh_group_index=group_idx)
+        node_idx = len(self.nodes)
+        self.nodes.append(node)
+        self.root_nodes.append(node_idx)
+        return mesh_idx

@@ -2,6 +2,7 @@ from .device import (
     bincount_kernel,
     dequantize_kernel,
     encode_step,
+    encode_step_pallas,
     parallelogram_predict_kernel,
     quantize_kernel,
     unzigzag_kernel,
@@ -9,10 +10,19 @@ from .device import (
     zigzag_kernel,
 )
 from .gathers import build_parallelogram_gathers
+from .pallas_kernels import (
+    build_combined_matrix,
+    build_prediction_matrix,
+    histogram_pallas,
+    predict_matmul_pallas,
+    predict_matmul_viable,
+)
 
 __all__ = [
     "bincount_kernel", "dequantize_kernel", "encode_step",
-    "parallelogram_predict_kernel", "quantize_kernel", "unzigzag_kernel",
-    "wrapped_difference_kernel", "zigzag_kernel",
-    "build_parallelogram_gathers",
+    "encode_step_pallas", "parallelogram_predict_kernel", "quantize_kernel",
+    "unzigzag_kernel", "wrapped_difference_kernel", "zigzag_kernel",
+    "build_parallelogram_gathers", "build_combined_matrix",
+    "build_prediction_matrix", "histogram_pallas", "predict_matmul_pallas",
+    "predict_matmul_viable",
 ]

@@ -107,6 +107,34 @@ def bincount_kernel(symbols: jnp.ndarray, num_bins: int) -> jnp.ndarray:
     return jax.vmap(one)(symbols.astype(jnp.int32))
 
 
+def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
+                       M: jnp.ndarray, bits: int = 11,
+                       hist_bins: int = 1 << 12):
+    """encode_step with the two TPU-hostile stages replaced by Pallas MXU
+    kernels: prediction as an int8 combo-matrix matmul (exact for
+    bits <= 14) and the symbol histogram as an int8 one-hot matmul.
+
+    M is the dense (T, V) combo matrix from
+    pallas_kernels.build_prediction_matrix, built once per topology group —
+    or the (2T, V) stacked matrix from build_combined_matrix, in which case
+    the traversal-order gather is folded into the same matmul.
+    """
+    from .pallas_kernels import histogram_pallas, predict_matmul_pallas
+    q, mins, delta_max = quantize_kernel(positions, bits)
+    T = gathers["order"].shape[0]
+    if M.shape[0] == 2 * T:
+        both = predict_matmul_pallas(M, q)
+        preds, q_trav = both[:, :T, :], both[:, T:, :]
+    else:
+        preds = predict_matmul_pallas(M, q)
+        q_trav = q[:, gathers["order"], :]
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
+    flat = corr.reshape(corr.shape[0], -1).astype(jnp.int32)
+    counts = histogram_pallas(jnp.minimum(flat, hist_bins - 1), hist_bins)
+    return {"symbols": corr, "counts": counts, "mins": mins,
+            "delta_max": delta_max, "vmin": vmin, "vmax": vmax}
+
+
 def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
                 hist_bins: int = 1 << 12):
     """The fused device encode compute for a batch of meshes sharing one
