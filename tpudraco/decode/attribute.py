@@ -30,7 +30,9 @@ from .connectivity import ConnectivityDecodeResult, DecodeError
 XFORM_NONE = 0xFF
 XFORM_DIFFERENCE = 0
 XFORM_WRAPPED_DIFFERENCE = 1
+XFORM_OCT_REFLECTION = 2
 XFORM_OCT_ORTHOGONAL = 3
+XFORM_ORTHOGONAL = 4
 
 PORT_TO_BITS = 1
 PORT_QUANTIZATION = 2
@@ -279,7 +281,7 @@ def _read_transform_meta(reader, xform_id, out: dict) -> None:
         vmax = reader.read_u32()
         out["min"] = vmin - (1 << 32) if vmin >= (1 << 31) else vmin
         out["max"] = vmax - (1 << 32) if vmax >= (1 << 31) else vmax
-    elif xform_id == XFORM_OCT_ORTHOGONAL:
+    elif xform_id in (XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION):
         out["max_q"] = reader.read_u32()
         out["center"] = reader.read_u32()
     elif xform_id in (XFORM_DIFFERENCE, XFORM_NONE):
@@ -370,6 +372,20 @@ def _make_inverse_transform(xform_id: int, meta: dict):
             # undo rotations (inverse of (x,y)->(-y,x) is (x,y)->(y,-x))
             for _ in range(rot):
                 o = np.array([o[1], -o[0]], dtype=np.int64)
+            if flip:
+                o = invert_diamond_inverse(o)
+            return o + one
+        return inv
+    if xform_id == XFORM_OCT_REFLECTION:
+        from ..shared.octahedral import invert_diamond, invert_diamond_inverse
+
+        def inv(corr, pred):
+            one = 255 // 2
+            p = pred.astype(np.int64) - one
+            flip = abs(int(p[0])) + abs(int(p[1])) > one
+            if flip:
+                p = invert_diamond(p)
+            o = p + unzigzag(corr.astype(np.uint64))
             if flip:
                 o = invert_diamond_inverse(o)
             return o + one

@@ -101,6 +101,46 @@ class OctOrthogonalTransform:
         return corr.astype(np.uint64)
 
 
+class OctReflectionTransform:
+    """Octahedral reflection residual: reflect pred (and orig with it) into
+    the upper hemisphere, then plain zigzag difference.
+
+    The reference ships this transform half-built (encode/attribute/
+    prediction_transform/oct_reflection.rs flips the negative-z hemisphere
+    but leaves squeeze unimplemented!() — it is unreachable from default
+    configs). This is the completed form for 2-component octahedral coords:
+    the hemisphere flip becomes draco's involutive diamond inversion when
+    pred is outside the diamond, with NO rotation step (the rotation is what
+    distinguishes OctOrthogonal)."""
+    xform_id = XFORM_OCT_REFLECTION
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        from ..shared.octahedral import invert_diamond
+        one = 255 // 2
+        orig = origs.astype(np.int64) - one
+        pred = preds.astype(np.int64) - one
+        flip = (np.abs(pred).sum(axis=1)) > one
+        pred = np.where(flip[:, None], invert_diamond(pred), pred)
+        orig = np.where(flip[:, None], invert_diamond(orig), orig)
+        writer.write_u32(255)
+        writer.write_u32(one)
+        return zigzag(orig - pred)
+
+
+class OrthogonalTransform:
+    """Angle-pair residual for unit vectors. Declared in the reference's
+    wire-id table (prediction_transform/mod.rs:89-102) but its body is
+    unimplemented!() (encode/attribute/prediction_transform/orthogonal.rs) —
+    no config can produce it. Kept as an explicit stub for wire-id parity."""
+    xform_id = XFORM_ORTHOGONAL
+
+    def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
+        raise NotImplementedError(
+            "Orthogonal transform is unimplemented in the draco-oxide "
+            "reference and produced by no config; use OctOrthogonal for "
+            "octahedral normals")
+
+
 def make_transform(xform_id: int):
     if xform_id == XFORM_DIFFERENCE:
         return DifferenceTransform()
@@ -108,6 +148,10 @@ def make_transform(xform_id: int):
         return WrappedDifferenceTransform()
     if xform_id == XFORM_OCT_ORTHOGONAL:
         return OctOrthogonalTransform()
+    if xform_id == XFORM_OCT_REFLECTION:
+        return OctReflectionTransform()
+    if xform_id == XFORM_ORTHOGONAL:
+        return OrthogonalTransform()
     if xform_id == XFORM_NONE:
         return NoTransform()
     raise ValueError(f"unsupported prediction transform {xform_id}")
