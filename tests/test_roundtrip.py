@@ -335,3 +335,23 @@ def test_roundtrip_point_cloud():
     assert np.max(np.abs(got_pos - pos)) < 10.0 / ((1 << 11) - 1)
     got_ids = dec.attributes_of_type(AttributeType.CUSTOM)[0].values
     assert np.array_equal(got_ids, ids)
+
+
+@needs_ref
+def test_native_and_python_spirale_agree(monkeypatch):
+    """The C++ Spirale fast path and the Python core must produce identical
+    meshes (same faces, same attribute values) for the same stream."""
+    from tpudraco.decode import decode
+    from tpudraco.encode import encode
+    from tpudraco.io import load_obj
+    from tpudraco.native import topo as _topo
+
+    mesh = load_obj(os.path.join(REF_DATA, "torus.obj"))
+    blob = encode(mesh)
+    via_native = decode(blob)
+    monkeypatch.setattr(_topo, "crlight_decode", lambda *a, **k: None)
+    via_python = decode(blob)
+    assert np.array_equal(via_native.faces, via_python.faces)
+    assert len(via_native.attributes) == len(via_python.attributes)
+    for a, b in zip(via_native.attributes, via_python.attributes):
+        assert np.array_equal(np.asarray(a.values), np.asarray(b.values))

@@ -76,6 +76,26 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
 
         def get_symbol(ct, active_stack, symbol_id):
             return crlight_decode(sym_reader)
+
+        # native fast path: CrLight symbols are self-delimiting, so the
+        # whole CLERS stream pre-decodes without reconstruction state and
+        # the Spirale core runs in C++ (falls back on any malformed stream
+        # so the Python core raises the precise DecodeError)
+        from ..native import topo as _topo
+        syms = _topo.crlight_decode(sym_bytes, num_symbols)
+        nat = (_topo.spirale(syms, num_split_symbols, num_vertices,
+                             num_faces, splits)
+               if syms is not None else None)
+        if nat is not None:
+            ct = DecodedCornerTable(num_faces)
+            ct.opposite = nat["opposite"]
+            ct.corner_to_vertex = nat["corner_to_vertex"]
+            ct.num_vertices = nat["num_vertices"]
+            ct.left_most = nat["left_most"][:ct.num_vertices].tolist()
+            return _finish_connectivity(
+                ct, nat["active_stack"], nat["invalid_vertices"],
+                nat["num_decoded_faces"], num_faces, num_symbols,
+                num_att_data, start_face_prob_zero, sf_bytes, seam_streams)
     else:
         # Valence layout: start-face flags, seams, then per-context
         # direct-coded symbol streams (decode order)
@@ -100,7 +120,16 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
     ct = DecodedCornerTable(num_faces)
     active_stack, invalid_vertices, num_decoded_faces = spirale_reversi_core(
         ct, num_symbols, num_split_symbols, num_vertices, splits, get_symbol)
+    return _finish_connectivity(
+        ct, active_stack, invalid_vertices, num_decoded_faces, num_faces,
+        num_symbols, num_att_data, start_face_prob_zero, sf_bytes,
+        seam_streams)
 
+
+def _finish_connectivity(ct, active_stack, invalid_vertices,
+                         num_decoded_faces, num_faces, num_symbols,
+                         num_att_data, start_face_prob_zero, sf_bytes,
+                         seam_streams) -> "ConnectivityDecodeResult":
     # start faces (interior flags drained in component-encode order)
     sf_rabs = RabsDecoder(ByteReader(sf_bytes), len(sf_bytes),
                           start_face_prob_zero) if sf_bytes else None

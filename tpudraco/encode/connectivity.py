@@ -16,7 +16,7 @@ from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
 from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import (
     NONE, AllInclusiveCornerTable, AttributeCornerTable, CornerTable,
-    next_corner, prev_corner,
+    next_corner, next_corners, prev_corner, prev_corners,
 )
 from ..shared.clers import (
     C, CRLIGHT_CODES, E, EB_STANDARD, EB_VALENCE, L, ORIENTATION_LEFT,
@@ -279,14 +279,14 @@ class EdgebreakerEncoder:
         """DefaultTraversal::encode (edgebreaker.rs:575-657): reversed CrLight
         symbols (LSB-first, leb128 size prefix), RAbS start-face flags, then
         per-attribute RAbS seam flags."""
-        sym_buf_w = _ByteBuf()
-        bw = BitWriter(sym_buf_w, msb_first=False)
-        for s in reversed(self.symbols):
-            size, bits = CRLIGHT_CODES[s]
-            bw.write_bits(size, bits)
-        bw.close()
-        leb128_write(len(sym_buf_w.buf), writer)
-        writer.write_bytes(sym_buf_w.buf)
+        from ..ops.bitpack import pack_bits_lsb
+        from ..shared.clers import CRLIGHT_BITS, CRLIGHT_SIZES
+        rev = np.asarray(self.symbols[::-1], dtype=np.int64)
+        sizes = CRLIGHT_SIZES[rev]
+        codes = CRLIGHT_BITS[rev]
+        buf = pack_bits_lsb(sizes, codes)
+        leb128_write(len(buf), writer)
+        writer.write_bytes(buf)
         self._encode_start_faces(writer)
         self._encode_seams(writer)
 
@@ -342,30 +342,38 @@ class EdgebreakerEncoder:
     def _encode_seams(self, writer) -> None:
         # attribute seam flags: replay corners in reverse, for each
         # non-boundary edge of each newly visited face record whether the
-        # attribute-table opposite is a seam (edgebreaker.rs:610-653)
+        # attribute-table opposite is a seam (edgebreaker.rs:610-653).
+        # Vectorized: "opposite face not yet visited when face k is
+        # processed" == first-occurrence position of that face > k, and the
+        # per-attribute seam bit is exactly is_edge_on_seam[corner].
         ct = self.ct
-        visited_faces = np.zeros(ct.num_faces(), dtype=bool)
-        seams: list[list[int]] = [[] for _ in self.att_data]
-        for c in reversed(self.processed_corners):
-            corners = (c, next_corner(c), prev_corner(c))
-            visited_faces[c // 3] = True
-            for ci in corners:
-                opp = ct.opp(ci)
-                if opp == NONE:
-                    continue
-                if visited_faces[opp // 3]:
-                    continue
-                for j, ad in enumerate(self.att_data):
-                    seams[j].append(1 if ad.opp(ci, ct) == NONE else 0)
-        for seam_bits in seams:
-            n0 = sum(1 for s in seam_bits if not s)
-            zp = int(np.float32(n0) / np.float32(len(seam_bits))
-                     * np.float32(256.0) + np.float32(0.5)) if seam_bits else 0
+        rev = np.asarray(self.processed_corners[::-1], dtype=np.int64)
+        P = len(rev)
+        if P:
+            faces = rev // 3
+            pos_of_face = np.full(ct.num_faces(), P, dtype=np.int64)
+            # first occurrence wins (reverse assignment order)
+            pos_of_face[faces[::-1]] = np.arange(P - 1, -1, -1)
+            corners3 = np.stack(
+                [rev, next_corners(rev), prev_corners(rev)], axis=1)
+            opp3 = ct.opposite[corners3]
+            valid = opp3 != NONE
+            opp_face = np.where(valid, opp3, 0) // 3
+            k_idx = np.broadcast_to(np.arange(P)[:, None], corners3.shape)
+            emit = valid & (pos_of_face[opp_face] > k_idx)
+            emit_corners = corners3[emit]  # row-major: (c, next, prev) per k
+        else:
+            emit_corners = np.zeros(0, dtype=np.int64)
+        for ad in self.att_data:
+            seam_bits = ad.is_edge_on_seam[emit_corners].astype(np.uint8)
+            n = len(seam_bits)
+            n0 = int(n - seam_bits.sum())
+            zp = int(np.float32(n0) / np.float32(n)
+                     * np.float32(256.0) + np.float32(0.5)) if n else 0
             prob_zero = max(1, min(255, zp))
             writer.write_u8(prob_zero)
             enc = RabsEncoder(prob_zero)
-            for s in reversed(seam_bits):
-                enc.write(s)
+            enc.write_all(seam_bits[::-1])
             blob = enc.flush()
             leb128_write(len(blob), writer)
             writer.write_bytes(blob)

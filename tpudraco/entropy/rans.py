@@ -301,36 +301,49 @@ def normalize_freq_counts(freq_counts, precision: int) -> np.ndarray:
 def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
     """Serialize a normalized frequency table (encode/entropy/rans.rs:194-230):
     leb128 symbol count; per symbol one byte with a 2-bit token (0-2 = number
-    of extra bytes, 3 = zero-run with 6-bit offset)."""
+    of extra bytes, 3 = zero-run with 6-bit offset).
+
+    Vectorized over zero runs + nonzero entries; byte-identical to the
+    reference's per-entry loop, including the >=65-zero-run quirk where the
+    reference writes ((64<<2)|3) truncated to u8 == 3 — i.e. long runs
+    degrade to single-zero tokens until <=64 zeros remain."""
+    dist = np.asarray(dist, dtype=np.int64)
     num_symbols = len(dist)
     leb128_write(num_symbols, writer)
-    i = 0
-    while i < num_symbols:
-        freq = int(dist[i])
-        if freq == 0:
-            offset = 0
-            while offset < (1 << 6):
-                if int(dist[i + offset + 1]) > 0:
-                    i += offset
-                    break
-                offset += 1
-            # NOTE: if the loop completes without break (>=65-zero run) the
-            # reference writes ((64<<2)|3) as u8 == 3, i.e. a zero-run of
-            # length 1 — intentionally replicated via the &0xFF truncation.
-            writer.write_u8(((offset << 2) | 3) & 0xFF)
-        else:
-            if freq < (1 << 6):
-                extra = 0
-            elif freq < (1 << 14):
-                extra = 1
-            elif freq < (1 << 22):
-                extra = 2
-            else:
-                raise ValueError("frequency too large for table serialization")
-            writer.write_u8(((freq << 2) | extra) & 0xFF)
-            for b in range(extra):
-                writer.write_u8((freq >> (8 * (b + 1) - 2)) & 0xFF)
-        i += 1
+    if num_symbols == 0:
+        return
+    nz = np.flatnonzero(dist)
+    if len(nz) == 0 or nz[-1] != num_symbols - 1:
+        # the reference indexes dist[i+offset+1] past the end here (panic);
+        # normalized tables always end at their last nonzero frequency
+        raise ValueError("rANS table must end with a nonzero frequency")
+    freqs = dist[nz]
+    if int(freqs.max()) >= (1 << 22):
+        raise ValueError("frequency too large for table serialization")
+    extra = ((freqs >= (1 << 6)).astype(np.int64)
+             + (freqs >= (1 << 14)).astype(np.int64))
+    gap = np.diff(np.concatenate([[-1], nz])) - 1   # zeros before each entry
+    # a gap of L zeros costs max(L-64, 0) single-zero tokens + 1 run token
+    run_len = np.where(gap > 64, gap - 63, (gap > 0).astype(np.int64))
+    seg = run_len + 1 + extra
+    off = np.concatenate([[0], np.cumsum(seg)[:-1]])
+    out = np.zeros(int(seg.sum()), dtype=np.uint8)
+    if int(run_len.sum()):
+        starts = np.repeat(off, run_len)
+        intra = (np.arange(len(starts))
+                 - np.repeat(np.concatenate([[0], np.cumsum(run_len)[:-1]]),
+                             run_len))
+        out[starts + intra] = 3  # degraded single-zero tokens (the quirk)
+        has_run = gap > 0
+        tok = (((np.minimum(gap, 64) - 1) << 2) | 3) & 0xFF
+        out[(off + run_len - 1)[has_run]] = tok[has_run]
+    pos0 = off + run_len
+    out[pos0] = ((freqs << 2) | extra) & 0xFF
+    m1 = extra >= 1
+    out[pos0[m1] + 1] = (freqs[m1] >> 6) & 0xFF
+    m2 = extra == 2
+    out[pos0[m2] + 2] = (freqs[m2] >> 14) & 0xFF
+    writer.write_bytes(out.tobytes())
 
 
 def parse_rans_table(reader: ByteReader) -> np.ndarray:

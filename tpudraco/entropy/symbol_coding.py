@@ -60,14 +60,9 @@ def _encode_length_coded(symbols: np.ndarray, num_components: int,
     enc.write_all(bit_lengths[::-1])
     enc.flush()
 
-    bw = BitWriter(writer, msb_first=True)
-    vals = per_comp.tolist()
-    bls = bit_lengths.tolist()
-    for i in range(num_values):
-        bl = bls[i]
-        for c in vals[i]:
-            bw.write_bits(bl, c)
-    bw.close()
+    from ..ops.bitpack import pack_bits_msb
+    sizes = np.repeat(bit_lengths, num_components)
+    writer.write_bytes(pack_bits_msb(sizes, per_comp.ravel()))
 
 
 def _encode_direct_coded(symbols: np.ndarray, writer: ByteWriter) -> None:

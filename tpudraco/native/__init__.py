@@ -65,7 +65,16 @@ def load_library():
         lib.tpud_rabs_decode.restype = i32
         lib.tpud_rabs_decode.argtypes = [u8p, i64, i32, i32, i64, i64, u8p]
         _lib = lib
-    except Exception:
+    except Exception as exc:
+        # fall back to the pure-Python paths, but loudly: a silent 15x
+        # slowdown is much harder to notice than a warning
+        import warnings
+        detail = ""
+        if isinstance(exc, subprocess.CalledProcessError):
+            detail = (exc.stderr or b"").decode("utf-8", "replace")[:500]
+        warnings.warn(
+            f"tpudraco native build unavailable ({exc!r}) {detail}; "
+            "using pure-Python fallbacks", RuntimeWarning)
         _lib = None
     return _lib
 

@@ -4,6 +4,7 @@
 // tpudraco/ops/gathers.py (which mirror draco-oxide; see those files for
 // reference citations). Every function has a Python fallback.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -88,14 +89,23 @@ void tpud_compute_table(const int64_t* ctv, int64_t C, int64_t V,
 
 // Returns 1 when an edge is shared by more than 2 faces.
 int32_t tpud_has_non_manifold_edges(const int64_t* ctv, int64_t C) {
-    std::unordered_map<uint64_t, int> counts;
-    counts.reserve(C);
+    // sort-based multiplicity check (hashing dominated the encode profile)
+    std::vector<uint64_t> keys;
+    keys.reserve(C);
     for (int64_t f = 0; f < C / 3; ++f) {
         for (int k = 0; k < 3; ++k) {
             int64_t a = ctv[3 * f + k], b = ctv[3 * f + (k + 1) % 3];
             if (a > b) std::swap(a, b);
-            uint64_t key = ((uint64_t)a << 32) | (uint64_t)b;
-            if (++counts[key] > 2) return 1;
+            keys.push_back(((uint64_t)a << 32) | (uint64_t)b);
+        }
+    }
+    std::sort(keys.begin(), keys.end());
+    int run = 1;
+    for (size_t i = 1; i < keys.size(); ++i) {
+        if (keys[i] == keys[i - 1]) {
+            if (++run > 2) return 1;
+        } else {
+            run = 1;
         }
     }
     return 0;
@@ -213,28 +223,27 @@ int64_t tpud_sequence(const int64_t* opposite, const int64_t* ctv,
     std::vector<uint8_t> visited_faces(C / 3, 0);
     int64_t out_n = 0;
 
+    // flat per-face pending-entry lists + serial-indexed dead flags: the
+    // hashed versions dominated the whole encode profile
     struct Entry { int64_t corner; int64_t serial; };
     std::vector<Entry> stack;
     stack.reserve(init_len + 64);
-    std::unordered_set<int64_t> dead;
-    std::unordered_map<int64_t, std::vector<int64_t>> face_entries;
+    const int64_t F = C / 3;
+    std::vector<std::vector<int64_t>> face_entries(F);
+    std::vector<uint8_t> dead;
+    dead.reserve(init_len + C);
     int64_t serial = 0;
-    for (int64_t i = 0; i < init_len; ++i) {
-        stack.push_back({init_stack[i], serial});
-        face_entries[init_stack[i] / 3].push_back(serial);
-        ++serial;
-    }
     auto push = [&](int64_t c) {
         stack.push_back({c, serial});
         face_entries[c / 3].push_back(serial);
+        dead.push_back(0);
         ++serial;
     };
+    for (int64_t i = 0; i < init_len; ++i) push(init_stack[i]);
     auto prune = [&](int64_t face_idx) {
-        auto it = face_entries.find(face_idx);
-        if (it != face_entries.end()) {
-            for (int64_t s : it->second) dead.insert(s);
-            it->second.clear();
-        }
+        auto& ids = face_entries[face_idx];
+        for (int64_t s : ids) dead[s] = 1;
+        ids.clear();
     };
     auto visit = [&](int64_t v, int64_t c) {
         if (!visited_vertices[v]) out_corners[out_n++] = c;
@@ -244,10 +253,9 @@ int64_t tpud_sequence(const int64_t* opposite, const int64_t* ctv,
     while (!stack.empty()) {
         Entry e = stack.back();
         stack.pop_back();
-        if (dead.erase(e.serial)) continue;
-        auto it = face_entries.find(e.corner / 3);
-        if (it != face_entries.end()) {
-            auto& ids = it->second;
+        if (dead[e.serial]) continue;
+        {
+            auto& ids = face_entries[e.corner / 3];
             for (size_t i = 0; i < ids.size(); ++i) {
                 if (ids[i] == e.serial) { ids.erase(ids.begin() + i); break; }
             }
@@ -563,6 +571,164 @@ int32_t tpud_edgebreaker(const int64_t* opposite, const int64_t* ctv,
     *num_splits_out = n_splits;
     *num_split_symbols_out = n_split_symbols;
     return 0;
+}
+
+// Bulk CrLight CLERS decode, LSB-first (shared/clers.py crlight_decode).
+// Returns 0 or -1 on bitstream underrun.
+int32_t tpud_crlight_decode(const uint8_t* bytes, int64_t nbytes,
+                            int64_t num_symbols, int32_t* out) {
+    int64_t bitpos = 0;
+    const int64_t nbits = nbytes * 8;
+    for (int64_t i = 0; i < num_symbols; ++i) {
+        if (bitpos >= nbits) return -1;
+        int b = (bytes[bitpos >> 3] >> (bitpos & 7)) & 1;
+        ++bitpos;
+        if (b == 0) { out[i] = 0; continue; }  // C
+        if (bitpos + 2 > nbits) return -1;
+        int b1 = (bytes[bitpos >> 3] >> (bitpos & 7)) & 1;
+        ++bitpos;
+        int b2 = (bytes[bitpos >> 3] >> (bitpos & 7)) & 1;
+        ++bitpos;
+        static const int32_t map4[4] = {1, 2, 3, 4};  // S, L, R, E
+        out[i] = map4[b1 | (b2 << 1)];
+    }
+    return 0;
+}
+
+// Spirale Reversi reconstruction, standard traversal (symbols pre-decoded).
+// Exact port of shared/spirale.py spirale_reversi_core. Outputs are
+// pre-sized by the caller: opposite/ctv of 3*num_faces filled with NONE,
+// left_most of num_vertices+num_split_symbols filled with NONE.
+// Returns num_decoded_faces, or -1 on any malformed-stream condition (the
+// caller re-runs the Python core for the detailed error).
+int64_t tpud_spirale(const int32_t* symbols, int64_t num_symbols,
+                     int64_t num_split_symbols, int64_t num_vertices,
+                     int64_t num_faces,
+                     const int64_t* split_merge, const int64_t* split_split,
+                     const int64_t* split_orient, int64_t n_splits,
+                     int64_t* opposite, int64_t* ctv, int64_t* left_most,
+                     int64_t* out_num_vertices,
+                     int64_t* active_stack_out, int64_t* out_stack_len,
+                     int64_t* invalid_out, int64_t* out_invalid_len) {
+    const int64_t max_nv = num_vertices + num_split_symbols;
+    int64_t nv = 0;
+    std::vector<int64_t> stack;
+    stack.reserve(64);
+    std::vector<int64_t> split_active(num_symbols, NONE);
+    int64_t n_invalid = 0;
+    int64_t split_i = n_splits - 1;  // consumed from the back
+    int64_t faces = 0;
+
+    auto swing_left = [&](int64_t c) -> int64_t {
+        int64_t o = opposite[next_c(c)];
+        return o != NONE ? next_c(o) : NONE;
+    };
+
+    for (int64_t sid = 0; sid < num_symbols; ++sid) {
+        if (faces >= num_faces) return -1;
+        const int64_t corner = 3 * (faces++);
+        const int32_t symbol = symbols[sid];
+        bool check_split = false;
+        if (symbol == 0) {  // C
+            if (stack.empty()) return -1;
+            const int64_t corner_a = stack.back();
+            const int64_t vertex_x = ctv[next_c(corner_a)];
+            const int64_t corner_b = next_c(left_most[vertex_x]);
+            if (corner_a == corner_b) return -1;
+            opposite[corner_a] = corner + 1; opposite[corner + 1] = corner_a;
+            opposite[corner_b] = corner + 2; opposite[corner + 2] = corner_b;
+            const int64_t vert_a_prev = ctv[prev_c(corner_a)];
+            const int64_t vert_b_next = ctv[next_c(corner_b)];
+            if (vertex_x == vert_a_prev || vertex_x == vert_b_next) return -1;
+            ctv[corner] = vertex_x;
+            ctv[corner + 1] = vert_b_next;
+            ctv[corner + 2] = vert_a_prev;
+            left_most[vert_a_prev] = corner + 2;
+            stack.back() = corner;
+        } else if (symbol == 3 || symbol == 2) {  // R / L
+            if (stack.empty()) return -1;
+            const int64_t corner_a = stack.back();
+            int64_t opp_corner, corner_l, corner_r;
+            if (symbol == 3) {  // R
+                opp_corner = corner + 2; corner_l = corner + 1; corner_r = corner;
+            } else {
+                opp_corner = corner + 1; corner_l = corner; corner_r = corner + 2;
+            }
+            opposite[opp_corner] = corner_a; opposite[corner_a] = opp_corner;
+            if (nv >= max_nv) return -1;
+            const int64_t new_vert = nv++;
+            ctv[opp_corner] = new_vert;
+            left_most[new_vert] = opp_corner;
+            const int64_t vertex_r = ctv[prev_c(corner_a)];
+            ctv[corner_r] = vertex_r;
+            left_most[vertex_r] = corner_r;
+            ctv[corner_l] = ctv[next_c(corner_a)];
+            stack.back() = corner;
+            check_split = true;
+        } else if (symbol == 1) {  // S
+            if (stack.empty()) return -1;
+            const int64_t corner_b = stack.back();
+            stack.pop_back();
+            if (split_active[sid] != NONE) {
+                stack.push_back(split_active[sid]);
+            }
+            if (stack.empty()) return -1;
+            const int64_t corner_a = stack.back();
+            if (corner_a == corner_b) return -1;
+            opposite[corner_a] = corner + 2; opposite[corner + 2] = corner_a;
+            opposite[corner_b] = corner + 1; opposite[corner + 1] = corner_b;
+            const int64_t vertex_p = ctv[prev_c(corner_a)];
+            ctv[corner] = vertex_p;
+            ctv[corner + 1] = ctv[next_c(corner_a)];
+            const int64_t vert_b_prev = ctv[prev_c(corner_b)];
+            ctv[corner + 2] = vert_b_prev;
+            left_most[vert_b_prev] = corner + 2;
+            int64_t corner_n = next_c(corner_b);
+            const int64_t vertex_n = ctv[corner_n];
+            left_most[vertex_p] = left_most[vertex_n];
+            const int64_t first_cn = corner_n;
+            while (corner_n != NONE) {
+                ctv[corner_n] = vertex_p;
+                corner_n = swing_left(corner_n);
+                if (corner_n == first_cn) return -1;
+            }
+            left_most[vertex_n] = NONE;  // isolated
+            invalid_out[n_invalid++] = vertex_n;
+            stack.back() = corner;
+        } else if (symbol == 4) {  // E
+            if (nv + 3 > max_nv) return -1;
+            const int64_t v0 = nv++, v1 = nv++, v2 = nv++;
+            ctv[corner] = v0; ctv[corner + 1] = v1; ctv[corner + 2] = v2;
+            left_most[v0] = corner;
+            left_most[v1] = corner + 1;
+            left_most[v2] = corner + 2;
+            stack.push_back(corner);
+            check_split = true;
+        } else {
+            return -1;
+        }
+
+        if (check_split) {
+            const int64_t encoder_symbol_id = num_symbols - sid - 1;
+            while (split_i >= 0 && split_merge[split_i] == encoder_symbol_id) {
+                const int64_t enc_split_id = split_split[split_i];
+                const int64_t orient = split_orient[split_i];
+                --split_i;
+                if (stack.empty()) return -1;
+                const int64_t act_top = stack.back();
+                const int64_t new_active =
+                    orient == 1 ? next_c(act_top) : prev_c(act_top);
+                const int64_t dec_split_id = num_symbols - enc_split_id - 1;
+                if (dec_split_id < 0 || dec_split_id >= num_symbols) return -1;
+                split_active[dec_split_id] = new_active;
+            }
+        }
+    }
+    *out_num_vertices = nv;
+    *out_stack_len = (int64_t)stack.size();
+    for (size_t i = 0; i < stack.size(); ++i) active_stack_out[i] = stack[i];
+    *out_invalid_len = n_invalid;
+    return faces;
 }
 
 }  // extern "C"

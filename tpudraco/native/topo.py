@@ -51,6 +51,12 @@ def _lib():
         lib.tpud_decode_pred_transform.argtypes = [
             I64P, I64P, I64P, I64P, i64, U64P, i32, i32, i32, i64, i64,
             i64, I64P]
+        lib.tpud_crlight_decode.restype = i32
+        lib.tpud_crlight_decode.argtypes = [U8P, i64, i64, I32P]
+        lib.tpud_spirale.restype = i64
+        lib.tpud_spirale.argtypes = [
+            I32P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
+            I64P, I64P, I64P, I64P, I64P, I64P, I64P, I64P]
         _configured = True
     return lib
 
@@ -200,4 +206,62 @@ def edgebreaker(opposite: np.ndarray, ctv: np.ndarray, num_vertices: int):
                     int(splits[3 * i + 2])) for i in range(ns)],
         "num_split_symbols": int(n_split_symbols[0]),
         "vertex_hole_id": hole_id,
+    }
+
+
+def crlight_decode(sym_bytes: bytes, num_symbols: int) -> np.ndarray | None:
+    """Bulk LSB-first CrLight CLERS decode (shared/clers.py crlight_decode)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(sym_bytes, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    out = np.empty(num_symbols, dtype=np.int32)
+    rc = lib.tpud_crlight_decode(_u8p(buf), len(sym_bytes), num_symbols,
+                                 _i32p(out))
+    if rc != 0:
+        return None
+    return out
+
+
+def spirale(symbols: np.ndarray, num_split_symbols: int, num_vertices: int,
+            num_faces: int, splits: list) -> dict | None:
+    """Standard-path Spirale Reversi (shared/spirale.py core) in C++.
+
+    Returns None if the native library is missing or the stream is
+    malformed (callers re-run the Python core for the precise error)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    symbols = np.ascontiguousarray(symbols, dtype=np.int32)
+    ns = len(symbols)
+    sm = np.ascontiguousarray([s[0] for s in splits], dtype=np.int64)
+    ss = np.ascontiguousarray([s[1] for s in splits], dtype=np.int64)
+    so = np.ascontiguousarray([s[2] for s in splits], dtype=np.int64)
+    C = 3 * num_faces
+    opposite = np.full(C, -1, dtype=np.int64)
+    ctv = np.full(C, -1, dtype=np.int64)
+    max_nv = num_vertices + num_split_symbols
+    left_most = np.full(max(max_nv, 1), -1, dtype=np.int64)
+    out_nv = np.zeros(1, dtype=np.int64)
+    stack = np.empty(ns + 1, dtype=np.int64)
+    stack_len = np.zeros(1, dtype=np.int64)
+    invalid = np.empty(ns + 1, dtype=np.int64)
+    invalid_len = np.zeros(1, dtype=np.int64)
+    faces = lib.tpud_spirale(
+        _i32p(symbols), ns, num_split_symbols, num_vertices, num_faces,
+        _i64p(sm), _i64p(ss), _i64p(so), len(splits),
+        _i64p(opposite), _i64p(ctv), _i64p(left_most), _i64p(out_nv),
+        _i64p(stack), _i64p(stack_len), _i64p(invalid), _i64p(invalid_len))
+    if faces < 0:
+        return None
+    return {
+        "opposite": opposite,
+        "corner_to_vertex": ctv,
+        "left_most": left_most,
+        "num_vertices": int(out_nv[0]),
+        "active_stack": stack[:int(stack_len[0])].tolist(),
+        "invalid_vertices": invalid[:int(invalid_len[0])].tolist(),
+        "num_decoded_faces": int(faces),
     }

@@ -19,6 +19,14 @@ CRLIGHT_CODES = {
     E: (3, 0b111),
 }
 
+# array form for vectorized packing, indexed by draco symbol id
+import numpy as _np  # noqa: E402
+
+CRLIGHT_SIZES = _np.array([CRLIGHT_CODES[s][0] for s in range(5)],
+                          dtype=_np.int64)
+CRLIGHT_BITS = _np.array([CRLIGHT_CODES[s][1] for s in range(5)],
+                         dtype=_np.int64)
+
 
 def crlight_decode(bit_reader) -> int:
     """Decode one CrLight symbol from an LSB-first bit reader.
