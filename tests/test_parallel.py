@@ -93,3 +93,18 @@ def test_device_group_matches_host_symbols():
     be = BatchEncoder()
     for m in meshes:
         assert be.encode_mesh(m) == encode(m)
+
+
+def test_device_batch_encode_bit_exact(monkeypatch):
+    """Full device chain (batched predict/residual + multi-lane rANS) must
+    produce byte-identical .drc output to sequential host encode() — and
+    must not silently pass via the host fallback."""
+    meshes = [_grid_mesh(8, s) for s in range(4)] + [_grid_mesh(6, 9)]
+    be = BatchEncoder()
+
+    def no_fallback(self, mesh):
+        raise AssertionError("device batch path fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes)
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m)

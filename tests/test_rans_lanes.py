@@ -71,3 +71,59 @@ def test_lanes_varying_lengths_and_skew():
     blobs = encode_streams_device(streams, counts)
     for s, blob in zip(streams, blobs):
         assert blob == _host_encode(s, dist)
+
+
+def test_per_lane_tables_roundtrip():
+    """2D (per-lane) frequency tables: encode and decode lanes with
+    different alphabets in one device call."""
+    import jax.numpy as jnp
+    from tpudraco.entropy.rans import normalize_freq_counts
+    from tpudraco.ops.rans_lanes import rans_decode_lanes, rans_encode_lanes
+
+    rng = np.random.default_rng(7)
+    L, T, prec = 3, 200, 12
+    streams = [rng.integers(0, 5 + 7 * i, size=T, dtype=np.int64)
+               for i in range(L)]
+    S = max(int(s.max()) + 1 for s in streams)
+    freqs = np.zeros((L, S), np.uint32)
+    cums = np.zeros((L, S), np.uint32)
+    slots = np.zeros((L, 1 << prec), np.int32)
+    sym = np.zeros((L, T), np.int32)
+    for i, s in enumerate(streams):
+        d = normalize_freq_counts(np.bincount(s), prec)
+        freqs[i, :len(d)] = d
+        cums[i, 1:len(d)] = np.cumsum(d)[:-1]
+        for j, f in enumerate(d):
+            slots[i, cums[i, j]:cums[i, j] + f] = j
+        sym[i] = s
+    lengths = np.full(L, T, np.int32)
+    bufs, nbytes = rans_encode_lanes(jnp.asarray(sym), jnp.asarray(freqs),
+                                     jnp.asarray(cums), jnp.asarray(lengths),
+                                     precision=prec)
+    # decode reads symbols back in reverse emission order
+    out = rans_decode_lanes(bufs, np.asarray(nbytes), jnp.asarray(freqs),
+                            jnp.asarray(cums), jnp.asarray(slots),
+                            np.full(L, T), precision=prec)
+    got = np.asarray(out)
+    for i in range(L):
+        assert np.array_equal(got[i][::-1], streams[i]), i
+
+
+def test_encode_direct_coded_streams_device_bit_exact():
+    """Device DirectCoded payloads must equal host encode_symbols bytes."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops.rans_lanes import encode_direct_coded_streams_device
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(3)
+    streams = [
+        rng.integers(0, 40, size=333, dtype=np.uint64),
+        rng.integers(0, 3, size=50, dtype=np.uint64),      # small alphabet
+        np.zeros(64, dtype=np.uint64),                      # all zero
+        rng.integers(0, 5000, size=1200, dtype=np.uint64),  # high precision
+    ]
+    got = encode_direct_coded_streams_device(streams)
+    for i, s in enumerate(streams):
+        w = ByteWriter()
+        encode_symbols(s, 1, DIRECT_CODED, w)
+        assert got[i] == w.getvalue(), f"stream {i}"

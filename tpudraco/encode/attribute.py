@@ -43,7 +43,13 @@ def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
 
 def encode_attributes(attributes: list[Attribute], writer,
                       conn_out: ConnectivityOutput, recorder=None,
-                      sequences: dict | None = None) -> None:
+                      sequences: dict | None = None,
+                      precomputed: dict | None = None) -> None:
+    """``precomputed`` optionally maps attribute index -> {"payload": bytes
+    (the encode_symbols output, computed on the accelerator),
+    "xform_meta": bytes} to skip the host predict/transform/entropy stages
+    for that attribute (device batch path; bit-exactness pinned by
+    tests/test_parallel.py)."""
     from ..eval import NULL
     rec = recorder if recorder is not None else NULL
     rec.write_pair("attributes count", len(attributes))
@@ -71,8 +77,9 @@ def encode_attributes(attributes: list[Attribute], writer,
         parents = [port_atts[pid] for pid in att.parents]
         rec.scope_begin(f"attribute {i} ({att.att_type.name})", writer)
         seq = sequences.get(i) if sequences else None
+        pre = precomputed.get(i) if precomputed else None
         port_att = _encode_one(att, i, parents, conn_out, writer, rec,
-                               sequence=seq)
+                               sequence=seq, precomputed=pre)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -81,7 +88,7 @@ def encode_attributes(attributes: list[Attribute], writer,
 
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 conn_out: ConnectivityOutput, writer, rec=None,
-                sequence=None) -> Attribute:
+                sequence=None, precomputed=None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -104,6 +111,15 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     port_type, bits = default_portabilization_for(att.att_type)
     port_buf = _Buf()
     port_att = portabilize(att, port_type, bits, port_buf)
+
+    if precomputed is not None:
+        # accelerator already produced the symbol payload + transform
+        # metadata; emit them verbatim (byte-identical to the host path)
+        writer.write_u8(1)  # rans_encoding flag
+        writer.write_bytes(precomputed["payload"])
+        writer.write_bytes(precomputed["xform_meta"])
+        writer.write_bytes(port_buf.buf)
+        return port_att
 
     # predict + record traversal. Parallelogram and delta predictions are
     # pure gathers on the encoder side and run vectorized; normal/texcoord

@@ -27,23 +27,31 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     """Encode L lanes of up to T symbols each.
 
     symbols: (L, T) int32, entries beyond lengths[l] ignored.
-    freqs/cums: (S,) shared normalized table (sum == 1<<precision).
+    freqs/cums: (S,) shared normalized table (sum == 1<<precision), or
+    (L, S) per-lane tables (per-mesh tables in corpus batches).
     lengths: (L,) int32 active symbol counts.
     Returns (buffers (L, CAP) uint8, nbytes (L,) int32)."""
     L, T = symbols.shape
     cap = 2 * T + 8
     l_base = (1 << precision) << 2
     base_sh = l_base >> precision
+    S = freqs.shape[-1]
 
     lane_ids = jnp.arange(L)
     buffers = jnp.zeros((L, cap), dtype=jnp.uint32)
+
+    def table_at(table, sym):
+        idx = jnp.clip(sym, 0, S - 1)
+        if table.ndim == 2:
+            return table[lane_ids, idx].astype(jnp.uint32)
+        return table[idx].astype(jnp.uint32)
 
     def step(carry, i):
         states, cursors, bufs = carry
         sym = symbols[:, i]
         active = i < lengths
-        f = freqs[jnp.clip(sym, 0, len(freqs) - 1)].astype(jnp.uint32)
-        cum = cums[jnp.clip(sym, 0, len(freqs) - 1)].astype(jnp.uint32)
+        f = table_at(freqs, sym)
+        cum = table_at(cums, sym)
         limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
 
         def renorm(j, val):
@@ -93,8 +101,9 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
                       freqs: jnp.ndarray, cums: jnp.ndarray,
                       slots: jnp.ndarray, counts: jnp.ndarray,
                       precision: int = 12):
-    """Decode L lanes: buffers (L, CAP) uint8, nbytes (L,), shared table,
-    counts (L,) symbols per lane (max T). Returns (L, T) int32 symbols."""
+    """Decode L lanes: buffers (L, CAP) uint8, nbytes (L,), counts (L,)
+    symbols per lane (max T). freqs/cums (S,) + slots (1<<P,) shared, or
+    (L, S) / (L, 1<<P) per-lane. Returns (L, T) int32 symbols."""
     L, cap = buffers.shape
     T = int(counts.max()) if isinstance(counts, np.ndarray) else None
     l_base = (1 << precision) << 2
@@ -139,9 +148,14 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
                                         (states, pos))
         q = states >> jnp.uint32(precision)
         r = states & mask
-        idx = slots[r.astype(jnp.int32)]
-        f = freqs[idx].astype(jnp.uint32)
-        c = cums[idx].astype(jnp.uint32)
+        if slots.ndim == 2:
+            idx = slots[lane_ids, r.astype(jnp.int32)]
+            f = freqs[lane_ids, idx].astype(jnp.uint32)
+            c = cums[lane_ids, idx].astype(jnp.uint32)
+        else:
+            idx = slots[r.astype(jnp.int32)]
+            f = freqs[idx].astype(jnp.uint32)
+            c = cums[idx].astype(jnp.uint32)
         new_states = q * f + r - c
         states = jnp.where(active, new_states, states)
         return (states, pos), jnp.where(active, idx, -1)
@@ -173,3 +187,72 @@ def encode_streams_device(symbol_streams: list[np.ndarray], freq_counts,
     bufs = np.asarray(bufs)
     nbytes = np.asarray(nbytes)
     return [bufs[i, :nbytes[i]].tobytes() for i in range(L)]
+
+
+def encode_direct_coded_streams_device(streams: list[np.ndarray]) -> list[bytes]:
+    """Full DirectCoded symbol payloads for many independent streams with
+    the rANS inner loop on the accelerator, bit-exact with the host
+    ``encode_symbols(s, n, DIRECT_CODED, w)`` (tests pin this).
+
+    Each stream gets its own frequency table (per-mesh tables in corpus
+    batches); lanes are bucketed by rANS precision (a function of each
+    stream's nonzero count) and each bucket runs as one device call with
+    per-lane tables. Header bytes (method, bit length, serialized table,
+    leb128 blob length) are assembled on host.
+    """
+    from ..entropy.rans import normalize_freq_counts, serialize_rans_table
+    from ..entropy.symbol_coding import (
+        DIRECT_CODED, bit_length_u64, rans_precision_for_bit_length)
+    from ..wire.byte_io import ByteWriter
+    from ..wire.varint import leb128_write
+
+    L = len(streams)
+    streams = [np.asarray(s, dtype=np.int64).ravel() for s in streams]
+    precisions = np.empty(L, dtype=np.int64)
+    dists: list[np.ndarray] = []
+    for i, s in enumerate(streams):
+        num_nonzero = int(np.count_nonzero(s))
+        bl = int(bit_length_u64(np.asarray([num_nonzero]))[0]) + 1
+        bl = max(1, min(18, bl))
+        precisions[i] = rans_precision_for_bit_length(bl)
+        max_symbol = int(s.max()) if len(s) else 0
+        counts = np.bincount(s, minlength=max_symbol + 1)
+        dists.append(normalize_freq_counts(counts, int(precisions[i])))
+
+    blobs: list[bytes | None] = [None] * L
+    for prec in sorted(set(precisions.tolist())):
+        lanes = [i for i in range(L) if precisions[i] == prec]
+        T = max((len(streams[i]) for i in lanes), default=0)
+        S = max((len(dists[i]) for i in lanes), default=1)
+        sym = np.zeros((len(lanes), max(T, 1)), dtype=np.int32)
+        lengths = np.zeros(len(lanes), dtype=np.int32)
+        freqs = np.zeros((len(lanes), S), dtype=np.uint32)
+        cums = np.zeros((len(lanes), S), dtype=np.uint32)
+        for k, i in enumerate(lanes):
+            sym[k, :len(streams[i])] = streams[i][::-1]  # reversed feed
+            lengths[k] = len(streams[i])
+            d = dists[i]
+            freqs[k, :len(d)] = d
+            cums[k, 1:len(d)] = np.cumsum(d)[:-1]
+        bufs, nbytes = jax.jit(
+            rans_encode_lanes, static_argnames=("precision",))(
+            jnp.asarray(sym), jnp.asarray(freqs), jnp.asarray(cums),
+            jnp.asarray(lengths), precision=int(prec))
+        bufs = np.asarray(bufs)
+        nbytes = np.asarray(nbytes)
+        for k, i in enumerate(lanes):
+            blobs[i] = bufs[k, :nbytes[k]].tobytes()
+
+    out: list[bytes] = []
+    for i in range(L):
+        w = ByteWriter()
+        w.write_u8(DIRECT_CODED)
+        num_nonzero = int(np.count_nonzero(streams[i]))
+        bl = max(1, min(18, int(bit_length_u64(
+            np.asarray([num_nonzero]))[0]) + 1))
+        w.write_u8(bl)
+        serialize_rans_table(dists[i], w)
+        leb128_write(len(blobs[i]), w)
+        w.write_bytes(blobs[i])
+        out.append(w.getvalue())
+    return out

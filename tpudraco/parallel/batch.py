@@ -61,8 +61,10 @@ def topology_signature(mesh: Mesh) -> str:
 
 
 def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
-                         cfg: Config | None = None) -> bytes:
-    """encode() with the connectivity stage replayed from the cache."""
+                         cfg: Config | None = None,
+                         precomputed: dict | None = None) -> bytes:
+    """encode() with the connectivity stage replayed from the cache (and,
+    in the device batch path, attribute payloads precomputed on chip)."""
     from ..encode import encode_header, encode_metadata
     from ..encode.attribute import encode_attributes
 
@@ -73,7 +75,7 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
         encode_metadata(mesh, writer)
     writer.write_bytes(topo.conn_bytes)
     encode_attributes(mesh.attributes, writer, topo.conn_out,
-                      sequences=topo.sequences)
+                      sequences=topo.sequences, precomputed=precomputed)
     return writer.getvalue()
 
 
@@ -93,6 +95,57 @@ class BatchEncoder:
             topo = PreparedTopology(mesh)
             self._topo_cache[sig] = topo
         return encode_with_topology(mesh, topo)
+
+    def encode_meshes_device(self, meshes: list[Mesh],
+                             bits: int = 11) -> list[bytes | None]:
+        """Full device encode chain for the position attribute: meshes are
+        grouped by topology; per group, quantize -> predict -> residual runs
+        batched on the accelerator and the per-mesh rANS payloads come from
+        the multi-lane device coder. Output bytes are identical to
+        sequential encode() (determinism oracle in tests)."""
+        from ..encode.transforms import XFORM_WRAPPED_DIFFERENCE
+        from ..ops.rans_lanes import encode_direct_coded_streams_device
+
+        groups: dict[str, list[int]] = {}
+        sigs = []
+        for idx, m in enumerate(meshes):
+            sig = topology_signature(m)
+            sigs.append(sig)
+            groups.setdefault(sig, []).append(idx)
+
+        out: list[bytes | None] = [None] * len(meshes)
+        for sig, idxs in groups.items():
+            try:
+                topo = self._topo_cache.get(sig)
+                if topo is None:
+                    topo = PreparedTopology(meshes[idxs[0]])
+                    self._topo_cache[sig] = topo
+                pos_atts = [meshes[i].position_attribute() for i in idxs]
+                batch = np.stack([a.values.astype(np.float32)
+                                  for a in pos_atts])
+                dev = device_encode_group(batch, topo, pos_atts[0],
+                                          bits=bits, return_full=True)
+                payloads = encode_direct_coded_streams_device(
+                    [dev["symbols"][k].ravel() for k in range(len(idxs))])
+                for k, i in enumerate(idxs):
+                    w = ByteWriter()
+                    w.write_u32(int(dev["vmin"][k]) & 0xFFFFFFFF)
+                    w.write_u32(int(dev["vmax"][k]) & 0xFFFFFFFF)
+                    pos_idx = next(
+                        j for j, a in enumerate(meshes[i].attributes)
+                        if a.att_type == AttributeType.POSITION)
+                    pre = {pos_idx: {"payload": payloads[k],
+                                     "xform_meta": bytes(w.getvalue())}}
+                    out[i] = encode_with_topology(meshes[i], topo,
+                                                  precomputed=pre)
+            except Exception:
+                # per-group error isolation: fall back to the host path
+                for i in idxs:
+                    try:
+                        out[i] = self.encode_mesh(meshes[i])
+                    except Exception:
+                        out[i] = None
+        return out
 
     def encode_meshes(self, meshes: list[Mesh]) -> list[bytes | None]:
         """Per-mesh error isolation: a failing mesh yields None and does not
@@ -141,18 +194,22 @@ class BatchEncoder:
 
 
 def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
-                        pos_att, bits: int = 11, mesh_axis=None):
+                        pos_att, bits: int = 11, mesh_axis=None,
+                        return_full: bool = False):
     """Device compute for a batch of meshes sharing one topology: runs the
     fused quantize/predict/residual step (optionally shard_map'ed over a
-    'data' mesh axis) and returns per-mesh residual symbol arrays.
+    'data' mesh axis) and returns per-mesh residual symbol arrays (or, with
+    return_full, the symbols plus the wrapped-difference vmin/vmax needed
+    for the transform metadata bytes).
 
-    The result feeds the host entropy coder; symbols match the host pipeline
+    The result feeds the entropy coder; symbols match the host pipeline
     bit-for-bit (tests/test_device_ops.py)."""
     import jax
     import jax.numpy as jnp
 
     from ..native import topo as ntopo
-    from ..ops import encode_step
+    from ..ops import (build_combined_matrix, encode_step,
+                       encode_step_pallas, predict_matmul_viable)
     from ..ops.gathers import build_parallelogram_gathers
 
     view = TableView(topo.conn_out.corner_table.corner_table)
@@ -166,13 +223,35 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
         g = build_parallelogram_gathers(view, seq, unique_of_point)
     gathers = {k: jnp.asarray(v) for k, v in g.items()}
 
+    # Pallas combo-matrix path on real TPU for small topology groups (dense
+    # (2T, V) matrix must fit VMEM); XLA gather path otherwise / on CPU
+    B, V, C = positions_batch.shape
+    T = int(len(g["order"]))
+    use_pallas = (jax.default_backend() == "tpu"
+                  and predict_matmul_viable(2 * T, V, B, C))
+    M = (jnp.asarray(build_combined_matrix(
+            {k: np.asarray(v) for k, v in g.items()}, V))
+         if use_pallas else None)
+
     def step(pos):
-        return encode_step(pos, gathers, bits=bits)["symbols"]
+        if use_pallas:
+            out = encode_step_pallas(pos, gathers, M, bits=bits)
+        else:
+            out = encode_step(pos, gathers, bits=bits)
+        return out["symbols"], out["vmin"], out["vmax"]
 
     if mesh_axis is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
         step = shard_map(step, mesh=mesh_axis,
                          in_specs=P("data", None, None),
-                         out_specs=P("data", None, None))
-    return np.asarray(jax.jit(step)(jnp.asarray(positions_batch)))
+                         out_specs=(P("data", None, None), P("data"),
+                                    P("data")))
+    syms, vmin, vmax = jax.jit(step)(jnp.asarray(positions_batch))
+    if return_full:
+        return {"symbols": np.asarray(syms), "vmin": np.asarray(vmin),
+                "vmax": np.asarray(vmax)}
+    return np.asarray(syms)
