@@ -226,6 +226,11 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
             1 if scheme_id == PRED_PARALLELOGRAM else 0, xform_id,
             xmeta.get("min", 0), xmeta.get("max", 0), view.num_vertices)
 
+    if (values_by_vertex is None and scheme_id == PRED_NORMAL and parents
+            and flips is not None and xform_id == XFORM_OCT_ORTHOGONAL):
+        values_by_vertex = _decode_normals_vectorized(
+            view, sequence, symbols, flips, parents[0])
+
     if values_by_vertex is None:
         pred = make_prediction(scheme_id, view, parents, n)
         state = PredictionState(view.num_vertices)
@@ -273,6 +278,54 @@ class _CornerIndexedParent:
     @property
     def att_type(self):
         return self.da.att_type
+
+
+def _decode_normals_vectorized(view, sequence, symbols, flips,
+                               pos_parent) -> np.ndarray:
+    """Whole-traversal normal decode: batched ring-sum prediction (the ring
+    is traversal-state-independent) + batched oct-orthogonal inverse
+    transform. Bit-identical to the scalar loop (pinned by round-trip
+    tests); the scalar path remains for other transform combinations."""
+    from ..shared.octahedral import invert_diamond, invert_diamond_inverse_batched
+    from ..shared.prediction import NormalPrediction
+
+    T = len(sequence)
+    preds = NormalPrediction.predict_sequence(view, sequence, pos_parent)
+    fl = np.asarray(flips[:T], dtype=bool)
+    preds = np.where(fl[:, None], -preds, preds)
+    corr = np.asarray(symbols[:T], dtype=np.int64)
+
+    one = 255 // 2
+    p = preds - one
+    flip = np.abs(p).sum(axis=1) > one
+    p = np.where(flip[:, None], invert_diamond(p), p)
+
+    # rotation count: smallest r in 0..3 with rot^r(p) in the third
+    # quadrant (x < 0, y <= 0); zero vectors don't rotate
+    rots = [p]
+    for _ in range(3):
+        q = rots[-1]
+        rots.append(np.stack([-q[:, 1], q[:, 0]], axis=1))
+    rots = np.stack(rots)                                  # (4, T, 2)
+    in_q3 = (rots[..., 0] < 0) & (rots[..., 1] <= 0)
+    r = np.where(p.any(axis=1), np.argmax(in_q3, axis=0), 0)
+    idx = np.arange(T)
+    p_rot = rots[r, idx]
+
+    o = ((p_rot + corr + one) % 255) - one
+    # undo rotations (inverse rot (x,y)->(y,-x) applied r times)
+    outs = [o]
+    for _ in range(3):
+        q = outs[-1]
+        outs.append(np.stack([q[:, 1], -q[:, 0]], axis=1))
+    o = np.stack(outs)[r, idx]
+    o = np.where(flip[:, None], invert_diamond_inverse_batched(o), o)
+    vals = o + one
+
+    _opp, ctv, _lm = view.as_arrays()
+    vbv = np.zeros((view.num_vertices, 2), dtype=np.int64)
+    vbv[ctv[np.asarray(sequence, dtype=np.int64)]] = vals
+    return vbv
 
 
 def _read_transform_meta(reader, xform_id, out: dict) -> None:

@@ -41,6 +41,11 @@ def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
     return PRED_DELTA, XFORM_DIFFERENCE
 
 
+# batched normal/texcoord prediction (bit-identical to the scalar loops);
+# the flag exists so byte-equality tests can force the scalar path
+VECTORIZED_PREDICTIONS = True
+
+
 def encode_attributes(attributes: list[Attribute], writer,
                       conn_out: ConnectivityOutput, recorder=None,
                       sequences: dict | None = None,
@@ -132,6 +137,29 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     if scheme_id in (PRED_PARALLELOGRAM, PRED_DELTA) and len(sequence):
         origs, preds = _vectorized_predict(
             scheme_id, view, sequence, port_att, per_point)
+    elif scheme_id == PRED_NORMAL and len(sequence) and VECTORIZED_PREDICTIONS:
+        # ring sums are traversal-state-independent -> fully batched
+        from ..shared.prediction import NormalPrediction
+        preds = NormalPrediction.predict_sequence(view, sequence, parents[0])
+        seq_arr = np.asarray(sequence, dtype=np.int64)
+        pts = np.asarray(view.u.faces_points, dtype=np.int64).ravel()[seq_arr]
+        origs = per_point[pts]
+        d1 = preds - origs
+        d2 = -preds - origs
+        flips = np.einsum("ij,ij->i", d1, d1) > np.einsum("ij,ij->i", d2, d2)
+        preds = np.where(flips[:, None], -preds, preds)
+        pred.flips = [bool(f) for f in flips]
+    elif (scheme_id == PRED_TEX_COORDS and len(sequence)
+          and VECTORIZED_PREDICTIONS):
+        # visited-state checks reduce to first-occurrence masks on the
+        # encoder, so the UV prediction runs fully batched
+        from ..shared.prediction import TexCoordPrediction
+        preds, orients = TexCoordPrediction.predict_sequence(
+            view, sequence, parents[0], per_point)
+        seq_arr = np.asarray(sequence, dtype=np.int64)
+        pts = np.asarray(view.u.faces_points, dtype=np.int64).ravel()[seq_arr]
+        origs = per_point[pts]
+        pred.orientations = [bool(o) for o in orients]
     else:
         def att_get(p: int) -> np.ndarray:
             return per_point[p]

@@ -132,3 +132,21 @@ def oct_quantize_normals(vals: np.ndarray, bits: int) -> np.ndarray:
     quantized = (oct.astype(np.float32) * scale).astype(np.float32)
     q = quantized.astype(np.int64)  # f32 -> int truncation toward zero
     return into_faithful_oct_quantization(q).astype(np.int32)
+
+
+def invert_diamond_inverse_batched(w: np.ndarray) -> np.ndarray:
+    """Vectorized invert_diamond_inverse over (T, 2) points: evaluate all
+    five candidate preimages, forward-map them in one batch, and take the
+    first that maps to ``w`` (same preference order as the scalar form)."""
+    w = np.asarray(w, dtype=np.int64)
+    T = len(w)
+    cands = np.stack([
+        invert_diamond(w),
+        np.stack([127 - w[:, 1], 127 - w[:, 0]], axis=1),
+        np.stack([-w[:, 1] - 127, -w[:, 0] - 127], axis=1),
+        np.stack([w[:, 1] + 127, w[:, 0] - 127], axis=1),
+        np.stack([w[:, 1] - 127, w[:, 0] + 127], axis=1),
+    ])                                                   # (5, T, 2)
+    ok = (invert_diamond(cands) == w[None]).all(axis=-1)  # (5, T)
+    first = np.argmax(ok, axis=0)  # 0 when none match == scalar fallback
+    return cands[first, np.arange(T)]

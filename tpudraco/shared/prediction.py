@@ -201,6 +201,104 @@ class NormalPrediction(BasePrediction):
             self.flips.append(False)
         return out
 
+    @staticmethod
+    def predict_sequence(view: TableView, sequence, pos_parent) -> np.ndarray:
+        """Vectorized ring-sum normal prediction for the whole traversal.
+
+        The ring around each visited vertex is traversal-state-independent
+        (the scalar predict() walks the static corner table only), so the
+        entire (T, 2) prediction array computes as batched numpy: a masked
+        swing walk collects per-vertex corner rings, face-normal cross
+        products accumulate with the reference's per-face i32 wraparound,
+        and the octahedral quantization pipeline runs batched. Bit-identical
+        to the scalar path (pinned by tests)."""
+        from ..models.corner_table import next_corners, prev_corners
+
+        seq = np.asarray(sequence, dtype=np.int64)
+        T = len(seq)
+        if T == 0:
+            return np.zeros((0, 2), dtype=np.int64)
+        eff_opp, ctv, _lm = view.as_arrays()
+        eff_opp = np.asarray(eff_opp, dtype=np.int64)
+        if hasattr(view, "u"):  # encoder TableView: universal point map
+            points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+        else:  # decoder view: point(c) == c
+            points = np.arange(view.num_corners, dtype=np.int64)
+        if hasattr(pos_parent, "unique_indices"):  # encoder Attribute
+            posvals = pos_parent.values[pos_parent.unique_indices()].astype(
+                np.int64)
+        else:  # decoder _CornerIndexedParent: per-corner quantized values
+            da = pos_parent.da
+            posvals = np.asarray(da.quantized_by_vertex, dtype=np.int64)[
+                np.asarray(da.vertex_of_corner, dtype=np.int64)]
+
+        def swing(c, left):
+            base = np.where(c >= 0, c, 0)
+            step = next_corners(base) if left else prev_corners(base)
+            o = eff_opp[step]
+            ob = np.where(o >= 0, o, 0)
+            res = next_corners(ob) if left else prev_corners(ob)
+            return np.where((c >= 0) & (o >= 0), res, NONE)
+
+        counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
+        maxv = int(np.max(counts))
+
+        # leftmost walk (swing left until boundary or full circle)
+        cur = seq.copy()
+        frozen = np.zeros(T, dtype=bool)
+        for _ in range(maxv + 1):
+            nl = swing(cur, left=True)
+            can = ~frozen & (nl != NONE)
+            cur = np.where(can, nl, cur)
+            frozen |= ~can | (can & (nl == seq))
+            if frozen.all():
+                break
+
+        # collect rings by swinging right from the start corner
+        rings = np.full((T, maxv), NONE, dtype=np.int64)
+        rings[:, 0] = cur
+        active = np.ones(T, dtype=bool)
+        prev_cur = cur
+        for i in range(1, maxv):
+            nxt = swing(prev_cur, left=False)
+            ok = active & (nxt != NONE) & (nxt != rings[:, 0])
+            rings[:, i] = np.where(ok, nxt, NONE)
+            active = ok
+            prev_cur = np.where(ok, nxt, prev_cur)
+
+        wrap32 = lambda x: ((x + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)  # noqa: E731
+        rbase = np.where(rings >= 0, rings, 0)
+        pos_tip = posvals[points[seq]][:, None, :]          # (T, 1, 3)
+        pn = posvals[points[next_corners(rbase)]] - pos_tip  # (T, R, 3)
+        pp = posvals[points[prev_corners(rbase)]] - pos_tip
+        cr = np.stack([
+            wrap32(pn[..., 1] * pp[..., 2] - pn[..., 2] * pp[..., 1]),
+            wrap32(pn[..., 2] * pp[..., 0] - pn[..., 0] * pp[..., 2]),
+            wrap32(pn[..., 0] * pp[..., 1] - pn[..., 1] * pp[..., 0]),
+        ], axis=-1)
+        cr = np.where((rings >= 0)[..., None], cr, 0)
+        total = cr.sum(axis=1)                               # (T, 3)
+
+        upper = 1 << 29
+        abs_sum = np.abs(total).sum(axis=1)
+        big = abs_sum > upper
+        q = np.where(big, abs_sum // upper, 1)
+        total = np.where(big[:, None],
+                         np.sign(total) * (np.abs(total) // q[:, None]),
+                         total)
+        total = wrap32(total)
+
+        nonzero = total.any(axis=1)
+        # zero totals bypass the transform (scalar early-out); substitute a
+        # unit vector so the batched normalize never divides by zero
+        total = np.where(nonzero[:, None], total,
+                         np.array([1, 0, 0], dtype=np.int64))
+        oct = octahedral_transform(total.astype(np.int32)) + np.float32(1.0)
+        quant = (oct * np.float32((1 << 7) - 1)).astype(np.float32)
+        out = into_faithful_oct_quantization(
+            quant.astype(np.int64)).astype(np.int64)
+        return np.where(nonzero[:, None], out, 0)
+
     def metadata_bytes(self, writer) -> None:
         """Flip bits RAbS-coded, written in forward order
         (mesh_normal_prediction.rs:147-164)."""
@@ -317,6 +415,157 @@ class TexCoordPrediction(BasePrediction):
                         pred = pred1
                 return np.array([_i32(pred[0]), _i32(pred[1])], dtype=np.int64)
         return self._fallback(c, state, att_get)
+
+    @staticmethod
+    def _int_sqrt_vec(value: np.ndarray) -> np.ndarray:
+        """Vectorized replica of _int_sqrt (Newton from a power-of-two seed,
+        then downward refinement). Caller guarantees value < 2**62 so the
+        sqrt*sqrt probe can't overflow int64."""
+        value = value.astype(np.int64)
+        act = value.copy()
+        sqrt = np.ones_like(value)
+        for _ in range(32):
+            m = act >= 2
+            if not m.any():
+                break
+            sqrt = np.where(m, sqrt * 2, sqrt)
+            act = np.where(m, act // 4, act)
+        nz = value > 0
+        safe = np.where(nz, sqrt, 1)
+        sqrt = np.where(nz, (sqrt + value // safe) // 2, 0)
+        for _ in range(64):
+            over = nz & (sqrt * sqrt > value)
+            if not over.any():
+                break
+            safe = np.where(sqrt > 0, sqrt, 1)
+            sqrt = np.where(over, (sqrt + value // safe) // 2, sqrt)
+        return sqrt
+
+    @classmethod
+    def predict_sequence(cls, view, sequence, pos_parent, uvals_by_point):
+        """Vectorized encoder-side UV prediction for the whole traversal.
+
+        On the encoder every attribute value is known upfront, so the
+        visited-vertex checks reduce to first-occurrence masks over the
+        sequence and the geometric branch runs as batched int64 math. Rows
+        whose intermediates could exceed int64 (impossible for default
+        10-bit UV / 11-bit position quantization, where the scalar path's
+        arbitrary-precision Python ints would differ) fall back to the
+        scalar predict row-by-row. Returns (preds (T,2) int64,
+        orientations bool (G,) in geometric-branch order) — bit-identical
+        to the scalar loop (pinned by tests)."""
+        from ..models.corner_table import next_corners, prev_corners
+
+        seq = np.asarray(sequence, dtype=np.int64)
+        T = len(seq)
+        if T == 0:
+            return np.zeros((0, 2), dtype=np.int64), np.zeros(0, dtype=bool)
+        eff_opp, ctv, lm = view.as_arrays()
+        if hasattr(view, "u"):
+            points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+        else:
+            points = np.arange(view.num_corners, dtype=np.int64)
+        uvals = np.asarray(uvals_by_point, dtype=np.int64)
+
+        num_pp = pos_parent.num_points
+        if hasattr(pos_parent, "unique_indices"):
+            pvals = pos_parent.values[pos_parent.unique_indices()].astype(
+                np.int64)
+        else:
+            da = pos_parent.da
+            pvals = np.asarray(da.quantized_by_vertex, dtype=np.int64)[
+                np.asarray(da.vertex_of_corner, dtype=np.int64)]
+
+        def pos_at(pts):
+            ok = pts < num_pp
+            base = np.where(ok, pts, 0)
+            return np.where(ok[:, None], pvals[base], 0)
+
+        nc, pc = next_corners(seq), prev_corners(seq)
+        vn, vp = ctv[nc], ctv[pc]
+        ks = np.arange(T)
+        pos_in_seq = np.full(view.num_vertices, T, dtype=np.int64)
+        pos_in_seq[ctv[seq]] = ks
+        vis_n = pos_in_seq[np.clip(vn, 0, view.num_vertices - 1)] < ks
+        vis_p = pos_in_seq[np.clip(vp, 0, view.num_vertices - 1)] < ks
+        vis_n &= vn >= 0
+        vis_p &= vp >= 0
+
+        npt, ppt, cpt = points[nc], points[pc], points[seq]
+        next_uv, prev_uv, curr_uv = uvals[npt], uvals[ppt], uvals[cpt]
+        cpos, npos, ppos = pos_at(cpt), pos_at(npt), pos_at(ppt)
+
+        geo_try = vis_n & vis_p
+        eq = (next_uv == prev_uv).all(axis=1)
+        pn = ppos - npos
+        pn_norm2 = np.einsum("ij,ij->i", pn, pn)
+        nz = pn_norm2 != 0
+        cn = cpos - npos
+        cn_dot_pn = np.einsum("ij,ij->i", pn, cn)
+        pn_uv = prev_uv - next_uv
+
+        i64max = (1 << 63) - 1
+        pn_norm2_s = np.where(nz, pn_norm2, 1)
+        g1 = np.abs(next_uv).max(axis=1) > i64max // pn_norm2_s
+        pn_uv_am = np.abs(pn_uv).max(axis=1)
+        g2 = (pn_uv_am != 0) & (np.abs(cn_dot_pn)
+                                > i64max // np.where(pn_uv_am != 0,
+                                                     pn_uv_am, 1))
+        pn_am = np.abs(pn).max(axis=1)
+        g3 = np.abs(cn_dot_pn) > i64max // np.where(pn_am != 0, pn_am, 1)
+        geo = geo_try & ~eq & nz & ~(g1 | g2 | g3)
+
+        def tdiv(a, b):
+            return np.sign(a) * np.sign(b) * (np.abs(a) // np.abs(b))
+
+        x_uv = next_uv * pn_norm2_s[:, None] + pn_uv * cn_dot_pn[:, None]
+        x_pos = npos + tdiv(pn * cn_dot_pn[:, None], pn_norm2_s[:, None])
+        cx = cpos - x_pos
+        cx_norm2 = np.einsum("ij,ij->i", cx, cx)
+        prod = cx_norm2.astype(np.uint64) * pn_norm2.astype(np.uint64)
+        # rows whose sqrt input or uv scaling could exceed the vectorized
+        # int64 headroom run the exact scalar path instead
+        risky = geo & (prod >= np.uint64(1 << 62))
+        prod_c = np.where(risky | ~geo, 0, prod).astype(np.int64)
+        norm_sq = cls._int_sqrt_vec(prod_c)
+        risky |= geo & ((np.maximum(pn_uv_am, 1) * norm_sq) >= (1 << 62))
+        risky |= geo & (np.abs(x_uv).max(axis=1) >= (1 << 62))
+        geo_v = geo & ~risky
+
+        cx_uv = np.stack([pn_uv[:, 1], -pn_uv[:, 0]],
+                         axis=1) * norm_sq[:, None]
+        pred0 = tdiv(x_uv + cx_uv, pn_norm2_s[:, None])
+        pred1 = tdiv(x_uv - cx_uv, pn_norm2_s[:, None])
+        d0 = curr_uv - pred0
+        d1 = curr_uv - pred1
+        orient = (np.einsum("ij,ij->i", d0, d0)
+                  < np.einsum("ij,ij->i", d1, d1))
+        wrap32 = lambda x: ((x + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)  # noqa: E731
+        pred_geo = wrap32(np.where(orient[:, None], pred0, pred1))
+
+        # fallback values: uv[next] when next visited, else the most recent
+        # visited vertex's value (zeros at the very first step)
+        last_pts = points[lm[ctv[seq[:-1]]]]
+        lastvals = np.zeros((T, 2), dtype=np.int64)
+        lastvals[1:] = uvals[last_pts]
+        fb = np.where(vis_n[:, None], next_uv, lastvals)
+
+        preds = np.where(geo_v[:, None], pred_geo, fb)
+        orientations = orient[geo_v | risky].copy()
+
+        if risky.any():
+            scal = cls(view, [pos_parent], 2)
+            orient_rows = np.flatnonzero(geo_v | risky)
+            for k in np.flatnonzero(risky):
+                state = PredictionState(view.num_vertices)
+                for v in ctv[seq[:k]]:
+                    state.push(int(v))
+                preds[k] = scal.predict(
+                    int(seq[k]), state, lambda p: uvals[p])
+                if scal.orientations:
+                    oi = int(np.searchsorted(orient_rows, k))
+                    orientations[oi] = scal.orientations.pop()
+        return preds, orientations
 
     def decode_orientation(self, o: bool) -> None:
         self.orientations.append(o)
