@@ -130,3 +130,16 @@ def test_duck_encode_bytes_equal_scalar_path(monkeypatch):
     blob_fast = encode(mesh)
     monkeypatch.setattr(ea, "VECTORIZED_PREDICTIONS", False)
     assert blob_fast == encode(mesh)
+
+
+def test_native_uv_decode_chain_matches_scalar(monkeypatch):
+    from tpudraco.decode import decode
+    from tpudraco.native import topo as NT
+
+    mesh = _textured_grid(n=6, seed=5)
+    blob = encode(mesh)
+    fast = decode(blob)
+    monkeypatch.setattr(NT, "decode_texcoords", lambda *a, **k: None)
+    slow = decode(blob)
+    for a, b in zip(fast.attributes, slow.attributes):
+        assert np.array_equal(np.asarray(a.values), np.asarray(b.values))

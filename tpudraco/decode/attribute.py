@@ -231,6 +231,21 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
         values_by_vertex = _decode_normals_vectorized(
             view, sequence, symbols, flips, parents[0])
 
+    if (values_by_vertex is None and scheme_id == PRED_TEX_COORDS
+            and parents and orientations is not None
+            and xform_id == XFORM_WRAPPED_DIFFERENCE):
+        # native sequential UV chain (prediction reads previously decoded
+        # values, so this stays a per-step recurrence — in C++)
+        from ..native import topo as _ntopo
+        arrays = view.as_arrays()
+        da = parents[0].da
+        pos_by_corner = np.asarray(da.quantized_by_vertex, dtype=np.int64)[
+            np.asarray(da.vertex_of_corner, dtype=np.int64)]
+        values_by_vertex = _ntopo.decode_texcoords(
+            arrays[0], arrays[1], arrays[2], np.asarray(sequence),
+            symbols.astype(np.uint64), orientations, pos_by_corner,
+            xmeta["min"], xmeta["max"], view.num_vertices)
+
     if values_by_vertex is None:
         pred = make_prediction(scheme_id, view, parents, n)
         state = PredictionState(view.num_vertices)

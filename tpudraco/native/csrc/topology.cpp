@@ -573,6 +573,147 @@ int32_t tpud_edgebreaker(const int64_t* opposite, const int64_t* ctv,
     return 0;
 }
 
+// Sequential UV decode chain (decoder-side TexCoordPrediction +
+// wrapped-difference inverse; shared/attribute/prediction.py predict and
+// reference mesh_prediction_for_texture_coordinates.rs). The decoder's UV
+// prediction reads previously *decoded* values, so the chain is inherently
+// sequential; intermediates use __int128 to match the Python path's
+// arbitrary-precision ints under the reference's i64-overflow guards.
+static int64_t isqrt_u64(uint64_t value) {
+    if (value == 0) return 0;
+    uint64_t act = value;
+    unsigned __int128 sqrt = 1;
+    while (act >= 2) { sqrt <<= 1; act >>= 2; }
+    sqrt = (sqrt + value / (uint64_t)sqrt) >> 1;
+    while (sqrt * sqrt > (unsigned __int128)value)
+        sqrt = (sqrt + value / (uint64_t)sqrt) >> 1;
+    return (int64_t)sqrt;
+}
+
+static inline int64_t wrap_i32(__int128 v) {
+    return (int64_t)((((v % ((__int128)1 << 32)) + ((__int128)1 << 32)
+                      + ((__int128)1 << 31)) % ((__int128)1 << 32))
+                     - ((__int128)1 << 31));
+}
+
+int32_t tpud_decode_texcoords(
+        const int64_t* opposite, const int64_t* ctv, const int64_t* lm,
+        const int64_t* seq, int64_t T, const uint64_t* corr,
+        const uint8_t* orientations, int64_t n_orient,
+        const int64_t* pos_by_corner, int64_t num_pos_corners,
+        int64_t vmin, int64_t vmax, int64_t V, int64_t* out) {
+    (void)opposite; (void)lm;
+    std::vector<uint8_t> visited(V, 0);
+    int64_t last_v = -2;
+    int64_t oi = 0;
+    const int64_t max_diff = 1 + vmax - vmin;
+    const int64_t i64max = INT64_MAX;
+
+    auto unzig = [](uint64_t u) -> int64_t {
+        return (u & 1) ? -(int64_t)(u >> 1) - 1 : (int64_t)(u >> 1);
+    };
+
+    for (int64_t k = 0; k < T; ++k) {
+        const int64_t c = seq[k];
+        const int64_t nc = next_c(c), pc = prev_c(c);
+        const int64_t van = ctv[nc], vap = ctv[pc];
+        int64_t pred[2] = {0, 0};
+        bool have = false;
+
+        if (van >= 0 && vap >= 0 && visited[van] && visited[vap]) {
+            const int64_t* next_uv = &out[2 * van];
+            const int64_t* prev_uv = &out[2 * vap];
+            if (next_uv[0] == prev_uv[0] && next_uv[1] == prev_uv[1]) {
+                pred[0] = prev_uv[0]; pred[1] = prev_uv[1];
+                have = true;
+            } else {
+                int64_t cpos[3] = {0, 0, 0}, npos[3] = {0, 0, 0},
+                        ppos[3] = {0, 0, 0};
+                if (c < num_pos_corners)
+                    for (int i = 0; i < 3; ++i) cpos[i] = pos_by_corner[3 * c + i];
+                if (nc < num_pos_corners)
+                    for (int i = 0; i < 3; ++i) npos[i] = pos_by_corner[3 * nc + i];
+                if (pc < num_pos_corners)
+                    for (int i = 0; i < 3; ++i) ppos[i] = pos_by_corner[3 * pc + i];
+                int64_t pn[3], cn[3];
+                __int128 pn_norm2 = 0, cn_dot_pn = 0;
+                for (int i = 0; i < 3; ++i) {
+                    pn[i] = ppos[i] - npos[i];
+                    cn[i] = cpos[i] - npos[i];
+                    pn_norm2 += (__int128)pn[i] * pn[i];
+                    cn_dot_pn += (__int128)pn[i] * cn[i];
+                }
+                if (pn_norm2 != 0) {
+                    const int64_t pn_uv[2] = {prev_uv[0] - next_uv[0],
+                                              prev_uv[1] - next_uv[1]};
+                    int64_t n_uv_am = std::max(std::abs(next_uv[0]),
+                                               std::abs(next_uv[1]));
+                    int64_t pn_uv_am = std::max(std::abs(pn_uv[0]),
+                                                std::abs(pn_uv[1]));
+                    int64_t pn_am = std::max(
+                        {std::abs(pn[0]), std::abs(pn[1]), std::abs(pn[2])});
+                    __int128 cdp_abs = cn_dot_pn < 0 ? -cn_dot_pn : cn_dot_pn;
+                    bool guarded =
+                        (__int128)n_uv_am > (__int128)i64max / pn_norm2
+                        || (pn_uv_am
+                            && cdp_abs > (__int128)(i64max / pn_uv_am))
+                        || (pn_am
+                            && cdp_abs > (__int128)(i64max / pn_am));
+                    if (!guarded) {
+                        __int128 x_uv[2], x_pos[3], cx[3];
+                        for (int i = 0; i < 2; ++i)
+                            x_uv[i] = (__int128)next_uv[i] * pn_norm2
+                                      + (__int128)pn_uv[i] * cn_dot_pn;
+                        __int128 cx_norm2 = 0;
+                        for (int i = 0; i < 3; ++i) {
+                            __int128 num = (__int128)pn[i] * cn_dot_pn;
+                            __int128 q = num / pn_norm2;  // trunc toward 0
+                            x_pos[i] = (__int128)npos[i] + q;
+                            cx[i] = (__int128)cpos[i] - x_pos[i];
+                            cx_norm2 += cx[i] * cx[i];
+                        }
+                        uint64_t val = (uint64_t)(
+                            (unsigned __int128)(cx_norm2 * pn_norm2));
+                        int64_t norm_sq = isqrt_u64(val);
+                        __int128 cx_uv0 = (__int128)pn_uv[1] * norm_sq;
+                        __int128 cx_uv1 = (__int128)(-pn_uv[0]) * norm_sq;
+                        __int128 p0[2] = {(x_uv[0] + cx_uv0) / pn_norm2,
+                                          (x_uv[1] + cx_uv1) / pn_norm2};
+                        __int128 p1[2] = {(x_uv[0] - cx_uv0) / pn_norm2,
+                                          (x_uv[1] - cx_uv1) / pn_norm2};
+                        if (oi >= n_orient) return -1;
+                        const bool o = orientations[oi++] != 0;
+                        pred[0] = wrap_i32(o ? p0[0] : p1[0]);
+                        pred[1] = wrap_i32(o ? p0[1] : p1[1]);
+                        have = true;
+                    }
+                }
+            }
+        }
+        if (!have) {
+            if (van >= 0 && visited[van]) {
+                pred[0] = out[2 * van]; pred[1] = out[2 * van + 1];
+            } else if (last_v >= 0) {
+                pred[0] = out[2 * last_v]; pred[1] = out[2 * last_v + 1];
+            }  // else zeros (first step)
+        }
+
+        // inverse wrapped difference (decode/attribute.py inv)
+        const int64_t v = ctv[c];
+        if (v < 0 || v >= V) return -1;
+        for (int i = 0; i < 2; ++i) {
+            int64_t pc_ = std::min(std::max(pred[i], vmin), vmax);
+            int64_t t = pc_ + unzig(corr[2 * k + i]);
+            if (t > vmax) t -= max_diff;
+            else if (t < vmin) t += max_diff;
+            out[2 * v + i] = t;
+        }
+        visited[v] = 1;
+        last_v = v;
+    }
+    return 0;
+}
+
 // Bulk CrLight CLERS decode, LSB-first (shared/clers.py crlight_decode).
 // Returns 0 or -1 on bitstream underrun.
 int32_t tpud_crlight_decode(const uint8_t* bytes, int64_t nbytes,

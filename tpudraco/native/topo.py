@@ -53,6 +53,10 @@ def _lib():
             i64, I64P]
         lib.tpud_crlight_decode.restype = i32
         lib.tpud_crlight_decode.argtypes = [U8P, i64, i64, I32P]
+        lib.tpud_decode_texcoords.restype = i32
+        lib.tpud_decode_texcoords.argtypes = [
+            I64P, I64P, I64P, I64P, i64, U64P, U8P, i64, I64P, i64,
+            i64, i64, i64, I64P]
         lib.tpud_spirale.restype = i64
         lib.tpud_spirale.argtypes = [
             I32P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
@@ -265,3 +269,37 @@ def spirale(symbols: np.ndarray, num_split_symbols: int, num_vertices: int,
         "invalid_vertices": invalid[:int(invalid_len[0])].tolist(),
         "num_decoded_faces": int(faces),
     }
+
+
+def decode_texcoords(opposite_eff, ctv, lm, seq, corr: np.ndarray,
+                     orientations, pos_by_corner: np.ndarray,
+                     vmin: int, vmax: int,
+                     num_vertices: int) -> np.ndarray | None:
+    """Sequential UV decode chain (TexCoordPrediction + wrapped-difference
+    inverse) in C++. corr (T, 2) uint64 zigzagged residuals; orientations
+    the RAbS-decoded per-choice bits; pos_by_corner (C, 3) the decoded
+    position values per corner. Returns values_by_vertex (V, 2)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite_eff = np.ascontiguousarray(opposite_eff, dtype=np.int64)
+    ctv = np.ascontiguousarray(ctv, dtype=np.int64)
+    lm = np.ascontiguousarray(lm, dtype=np.int64)
+    seq = np.ascontiguousarray(seq, dtype=np.int64)
+    corr = np.ascontiguousarray(corr, dtype=np.uint64)
+    orients = np.ascontiguousarray(
+        [1 if o else 0 for o in orientations], dtype=np.uint8)
+    if len(orients) == 0:
+        orients = np.zeros(1, dtype=np.uint8)
+    pos_by_corner = np.ascontiguousarray(pos_by_corner, dtype=np.int64)
+    T = len(seq)
+    out = np.zeros((num_vertices, 2), dtype=np.int64)
+    import ctypes as _ct
+    u64p = corr.ctypes.data_as(_ct.POINTER(_ct.c_uint64))
+    rc = lib.tpud_decode_texcoords(
+        _i64p(opposite_eff), _i64p(ctv), _i64p(lm), _i64p(seq), T, u64p,
+        _u8p(orients), len(orientations), _i64p(pos_by_corner),
+        len(pos_by_corner), vmin, vmax, num_vertices, _i64p(out))
+    if rc != 0:
+        return None
+    return out

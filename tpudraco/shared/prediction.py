@@ -505,6 +505,9 @@ class TexCoordPrediction(BasePrediction):
         pn_uv = prev_uv - next_uv
 
         i64max = (1 << 63) - 1
+        # positions wider than ~20 bits could overflow the int64 norm math
+        # below; route such rows through the exact scalar path
+        wide = np.abs(pn).max(axis=1) >= (1 << 20)
         pn_norm2_s = np.where(nz, pn_norm2, 1)
         g1 = np.abs(next_uv).max(axis=1) > i64max // pn_norm2_s
         pn_uv_am = np.abs(pn_uv).max(axis=1)
@@ -530,6 +533,7 @@ class TexCoordPrediction(BasePrediction):
         norm_sq = cls._int_sqrt_vec(prod_c)
         risky |= geo & ((np.maximum(pn_uv_am, 1) * norm_sq) >= (1 << 62))
         risky |= geo & (np.abs(x_uv).max(axis=1) >= (1 << 62))
+        risky |= geo_try & ~eq & wide
         geo_v = geo & ~risky
 
         cx_uv = np.stack([pn_uv[:, 1], -pn_uv[:, 0]],
@@ -551,21 +555,21 @@ class TexCoordPrediction(BasePrediction):
         fb = np.where(vis_n[:, None], next_uv, lastvals)
 
         preds = np.where(geo_v[:, None], pred_geo, fb)
-        orientations = orient[geo_v | risky].copy()
+        orient_flags = geo_v.copy()
+        orient_vals = orient.copy()
 
         if risky.any():
             scal = cls(view, [pos_parent], 2)
-            orient_rows = np.flatnonzero(geo_v | risky)
             for k in np.flatnonzero(risky):
                 state = PredictionState(view.num_vertices)
                 for v in ctv[seq[:k]]:
                     state.push(int(v))
                 preds[k] = scal.predict(
                     int(seq[k]), state, lambda p: uvals[p])
-                if scal.orientations:
-                    oi = int(np.searchsorted(orient_rows, k))
-                    orientations[oi] = scal.orientations.pop()
-        return preds, orientations
+                if scal.orientations:  # scalar hit the orientation choice
+                    orient_vals[k] = scal.orientations.pop()
+                    orient_flags[k] = True
+        return preds, orient_vals[orient_flags]
 
     def decode_orientation(self, o: bool) -> None:
         self.orientations.append(o)
