@@ -222,23 +222,17 @@ def _decode_att_seams(ct: DecodedCornerTable, num_symbols: int,
         out.append(seam)
     if not seam_streams:
         return out
-    # first pass: collect the edge replay order, then bulk-decode each
-    # attribute's RAbS stream (native fast path) and scatter the marks
-    visited = np.zeros(ct.num_faces(), dtype=bool)
-    edges: list[tuple[int, int]] = []
-    for f in range(num_symbols):
-        c = 3 * f
-        visited[f] = True
-        for ci in (c, c + 1, c + 2):
-            opp = ct.opp(ci)
-            if opp == NONE or visited[opp // 3]:
-                continue
-            edges.append((ci, opp))
-    if edges:
-        earr = np.asarray(edges, dtype=np.int64)
+    # collect the edge replay order vectorized: symbol faces replay in id
+    # order, so "opposite face not yet visited" is just opp_face > f
+    fs = np.arange(num_symbols, dtype=np.int64)
+    corners3 = np.stack([3 * fs, 3 * fs + 1, 3 * fs + 2], axis=1)
+    opp3 = np.asarray(ct.opposite, dtype=np.int64)[corners3]
+    emit = (opp3 != NONE) & (opp3 // 3 > fs[:, None])
+    earr = np.stack([corners3[emit], opp3[emit]], axis=1)
+    if len(earr):
         for j, (prob, blob) in enumerate(seam_streams):
             dec = RabsDecoder(ByteReader(blob), len(blob), prob)
-            bits = dec.read_all(len(edges)).astype(bool)
+            bits = dec.read_all(len(earr)).astype(bool)
             out[j][earr[bits, 0]] = True
             out[j][earr[bits, 1]] = True
     return out

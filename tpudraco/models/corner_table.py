@@ -301,6 +301,20 @@ def recompute_attribute_vertices(ct, is_edge_on_seam: np.ndarray,
     num_vertices); seam-aware swing-left uses ``is_edge_on_seam``.
     Returns (corner_to_vertex, left_most_per_new_vertex, num_new_vertices,
     vertex_to_attribute_map-or-None)."""
+    from ..native import topo as _ntopo
+
+    opposite = getattr(ct, "opposite", None)
+    if opposite is not None:
+        if hasattr(ct, "faces_points"):
+            pts = np.asarray(ct.faces_points, dtype=np.int64).ravel()
+        else:  # decoder table: point(c) == c
+            pts = np.arange(ct.num_corners, dtype=np.int64)
+        res = _ntopo.recompute_attribute_vertices(
+            opposite, pts, np.asarray(ct.left_most, dtype=np.int64),
+            is_edge_on_seam, is_vertex_on_seam, att_unique_of_point,
+            ct.num_vertices)
+        if res is not None:
+            return res
 
     def seam_swing_left(c: int) -> int:
         nc = next_corner(c)

@@ -573,6 +573,53 @@ int32_t tpud_edgebreaker(const int64_t* opposite, const int64_t* ctv,
     return 0;
 }
 
+// Seam-splitting vertex recomputation for attribute corner tables
+// (models/corner_table.py recompute_attribute_vertices; reference
+// attribute_corner_table.rs:79-137). Sequential swing walks per vertex.
+// Returns num_new_vertices, or -1 on a closed seam-vertex loop.
+int64_t tpud_recompute_attribute_vertices(
+        const int64_t* opposite, const int64_t* points, const int64_t* lm,
+        const uint8_t* edge_seam, const uint8_t* vertex_seam,
+        const int64_t* att_unique_of_point, int32_t has_v2a,
+        int64_t C, int64_t V,
+        int64_t* corner_to_vertex, int64_t* left_most_out, int64_t* v2a_out) {
+    Nav nav{opposite};
+    int64_t num_new = 0;
+    for (int64_t v = 0; v < V; ++v) {
+        const int64_t c0 = lm[v];
+        int64_t first_vert_id = num_new++;
+        if (has_v2a) v2a_out[first_vert_id] = att_unique_of_point[points[c0]];
+        int64_t first_c = c0;
+        if (vertex_seam[v]) {
+            // seam-aware swing-left until a seam/boundary stops the walk
+            int64_t curr = first_c;
+            for (;;) {
+                const int64_t nc = next_c(curr);
+                if (edge_seam[nc]) { break; }
+                const int64_t o = opposite[nc];
+                if (o == NONE) { break; }
+                curr = next_c(o);
+                if (curr == c0) return -1;  // closed loop on a seam vertex
+                first_c = curr;
+            }
+        }
+        corner_to_vertex[first_c] = first_vert_id;
+        left_most_out[first_vert_id] = first_c;
+        int64_t curr = nav.swing_right(first_c);  // universal swing
+        while (curr != NONE && curr != first_c) {
+            if (edge_seam[next_c(curr)]) {
+                first_vert_id = num_new++;
+                if (has_v2a)
+                    v2a_out[first_vert_id] = att_unique_of_point[points[curr]];
+                left_most_out[first_vert_id] = curr;
+            }
+            corner_to_vertex[curr] = first_vert_id;
+            curr = nav.swing_right(curr);
+        }
+    }
+    return num_new;
+}
+
 // Sequential UV decode chain (decoder-side TexCoordPrediction +
 // wrapped-difference inverse; shared/attribute/prediction.py predict and
 // reference mesh_prediction_for_texture_coordinates.rs). The decoder's UV

@@ -57,6 +57,10 @@ def _lib():
         lib.tpud_decode_texcoords.argtypes = [
             I64P, I64P, I64P, I64P, i64, U64P, U8P, i64, I64P, i64,
             i64, i64, i64, I64P]
+        lib.tpud_recompute_attribute_vertices.restype = i64
+        lib.tpud_recompute_attribute_vertices.argtypes = [
+            I64P, I64P, I64P, U8P, U8P, I64P, i32, i64, i64,
+            I64P, I64P, I64P]
         lib.tpud_spirale.restype = i64
         lib.tpud_spirale.argtypes = [
             I32P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
@@ -303,3 +307,35 @@ def decode_texcoords(opposite_eff, ctv, lm, seq, corr: np.ndarray,
     if rc != 0:
         return None
     return out
+
+
+def recompute_attribute_vertices(opposite, points, lm, edge_seam,
+                                 vertex_seam, att_unique_of_point,
+                                 num_vertices: int):
+    """Seam-splitting vertex recomputation (attribute corner tables) in
+    C++. Returns (corner_to_vertex, left_most list, num_new, v2a-or-None)
+    or None when unavailable / on a malformed seam loop (the Python path
+    raises the detailed error)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    opposite = np.ascontiguousarray(opposite, dtype=np.int64)
+    points = np.ascontiguousarray(points, dtype=np.int64)
+    lm = np.ascontiguousarray(lm, dtype=np.int64)
+    edge_seam = np.ascontiguousarray(edge_seam, dtype=np.uint8)
+    vertex_seam = np.ascontiguousarray(vertex_seam, dtype=np.uint8)
+    C = len(points)
+    has_v2a = att_unique_of_point is not None
+    aup = (np.ascontiguousarray(att_unique_of_point, dtype=np.int64)
+           if has_v2a else np.zeros(1, dtype=np.int64))
+    ctv = np.zeros(C, dtype=np.int64)
+    lm_out = np.empty(C + num_vertices, dtype=np.int64)
+    v2a_out = np.empty(C + num_vertices, dtype=np.int64)
+    n = lib.tpud_recompute_attribute_vertices(
+        _i64p(opposite), _i64p(points), _i64p(lm), _u8p(edge_seam),
+        _u8p(vertex_seam), _i64p(aup), 1 if has_v2a else 0, C,
+        num_vertices, _i64p(ctv), _i64p(lm_out), _i64p(v2a_out))
+    if n < 0:
+        return None
+    v2a = [int(x) for x in v2a_out[:n]] if has_v2a else None
+    return ctv, [int(x) for x in lm_out[:n]], int(n), v2a
