@@ -108,3 +108,54 @@ def test_device_batch_encode_bit_exact(monkeypatch):
     got = be.encode_meshes_device(meshes)
     for m, blob in zip(meshes, got):
         assert blob == encode(m)
+
+
+def test_batch_decoder_corpus(tmp_path):
+    from tpudraco.parallel import BatchDecoder
+    import os
+    meshes = [_grid_mesh(6, s) for s in range(3)]
+    enc_dir = os.path.join(tmp_path, "enc")
+    os.makedirs(enc_dir)
+    paths = []
+    for i, m in enumerate(meshes):
+        p = os.path.join(enc_dir, f"m{i}.drc")
+        with open(p, "wb") as f:
+            f.write(encode(m))
+        paths.append(p)
+    with open(os.path.join(enc_dir, "bad.drc"), "wb") as f:
+        f.write(b"NOTDRACO")
+    paths.append(os.path.join(enc_dir, "bad.drc"))
+
+    out = os.path.join(tmp_path, "dec")
+    bd = BatchDecoder()
+    report = bd.decode_corpus(paths, out)
+    assert report["decoded"] == 3 and len(report["failed"]) == 1
+    # resume skips existing outputs
+    report2 = bd.decode_corpus(paths, out)
+    assert report2["skipped"] == 3
+    from tpudraco.io import load_obj
+    back = load_obj(os.path.join(out, "m0.obj"))
+    assert back.num_faces == meshes[0].num_faces
+
+
+def test_multihost_helpers_single_process(tmp_path):
+    import os
+    from tpudraco.parallel import encode_corpus_multihost, shard_corpus
+
+    assert shard_corpus(["a", "b", "c", "d"], 0, 2) == ["a", "c"]
+    assert shard_corpus(["a", "b", "c", "d"], 1, 2) == ["b", "d"]
+
+    from tpudraco.io.obj import save_obj
+    corpus = os.path.join(tmp_path, "in")
+    os.makedirs(corpus)
+    inputs = []
+    for i in range(3):
+        p = os.path.join(corpus, f"g{i}.obj")
+        save_obj(_grid_mesh(5, i), p)
+        inputs.append(p)
+    out = os.path.join(tmp_path, "out")
+    report = encode_corpus_multihost(inputs, out)
+    assert report["encoded"] == 3
+    from tpudraco.decode import decode
+    blob = open(os.path.join(out, "g0.drc"), "rb").read()
+    assert decode(blob).num_faces == _grid_mesh(5, 0).num_faces

@@ -5,6 +5,10 @@ from .batch import (
     encode_with_topology,
     topology_signature,
 )
+from .decode_batch import BatchDecoder
+from .multihost import encode_corpus_multihost, init_distributed, shard_corpus
 
-__all__ = ["BatchEncoder", "PreparedTopology", "device_encode_group",
-           "encode_with_topology", "topology_signature"]
+__all__ = ["BatchEncoder", "BatchDecoder", "PreparedTopology",
+           "device_encode_group", "encode_with_topology",
+           "topology_signature", "encode_corpus_multihost",
+           "init_distributed", "shard_corpus"]

@@ -57,8 +57,26 @@ def analyze_mesh(mesh, out_dir: str, name: str) -> dict:
     }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
-    _write_html(stats, os.path.join(out_dir, "report.html"))
+    _write_html(stats, os.path.join(out_dir, "report.html"),
+                viewer=_viewer_payload(decoded))
     return stats
+
+
+def _viewer_payload(mesh, max_faces: int = 20000):
+    """Decoded mesh as JSON-able arrays for the embedded viewer (positions
+    normalized into [-1,1]^3; faces decimated beyond max_faces)."""
+    import numpy as np
+    pos_atts = [a for a in mesh.attributes if a.att_type == 0]
+    if not pos_atts or mesh.num_faces == 0:
+        return None
+    pos = np.asarray(pos_atts[0].values_per_point(), dtype=np.float64)
+    faces = np.asarray(mesh.faces)
+    if len(faces) > max_faces:
+        faces = faces[:: len(faces) // max_faces + 1]
+    center = (pos.max(axis=0) + pos.min(axis=0)) / 2
+    scale = max(float((pos.max(axis=0) - pos.min(axis=0)).max()) / 2, 1e-9)
+    pos = (pos - center) / scale
+    return {"v": np.round(pos, 4).tolist(), "f": faces.tolist()}
 
 
 def _stage_rows(node, depth=0, rows=None):
@@ -72,8 +90,43 @@ def _stage_rows(node, depth=0, rows=None):
     return rows
 
 
-def _write_html(stats: dict, path: str) -> None:
+_VIEWER_JS = """
+const D = MESH_DATA; const cv = document.getElementById('vw');
+const ctx = cv.getContext('2d'); let rx = -0.6, ry = 0.7, drag = null;
+cv.onmousedown = e => drag = [e.clientX, e.clientY];
+window.onmouseup = () => drag = null;
+window.onmousemove = e => { if (!drag) return;
+  ry += (e.clientX - drag[0]) * 0.01; rx += (e.clientY - drag[1]) * 0.01;
+  drag = [e.clientX, e.clientY]; draw(); };
+function draw() {
+  const w = cv.width, h = cv.height, s = Math.min(w, h) * 0.38;
+  ctx.clearRect(0, 0, w, h); ctx.strokeStyle = '#36c'; ctx.lineWidth = 0.5;
+  const cx = Math.cos(rx), sx = Math.sin(rx),
+        cy = Math.cos(ry), sy = Math.sin(ry);
+  const P = D.v.map(p => {
+    const x = p[0] * cy + p[2] * sy, z = -p[0] * sy + p[2] * cy;
+    const y = p[1] * cx - z * sx, z2 = p[1] * sx + z * cx;
+    const d = 3 / (3 + z2);
+    return [w / 2 + x * s * d, h / 2 - y * s * d]; });
+  ctx.beginPath();
+  for (const f of D.f) for (let i = 0; i < 3; i++) {
+    const a = P[f[i]], b = P[f[(i + 1) % 3]];
+    ctx.moveTo(a[0], a[1]); ctx.lineTo(b[0], b[1]); }
+  ctx.stroke(); }
+draw();
+"""
+
+
+def _write_html(stats: dict, path: str, viewer=None) -> None:
     rows = "\n".join(_stage_rows(stats["eval"]))
+    viewer_html = ""
+    if viewer is not None:
+        payload = json.dumps(viewer, separators=(",", ":"))
+        viewer_html = (
+            "<h2>Decoded mesh (drag to rotate)</h2>"
+            '<canvas id="vw" width="640" height="480" '
+            'style="border:1px solid #999"></canvas>'
+            f"<script>const MESH_DATA={payload};{_VIEWER_JS}</script>")
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>tpudraco report: {html.escape(stats['name'])}</title>
 <style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
@@ -89,6 +142,7 @@ td,th{{border:1px solid #999;padding:4px 10px;text-align:left}}</style></head>
 <tr><th>decode</th><td>{stats['decode_seconds']} s</td></tr>
 <tr><th>diff_l2_norm</th><td>{stats['diff_l2_norm']:.3e}</td></tr>
 </table>
+{viewer_html}
 <h2>Stages</h2><table><tr><th>stage</th><th>data</th></tr>{rows}</table>
 </body></html>"""
     with open(path, "w", encoding="utf-8") as f:
