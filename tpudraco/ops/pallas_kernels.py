@@ -153,31 +153,41 @@ def build_combined_matrix(gathers: dict, num_values: int) -> np.ndarray:
 
 
 def _predict_kernel(m_ref, lo_ref, hi_ref, out_ref):
-    # m (TILE_T, V) int8 combo matrix; lo/hi (V, BC) int8 7-bit value planes
+    # m (TILE_T, TILE_V) int8 combo tile; lo/hi (TILE_V, TILE_BC) int8
+    # 7-bit value planes; out accumulates across the v grid dimension
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
     m = m_ref[...]
     lo = jax.lax.dot_general(m, lo_ref[...], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
     hi = jax.lax.dot_general(m, hi_ref[...], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    out_ref[...] = lo + (hi << 7)
+    out_ref[...] += lo + (hi << 7)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_t",))
-def predict_matmul_pallas(M: jnp.ndarray, q: jnp.ndarray,
-                          tile_t: int = 512) -> jnp.ndarray:
+@functools.partial(jax.jit,
+                   static_argnames=("tile_t", "tile_bc", "tile_v"))
+def predict_matmul_pallas(M: jnp.ndarray, q: jnp.ndarray, tile_t: int = 512,
+                          tile_bc: int = 256,
+                          tile_v: int = 2048) -> jnp.ndarray:
     """pred = M @ q on the MXU, exact for quantized ints up to 14 bits.
 
     M: (T, V) combo matrix (entries -1..2, exact in int8). q: (B, V, C)
     int32 quantized values, split into two 7-bit planes (each fits int8);
-    the int8 MXU products accumulate exactly in int32.
-    Returns (B, T, C) int32 predictions.
+    the int8 MXU products accumulate exactly in int32. Tiled over all three
+    dimensions so arbitrary batch sizes and vertex counts stream through
+    VMEM. Returns (B, T, C) int32 predictions.
     """
     B, V, C = q.shape
     T = M.shape[0]
     t_pad = _round_up(T, tile_t)
-    v_pad = _round_up(V, LANES)
+    v_pad = _round_up(V, tile_v)
     bc = B * C
-    bc_pad = _round_up(bc, LANES)
+    bc_pad = _round_up(bc, tile_bc)
 
     Mp = jnp.zeros((t_pad, v_pad), jnp.int8).at[:T, :V].set(
         M.astype(jnp.int8))
@@ -190,16 +200,16 @@ def predict_matmul_pallas(M: jnp.ndarray, q: jnp.ndarray,
 
     out = pl.pallas_call(
         _predict_kernel,
-        grid=(t_pad // tile_t,),
+        grid=(t_pad // tile_t, bc_pad // tile_bc, v_pad // tile_v),
         in_specs=[
-            pl.BlockSpec((tile_t, v_pad), lambda i: (i, 0),
+            pl.BlockSpec((tile_t, tile_v), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((v_pad, bc_pad), lambda i: (0, 0),
+            pl.BlockSpec((tile_v, tile_bc), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((v_pad, bc_pad), lambda i: (0, 0),
+            pl.BlockSpec((tile_v, tile_bc), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_t, bc_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_t, tile_bc), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, bc_pad), jnp.int32),
         interpret=_interpret(),
@@ -207,10 +217,9 @@ def predict_matmul_pallas(M: jnp.ndarray, q: jnp.ndarray,
     return out[:T, :bc].reshape(T, B, C).transpose(1, 0, 2)
 
 
-# VMEM budget heuristic: the combo matrix + value planes must stay resident.
 def predict_matmul_viable(T: int, V: int, B: int, C: int,
-                          vmem_budget: int = 8 * 2 ** 20) -> bool:
-    v_pad = _round_up(V, LANES)
-    bc_pad = _round_up(B * C, LANES)
-    need = v_pad * bc_pad * 2 + 512 * v_pad * 2 + 512 * bc_pad * 4
-    return need <= vmem_budget
+                          hbm_budget: int = 256 * 2 ** 20) -> bool:
+    """The kernel tiles all three dims through VMEM, so viability is only
+    bounded by the dense combo matrix's HBM footprint (int8 T x V) — the
+    gather path stays the right choice for very large single meshes."""
+    return T * V <= hbm_budget
