@@ -125,3 +125,20 @@ def test_zigzag():
     for v in vals.tolist():
         assert zigzag(v) == z[list(vals).index(v)]
         assert unzigzag(zigzag(v)) == v
+
+
+def test_functional_byte_writer_reader():
+    from tpudraco.wire.byte_io import FunctionalByteReader, FunctionalByteWriter
+
+    sink = bytearray()
+    w = FunctionalByteWriter(sink.append)
+    w.write_u8(7)
+    w.write_u16(0xABCD)
+    w.write_u32(0xDEADBEEF)
+    w.write_bytes(b"hi")
+    it = iter(sink)
+    r = FunctionalByteReader(lambda: next(it))
+    assert r.read_u8() == 7
+    assert r.read_u16() == 0xABCD
+    assert r.read_u32() == 0xDEADBEEF
+    assert r.read_bytes(2) == b"hi"

@@ -135,3 +135,70 @@ class ByteReader:
         """Consume the next ``offset`` bytes and return a reverse reader over
         them (draco-oxide core/bit_coder.rs:272-281)."""
         return ReverseByteReader(self._take(offset))
+
+
+class FunctionalByteWriter:
+    """Closure-backed writer (core/bit_coder.rs FunctionalByteWriter):
+    every byte is handed to ``emit(b)``. Useful for tee/streaming sinks."""
+
+    def __init__(self, emit) -> None:
+        self._emit = emit
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def write_u8(self, v: int) -> None:
+        self._emit(v & 0xFF)
+        self._n += 1
+
+    def write_u16(self, v: int) -> None:
+        for i in range(2):
+            self.write_u8(v >> (8 * i))
+
+    def write_u24(self, v: int) -> None:
+        for i in range(3):
+            self.write_u8(v >> (8 * i))
+
+    def write_u32(self, v: int) -> None:
+        for i in range(4):
+            self.write_u8(v >> (8 * i))
+
+    def write_u64(self, v: int) -> None:
+        for i in range(8):
+            self.write_u8(v >> (8 * i))
+
+    def write_f32(self, v: float) -> None:
+        import struct
+        for b in struct.pack("<f", v):
+            self.write_u8(b)
+
+    def write_bytes(self, data) -> None:
+        for b in bytes(data):
+            self.write_u8(b)
+
+
+class FunctionalByteReader:
+    """Closure-backed reader (core/bit_coder.rs FunctionalByteReader):
+    pulls bytes from ``fetch()`` on demand."""
+
+    def __init__(self, fetch) -> None:
+        self._fetch = fetch
+
+    def read_u8(self) -> int:
+        return self._fetch() & 0xFF
+
+    def read_u16(self) -> int:
+        return self.read_u8() | (self.read_u8() << 8)
+
+    def read_u24(self) -> int:
+        return self.read_u16() | (self.read_u8() << 16)
+
+    def read_u32(self) -> int:
+        return self.read_u16() | (self.read_u16() << 16)
+
+    def read_u64(self) -> int:
+        return self.read_u32() | (self.read_u32() << 32)
+
+    def read_bytes(self, n: int) -> bytes:
+        return bytes(self.read_u8() for _ in range(n))
