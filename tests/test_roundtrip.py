@@ -355,3 +355,25 @@ def test_native_and_python_spirale_agree(monkeypatch):
     assert len(via_native.attributes) == len(via_python.attributes)
     for a, b in zip(via_native.attributes, via_python.attributes):
         assert np.array_equal(np.asarray(a.values), np.asarray(b.values))
+
+
+@needs_ref
+def test_valence_native_matches_python(monkeypatch):
+    """The C++ valence context-assignment and queue-driven decode must be
+    byte-/value-identical to the Python Spirale simulation."""
+    from tpudraco.io import load_obj
+    from tpudraco.native import topo as NT
+
+    mesh = load_obj(os.path.join(REF_DATA, "torus.obj"))
+    cfg = Config(traversal=2)
+    blob = encode(mesh, cfg=cfg)
+    out = decode(blob)
+
+    monkeypatch.setattr(NT, "spirale_contexts", lambda *a, **k: None)
+    assert encode(mesh, cfg=cfg) == blob
+
+    monkeypatch.setattr(NT, "spirale_valence", lambda *a, **k: None)
+    out_py = decode(blob)
+    assert np.array_equal(out.faces, out_py.faces)
+    for a, b in zip(out.attributes, out_py.attributes):
+        assert np.array_equal(np.asarray(a.values), np.asarray(b.values))

@@ -117,6 +117,23 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
                 raise DecodeError(f"valence context {ctx} exhausted")
             return int(queues[ctx].popleft())
 
+        # native valence fast path: queues are fully pre-decoded, contexts
+        # recompute from the reconstruction state in C++
+        from ..native import topo as _topo
+        nat = _topo.spirale_valence(
+            [np.asarray(list(q), dtype=np.int32) for q in queues],
+            num_symbols, num_split_symbols, num_vertices, num_faces, splits)
+        if nat is not None:
+            ct = DecodedCornerTable(num_faces)
+            ct.opposite = nat["opposite"]
+            ct.corner_to_vertex = nat["corner_to_vertex"]
+            ct.num_vertices = nat["num_vertices"]
+            ct.left_most = nat["left_most"][:ct.num_vertices].tolist()
+            return _finish_connectivity(
+                ct, nat["active_stack"], nat["invalid_vertices"],
+                nat["num_decoded_faces"], num_faces, num_symbols,
+                num_att_data, start_face_prob_zero, sf_bytes, seam_streams)
+
     ct = DecodedCornerTable(num_faces)
     active_stack, invalid_vertices, num_decoded_faces = spirale_reversi_core(
         ct, num_symbols, num_split_symbols, num_vertices, splits, get_symbol)

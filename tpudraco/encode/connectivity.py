@@ -305,19 +305,33 @@ class EdgebreakerEncoder:
         self._encode_seams(writer)
 
         rev_symbols = list(reversed(self.symbols))
-        queues: list[list[int]] = [[] for _ in range(NUM_VALENCE_CONTEXTS)]
 
-        def get_symbol(ct, active_stack, symbol_id):
-            ctx = valence_context(ct, active_stack)
-            sym = rev_symbols[symbol_id]
-            queues[ctx].append(sym)
-            return sym
+        # native decoder-simulation: contexts computed in C++ from the
+        # known decode-order symbols
+        from ..native import topo as ntopo
+        ctx_arr = ntopo.spirale_contexts(
+            np.asarray(rev_symbols, dtype=np.int32), self.num_split_symbols,
+            self.ct.num_vertices, self.ct.num_faces(),
+            [list(t) for t in self.topology_splits])
+        if ctx_arr is not None:
+            rev_arr = np.asarray(rev_symbols, dtype=np.int64)
+            queues = [rev_arr[ctx_arr == c].tolist()
+                      for c in range(NUM_VALENCE_CONTEXTS)]
+        else:
+            queues = [[] for _ in range(NUM_VALENCE_CONTEXTS)]
 
-        sim_ct = DecodedCornerTable(self.ct.num_faces())
-        splits_copy = [list(t) for t in self.topology_splits]
-        spirale_reversi_core(sim_ct, len(self.symbols),
-                             self.num_split_symbols, self.ct.num_vertices,
-                             splits_copy, get_symbol)
+            def get_symbol(ct, active_stack, symbol_id):
+                ctx = valence_context(ct, active_stack)
+                sym = rev_symbols[symbol_id]
+                queues[ctx].append(sym)
+                return sym
+
+            sim_ct = DecodedCornerTable(self.ct.num_faces())
+            splits_copy = [list(t) for t in self.topology_splits]
+            spirale_reversi_core(sim_ct, len(self.symbols),
+                                 self.num_split_symbols,
+                                 self.ct.num_vertices,
+                                 splits_copy, get_symbol)
 
         for q in queues:
             leb128_write(len(q), writer)

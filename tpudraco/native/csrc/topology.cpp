@@ -783,22 +783,40 @@ int32_t tpud_crlight_decode(const uint8_t* bytes, int64_t nbytes,
     return 0;
 }
 
-// Spirale Reversi reconstruction, standard traversal (symbols pre-decoded).
-// Exact port of shared/spirale.py spirale_reversi_core. Outputs are
-// pre-sized by the caller: opposite/ctv of 3*num_faces filled with NONE,
-// left_most of num_vertices+num_split_symbols filled with NONE.
+}  // extern "C" (reopened below; the spirale core is a C++ static)
+
+// Spirale Reversi reconstruction core, exact port of
+// shared/spirale.py spirale_reversi_core. Outputs are pre-sized by the
+// caller: opposite/ctv of 3*num_faces filled with NONE, left_most of
+// num_vertices+num_split_symbols filled with NONE.
+//
+// Symbol acquisition, per mode:
+//   - standard:        symbols[sid] (pre-decoded CLERS)
+//   - valence decode:  queues = per-context symbol arrays (bounds
+//                      queue_off[ctx]..queue_off[ctx+1]); the context is
+//                      the clamped current valence of the attach vertex
+//                      (shared/spirale.py valence_context)
+//   - valence encode:  symbols[sid] + ctx_out records the context per sid
+//                      (the encoder's decoder-simulation)
 // Returns num_decoded_faces, or -1 on any malformed-stream condition (the
 // caller re-runs the Python core for the detailed error).
-int64_t tpud_spirale(const int32_t* symbols, int64_t num_symbols,
-                     int64_t num_split_symbols, int64_t num_vertices,
-                     int64_t num_faces,
-                     const int64_t* split_merge, const int64_t* split_split,
-                     const int64_t* split_orient, int64_t n_splits,
-                     int64_t* opposite, int64_t* ctv, int64_t* left_most,
-                     int64_t* out_num_vertices,
-                     int64_t* active_stack_out, int64_t* out_stack_len,
-                     int64_t* invalid_out, int64_t* out_invalid_len) {
+static int64_t spirale_core(
+        const int32_t* symbols, const int32_t* queues,
+        const int64_t* queue_off, int32_t* ctx_out,
+        int64_t num_symbols, int64_t num_split_symbols,
+        int64_t num_vertices, int64_t num_faces,
+        const int64_t* split_merge, const int64_t* split_split,
+        const int64_t* split_orient, int64_t n_splits,
+        int64_t* opposite, int64_t* ctv, int64_t* left_most,
+        int64_t* out_num_vertices,
+        int64_t* active_stack_out, int64_t* out_stack_len,
+        int64_t* invalid_out, int64_t* out_invalid_len) {
     const int64_t max_nv = num_vertices + num_split_symbols;
+    const bool valence = queues != nullptr || ctx_out != nullptr;
+    Nav nav{opposite};
+    int64_t qpos[8];
+    if (queues)
+        for (int i = 0; i < 6; ++i) qpos[i] = queue_off[i];
     int64_t nv = 0;
     std::vector<int64_t> stack;
     stack.reserve(64);
@@ -815,7 +833,33 @@ int64_t tpud_spirale(const int32_t* symbols, int64_t num_symbols,
     for (int64_t sid = 0; sid < num_symbols; ++sid) {
         if (faces >= num_faces) return -1;
         const int64_t corner = 3 * (faces++);
-        const int32_t symbol = symbols[sid];
+        int32_t symbol;
+        if (valence) {
+            int ctx = 0;
+            if (!stack.empty()) {
+                const int64_t v = ctv[next_c(stack.back())];
+                int64_t n = 0;
+                if (v >= 0) {
+                    const int64_t start = left_most[v];
+                    int64_t cc = start;
+                    while (cc != NONE) {
+                        ++n;
+                        cc = nav.swing_right(cc);
+                        if (cc == start) break;
+                    }
+                }
+                ctx = (int)(n < 2 ? 2 : (n > 7 ? 7 : n)) - 2;
+            }
+            if (queues) {
+                if (qpos[ctx] >= queue_off[ctx + 1]) return -1;
+                symbol = queues[qpos[ctx]++];
+            } else {
+                symbol = symbols[sid];
+            }
+            if (ctx_out) ctx_out[sid] = ctx;
+        } else {
+            symbol = symbols[sid];
+        }
         bool check_split = false;
         if (symbol == 0) {  // C
             if (stack.empty()) return -1;
@@ -917,6 +961,64 @@ int64_t tpud_spirale(const int32_t* symbols, int64_t num_symbols,
     for (size_t i = 0; i < stack.size(); ++i) active_stack_out[i] = stack[i];
     *out_invalid_len = n_invalid;
     return faces;
+}
+
+extern "C" {
+
+int64_t tpud_spirale(const int32_t* symbols, int64_t num_symbols,
+                     int64_t num_split_symbols, int64_t num_vertices,
+                     int64_t num_faces,
+                     const int64_t* split_merge, const int64_t* split_split,
+                     const int64_t* split_orient, int64_t n_splits,
+                     int64_t* opposite, int64_t* ctv, int64_t* left_most,
+                     int64_t* out_num_vertices,
+                     int64_t* active_stack_out, int64_t* out_stack_len,
+                     int64_t* invalid_out, int64_t* out_invalid_len) {
+    return spirale_core(symbols, nullptr, nullptr, nullptr, num_symbols,
+                        num_split_symbols, num_vertices, num_faces,
+                        split_merge, split_split, split_orient, n_splits,
+                        opposite, ctv, left_most, out_num_vertices,
+                        active_stack_out, out_stack_len, invalid_out,
+                        out_invalid_len);
+}
+
+// Valence decode: symbols pulled from per-context queues.
+int64_t tpud_spirale_valence(
+        const int32_t* queues, const int64_t* queue_off,
+        int64_t num_symbols, int64_t num_split_symbols,
+        int64_t num_vertices, int64_t num_faces,
+        const int64_t* split_merge, const int64_t* split_split,
+        const int64_t* split_orient, int64_t n_splits,
+        int64_t* opposite, int64_t* ctv, int64_t* left_most,
+        int64_t* out_num_vertices,
+        int64_t* active_stack_out, int64_t* out_stack_len,
+        int64_t* invalid_out, int64_t* out_invalid_len) {
+    return spirale_core(nullptr, queues, queue_off, nullptr, num_symbols,
+                        num_split_symbols, num_vertices, num_faces,
+                        split_merge, split_split, split_orient, n_splits,
+                        opposite, ctv, left_most, out_num_vertices,
+                        active_stack_out, out_stack_len, invalid_out,
+                        out_invalid_len);
+}
+
+// Valence encode simulation: symbols known (decode order); outputs the
+// per-symbol context assignment.
+int64_t tpud_spirale_contexts(
+        const int32_t* symbols, int32_t* ctx_out,
+        int64_t num_symbols, int64_t num_split_symbols,
+        int64_t num_vertices, int64_t num_faces,
+        const int64_t* split_merge, const int64_t* split_split,
+        const int64_t* split_orient, int64_t n_splits,
+        int64_t* opposite, int64_t* ctv, int64_t* left_most,
+        int64_t* out_num_vertices,
+        int64_t* active_stack_out, int64_t* out_stack_len,
+        int64_t* invalid_out, int64_t* out_invalid_len) {
+    return spirale_core(symbols, nullptr, nullptr, ctx_out, num_symbols,
+                        num_split_symbols, num_vertices, num_faces,
+                        split_merge, split_split, split_orient, n_splits,
+                        opposite, ctv, left_most, out_num_vertices,
+                        active_stack_out, out_stack_len, invalid_out,
+                        out_invalid_len);
 }
 
 }  // extern "C"

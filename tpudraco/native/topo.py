@@ -65,6 +65,14 @@ def _lib():
         lib.tpud_spirale.argtypes = [
             I32P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
             I64P, I64P, I64P, I64P, I64P, I64P, I64P, I64P]
+        lib.tpud_spirale_valence.restype = i64
+        lib.tpud_spirale_valence.argtypes = [
+            I32P, I64P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
+            I64P, I64P, I64P, I64P, I64P, I64P, I64P, I64P]
+        lib.tpud_spirale_contexts.restype = i64
+        lib.tpud_spirale_contexts.argtypes = [
+            I32P, I32P, i64, i64, i64, i64, I64P, I64P, I64P, i64,
+            I64P, I64P, I64P, I64P, I64P, I64P, I64P, I64P]
         _configured = True
     return lib
 
@@ -339,3 +347,87 @@ def recompute_attribute_vertices(opposite, points, lm, edge_seam,
         return None
     v2a = [int(x) for x in v2a_out[:n]] if has_v2a else None
     return ctv, [int(x) for x in lm_out[:n]], int(n), v2a
+
+
+def _spirale_buffers(num_symbols, num_split_symbols, num_vertices,
+                     num_faces, splits):
+    sm = np.ascontiguousarray([s[0] for s in splits], dtype=np.int64)
+    ss = np.ascontiguousarray([s[1] for s in splits], dtype=np.int64)
+    so = np.ascontiguousarray([s[2] for s in splits], dtype=np.int64)
+    C = 3 * num_faces
+    return {
+        "sm": sm, "ss": ss, "so": so,
+        "opposite": np.full(C, -1, dtype=np.int64),
+        "ctv": np.full(C, -1, dtype=np.int64),
+        "left_most": np.full(max(num_vertices + num_split_symbols, 1), -1,
+                             dtype=np.int64),
+        "out_nv": np.zeros(1, dtype=np.int64),
+        "stack": np.empty(num_symbols + 1, dtype=np.int64),
+        "stack_len": np.zeros(1, dtype=np.int64),
+        "invalid": np.empty(num_symbols + 1, dtype=np.int64),
+        "invalid_len": np.zeros(1, dtype=np.int64),
+    }
+
+
+def _spirale_result(b, faces):
+    if faces < 0:
+        return None
+    return {
+        "opposite": b["opposite"],
+        "corner_to_vertex": b["ctv"],
+        "left_most": b["left_most"],
+        "num_vertices": int(b["out_nv"][0]),
+        "active_stack": b["stack"][:int(b["stack_len"][0])].tolist(),
+        "invalid_vertices": b["invalid"][:int(b["invalid_len"][0])].tolist(),
+        "num_decoded_faces": int(faces),
+    }
+
+
+def spirale_valence(queues: list, num_symbols: int, num_split_symbols: int,
+                    num_vertices: int, num_faces: int,
+                    splits: list) -> dict | None:
+    """Valence-mode Spirale Reversi: per-context pre-decoded symbol queues,
+    contexts computed from the reconstruction state in C++."""
+    lib = _lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(
+        np.concatenate([np.asarray(q, dtype=np.int32) for q in queues])
+        if any(len(q) for q in queues) else np.zeros(1, dtype=np.int32),
+        dtype=np.int32)
+    off = np.zeros(len(queues) + 1, dtype=np.int64)
+    for i, q in enumerate(queues):
+        off[i + 1] = off[i] + len(q)
+    b = _spirale_buffers(num_symbols, num_split_symbols, num_vertices,
+                         num_faces, splits)
+    faces = lib.tpud_spirale_valence(
+        _i32p(flat), _i64p(off), num_symbols, num_split_symbols,
+        num_vertices, num_faces, _i64p(b["sm"]), _i64p(b["ss"]),
+        _i64p(b["so"]), len(splits), _i64p(b["opposite"]), _i64p(b["ctv"]),
+        _i64p(b["left_most"]), _i64p(b["out_nv"]), _i64p(b["stack"]),
+        _i64p(b["stack_len"]), _i64p(b["invalid"]), _i64p(b["invalid_len"]))
+    return _spirale_result(b, faces)
+
+
+def spirale_contexts(symbols: np.ndarray, num_split_symbols: int,
+                     num_vertices: int, num_faces: int,
+                     splits: list) -> np.ndarray | None:
+    """Encoder-side valence simulation: run the reconstruction on the known
+    decode-order symbols and return the per-symbol context ids."""
+    lib = _lib()
+    if lib is None:
+        return None
+    symbols = np.ascontiguousarray(symbols, dtype=np.int32)
+    ns = len(symbols)
+    ctx = np.empty(max(ns, 1), dtype=np.int32)
+    b = _spirale_buffers(ns, num_split_symbols, num_vertices, num_faces,
+                         splits)
+    faces = lib.tpud_spirale_contexts(
+        _i32p(symbols), _i32p(ctx), ns, num_split_symbols, num_vertices,
+        num_faces, _i64p(b["sm"]), _i64p(b["ss"]), _i64p(b["so"]),
+        len(splits), _i64p(b["opposite"]), _i64p(b["ctv"]),
+        _i64p(b["left_most"]), _i64p(b["out_nv"]), _i64p(b["stack"]),
+        _i64p(b["stack_len"]), _i64p(b["invalid"]), _i64p(b["invalid_len"]))
+    if faces < 0:
+        return None
+    return ctx[:ns]
