@@ -377,3 +377,38 @@ def test_valence_native_matches_python(monkeypatch):
     assert np.array_equal(out.faces, out_py.faces)
     for a, b in zip(out.attributes, out_py.attributes):
         assert np.array_equal(np.asarray(a.values), np.asarray(b.values))
+
+
+def test_sequential_mesh_roundtrip():
+    """Sequential connectivity for triangular meshes, end to end (the
+    reference's own sequential path dead-ends at attributes)."""
+    from tpudraco.encode import METHOD_EDGEBREAKER  # noqa: F401
+
+    rng = np.random.RandomState(2)
+    pos = rng.rand(40, 3).astype(np.float32)
+    faces = np.asarray([[i, (i + 1) % 40, (i + 7) % 40] for i in range(38)],
+                       dtype=np.int64)
+    att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = Mesh(faces=faces, attributes=[att])
+    blob = encode(mesh, cfg=Config(encoder_method=0))
+    assert blob[8] == 0  # header method byte = sequential
+    assert encode(mesh)[8] == 1  # edgebreaker remains the default
+    out = decode(blob)
+    assert np.array_equal(out.faces, faces)  # indices survive verbatim
+    got = np.asarray(out.attributes[0].values, dtype=np.float32)
+    assert np.abs(got - pos).max() < 1e-3  # 11-bit quantization error
+
+
+def test_sequential_mesh_index_widths():
+    """8/16/leb128 index encodings switch on the point count."""
+    for n_pts in (40, 300, 70000):
+        pos = np.zeros((n_pts, 3), dtype=np.float32)
+        pos[:, 0] = np.arange(n_pts)
+        faces = np.asarray([[0, 1, n_pts - 1], [1, 2, n_pts - 1]],
+                           dtype=np.int64)
+        att = Attribute(pos, AttributeType.POSITION,
+                        AttributeDomain.POSITION)
+        mesh = Mesh(faces=faces, attributes=[att])
+        blob = encode(mesh, cfg=Config(encoder_method=0))
+        out = decode(blob)
+        assert np.array_equal(out.faces, faces), n_pts

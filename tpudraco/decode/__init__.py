@@ -51,8 +51,21 @@ def decode(data: bytes) -> Mesh:
         mesh = decode_point_cloud(reader)
         mesh.metadata = metadata
         return mesh
+    if header["method"] == 0:  # sequential mesh
+        from ..wire.varint import leb128_read
+        from .connectivity import decode_sequential_connectivity
+        from .point_cloud import decode_sequential_attributes
+        num_points = leb128_read(reader)
+        faces = decode_sequential_connectivity(reader, num_points)
+        debug_expect(reader, "connectivity done")
+        atts = decode_sequential_attributes(reader, num_points)
+        debug_expect(reader, "attributes done")
+        mesh = Mesh(faces=faces, attributes=atts)
+        mesh.metadata = metadata
+        return mesh
     if header["method"] != 1:
-        raise DecodeError("only edgebreaker streams are supported")
+        raise DecodeError("only edgebreaker and sequential streams are "
+                          "supported")
     conn = decode_connectivity(reader)
     debug_expect(reader, "connectivity done")
     atts = decode_attributes(reader, conn)

@@ -193,6 +193,31 @@ def _finish_connectivity(ct, active_stack, invalid_vertices,
     return ConnectivityDecodeResult(ct, seed, att_seams, num_att_data)
 
 
+def decode_sequential_connectivity(reader: ByteReader,
+                                   num_points: int) -> np.ndarray:
+    """Mirror of encode.connectivity.encode_sequential: u64 face count,
+    u8 method (DirectIndices=1), indices at 8/16/32 bits or leb128 for the
+    21-bit range, switched on the point count (shared/connectivity/
+    sequential.rs index_size_from_vertex_count)."""
+    num_faces = reader.read_u64()
+    method = reader.read_u8()
+    if method != 1:
+        raise DecodeError(f"unsupported sequential method {method}")
+    n = num_faces * 3
+    if num_points < 0x100:
+        flat = np.frombuffer(reader.read_bytes(n), dtype=np.uint8)
+    elif num_points < 0x10000:
+        flat = np.frombuffer(reader.read_bytes(2 * n), dtype="<u2")
+    elif num_points < (1 << 21):
+        flat = np.asarray([leb128_read(reader) for _ in range(n)],
+                          dtype=np.int64)
+    elif num_points < 0x1000000:
+        flat = np.frombuffer(reader.read_bytes(4 * n), dtype="<u4")
+    else:
+        raise DecodeError("too many vertices for sequential connectivity")
+    return flat.astype(np.int64).reshape(-1, 3)
+
+
 def _read_seam_streams(reader: ByteReader, num_att_data: int):
     seam_streams = []
     for _ in range(num_att_data):

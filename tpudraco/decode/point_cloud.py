@@ -19,6 +19,13 @@ def unzigzag(u: np.ndarray) -> np.ndarray:
 
 def decode_point_cloud(reader) -> Mesh:
     num_points = leb128_read(reader)
+    attributes = decode_sequential_attributes(reader, num_points)
+    return Mesh(faces=np.zeros((0, 3), dtype=np.int64),
+                attributes=attributes)
+
+
+def decode_sequential_attributes(reader, num_points: int) -> list:
+    """Mirror of encode.point_cloud.encode_sequential_attributes."""
     num_atts = reader.read_u8()
     attributes = []
     for i in range(num_atts):
@@ -41,6 +48,4 @@ def decode_point_cloud(reader) -> Mesh:
         attributes.append(Attribute(values, att_type,
                                     AttributeDomain.POSITION, att_id=i,
                                     unique_id=unique_id, dedup=False))
-    mesh = Mesh(faces=np.zeros((0, 3), dtype=np.int64),
-                attributes=attributes)
-    return mesh
+    return attributes

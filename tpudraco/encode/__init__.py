@@ -39,15 +39,17 @@ class Config:
 
 def encode_header(writer: ByteWriter, cfg: Config) -> None:
     """"DRACO", version 2.2, geometry type, method, u16 flags
-    (encode/header/mod.rs:24-55). The reference always writes edgebreaker;
-    point clouds (geometry type 0, a dead stub there) use sequential."""
+    (encode/header/mod.rs:24-55). Point clouds (geometry type 0, a dead
+    stub in the reference) always use sequential; triangular meshes honor
+    cfg.encoder_method (the reference's own sequential mesh path is
+    unimplemented past connectivity — attribute_encoder.rs:254)."""
     writer.write_bytes(b"DRACO")
     writer.write_u8(2)
     writer.write_u8(2)
     writer.write_u8(cfg.geometry_type)
     writer.write_u8(METHOD_SEQUENTIAL
                     if cfg.geometry_type == GEOMETRY_POINT_CLOUD
-                    else METHOD_EDGEBREAKER)
+                    else cfg.encoder_method)
     writer.write_u16(METADATA_FLAG_MASK if cfg.metadata else 0)
 
 
@@ -90,6 +92,32 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         rec.scope_end(writer)
         rec.scope_end(writer)
         return writer.getvalue()
+    if cfg.encoder_method == METHOD_SEQUENTIAL:
+        # sequential mesh: raw indices + point-major attribute payload.
+        # The reference's own sequential path dead-ends at attributes
+        # (attribute_encoder.rs:254 unimplemented!); this is the completed
+        # form. We also write num_points, which the reference's sequential
+        # decoder expects but its encoder forgot (decode/connectivity/
+        # sequential.rs:24 vs encode/connectivity/sequential.rs:80).
+        from ..wire.varint import leb128_write
+        from .connectivity import encode_sequential
+        from .point_cloud import encode_sequential_attributes
+        rec.scope_begin("sequential connectivity", writer)
+        num_points = (mesh.attributes[0].num_points if mesh.attributes
+                      else int(mesh.faces.max()) + 1 if mesh.num_faces else 0)
+        leb128_write(num_points, writer)
+        encode_sequential(mesh.faces, num_points, writer)
+        rec.scope_end(writer)
+        debug_write(writer, "connectivity done")
+        rec.scope_begin("attributes", writer)
+        encode_sequential_attributes(
+            [(a.att_type, a.unique_id, a.values_per_point())
+             for a in mesh.attributes], num_points, writer)
+        rec.scope_end(writer)
+        debug_write(writer, "attributes done")
+        rec.scope_end(writer)
+        return writer.getvalue()
+
     rec.scope_begin("connectivity info", writer)
     eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
                             traversal=cfg.traversal)

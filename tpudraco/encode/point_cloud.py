@@ -47,16 +47,24 @@ def encode_point_cloud(mesh: Mesh, writer) -> None:
         if len(a.values) != num_points:
             raise ValueError("point cloud attributes must share point count")
     leb128_write(num_points, writer)
+    encode_sequential_attributes(
+        [(a.att_type, a.unique_id, np.asarray(a.values)) for a in atts],
+        num_points, writer)
+
+
+def encode_sequential_attributes(atts, num_points: int, writer) -> None:
+    """Point-major sequential attribute payload, shared by point clouds and
+    sequential-connectivity meshes. ``atts`` is a list of
+    (att_type, unique_id, values (num_points, N)) tuples."""
     writer.write_u8(len(atts))
-    for a in atts:
-        vals = np.asarray(a.values)
+    for att_type, unique_id, vals in atts:
         n_comp = vals.shape[1] if vals.ndim > 1 else 1
         vals = vals.reshape(num_points, n_comp)
         is_float = np.issubdtype(vals.dtype, np.floating)
-        bits = DEFAULT_BITS.get(a.att_type, 11) if is_float else 0
-        writer.write_u8(int(a.att_type))
+        bits = DEFAULT_BITS.get(att_type, 11) if is_float else 0
+        writer.write_u8(int(att_type))
         writer.write_u8(n_comp)
-        writer.write_u8((a.unique_id or 0) & 0xFF)
+        writer.write_u8((unique_id or 0) & 0xFF)
         writer.write_u8(bits)
         if bits:
             v = vals.astype(np.float32)
