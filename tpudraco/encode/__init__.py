@@ -138,4 +138,5 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
 
 
 __all__ = ["Config", "encode", "encode_header", "encode_metadata",
-           "GEOMETRY_TRIANGULAR_MESH", "METHOD_EDGEBREAKER"]
+           "GEOMETRY_TRIANGULAR_MESH", "GEOMETRY_POINT_CLOUD",
+           "METHOD_EDGEBREAKER", "METHOD_SEQUENTIAL"]

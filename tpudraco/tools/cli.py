@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                    default="standard",
                    help="edgebreaker symbol coding (valence wins on large "
                         "regular meshes)")
+    p.add_argument("--method", choices=("edgebreaker", "sequential"),
+                   default="edgebreaker",
+                   help="connectivity method (sequential = raw indices, "
+                        "no traversal)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -53,10 +57,12 @@ def main(argv=None) -> int:
         else:
             print(f"unsupported input format {in_ext}", file=sys.stderr)
             return 2
-        from ..encode import Config
+        from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
         from ..shared.clers import EB_STANDARD, EB_VALENCE
         cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
-                     else EB_STANDARD)
+                     else EB_STANDARD,
+                     encoder_method=METHOD_SEQUENTIAL
+                     if args.method == "sequential" else METHOD_EDGEBREAKER)
         rec = EvalRecorder() if args.eval_json else None
         blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
