@@ -86,10 +86,22 @@ def _assemble_mesh(conn, atts) -> Mesh:
 
     per_att_vertex = np.stack(
         [np.asarray(a.vertex_of_corner, dtype=np.int64) for a in atts], axis=1)
-    # unique tuples in first-appearance order
-    key = np.ascontiguousarray(per_att_vertex)
-    void = key.view(np.dtype((np.void, key.dtype.itemsize * key.shape[1]))).ravel()
-    _, first_idx, inverse = np.unique(void, return_index=True,
+    # unique tuples in first-appearance order. Mixed-radix int64 keys when
+    # they fit (np.unique over void views runs scalar and dominated large
+    # decodes); void-view fallback for pathological vertex counts.
+    if per_att_vertex.shape[1] == 1:
+        keys = per_att_vertex[:, 0]
+    else:
+        radices = per_att_vertex.max(axis=0).astype(np.int64) + 1
+        if float(np.prod(radices.astype(np.float64))) < float(2 ** 62):
+            keys = per_att_vertex[:, 0].copy()
+            for j in range(1, per_att_vertex.shape[1]):
+                keys = keys * radices[j] + per_att_vertex[:, j]
+        else:
+            key = np.ascontiguousarray(per_att_vertex)
+            keys = key.view(np.dtype(
+                (np.void, key.dtype.itemsize * key.shape[1]))).ravel()
+    _, first_idx, inverse = np.unique(keys, return_index=True,
                                       return_inverse=True)
     order = np.argsort(first_idx, kind="stable")
     rank = np.empty(len(order), dtype=np.int64)
