@@ -106,3 +106,50 @@ def test_uncompressed_glb_writer(tmp_path):
     save_scene_glb(sc, out, compress=False)
     m = load_gltf(out)
     assert m.num_faces == 4212
+
+
+def test_split_mesh_by_materials(tmp_path):
+    import os
+
+    import numpy as np
+
+    from tpudraco.decode import decode
+    from tpudraco.io.gltf import (filter_mesh_by_material, save_scene_glb,
+                                  split_mesh_by_materials)
+    from tpudraco.models import Attribute, AttributeDomain, AttributeType
+    from tpudraco.models.mesh import Mesh
+    from tpudraco.models.scene import Material, Scene
+    from tpudraco.tools.glb_tools import extract_draco_blobs
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+                    [2, 0, 0], [2, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2], [1, 4, 3], [4, 5, 3]], np.int64)
+    mats = np.array([0, 0, 0, 1, 1, 1], np.int32)  # per-point material id
+    atts = [
+        Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION),
+        Attribute(mats.reshape(-1, 1), AttributeType.MATERIAL,
+                  AttributeDomain.POSITION, parents=[0]),
+    ]
+    atts[0].att_id, atts[1].att_id = 0, 1
+    mesh = Mesh(faces=faces, attributes=atts)
+
+    parts = split_mesh_by_materials(mesh)
+    assert [m for m, _ in parts] == [0, 1]
+    # faces touching each material survive; totals cover all faces
+    assert parts[0][1].num_faces >= 2 and parts[1][1].num_faces >= 2
+
+    # passthrough without a Material attribute
+    plain = Mesh(faces=faces, attributes=[
+        Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)])
+    assert filter_mesh_by_material(plain, 0) is plain
+
+    # GLB writer splits into per-material primitives, each decodable
+    scene = Scene()
+    scene.material_library.materials.extend([Material(), Material()])
+    scene.add_mesh(mesh)
+    glb = os.path.join(tmp_path, "m.glb")
+    save_scene_glb(scene, glb, compress=True)
+    blobs = extract_draco_blobs(glb)
+    assert len(blobs) == 2
+    for _, blob in blobs:
+        assert decode(blob).num_faces >= 2

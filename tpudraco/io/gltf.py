@@ -310,6 +310,50 @@ def load_gltf(path: str) -> Mesh:
     return _merge_meshes(meshes)
 
 
+def filter_mesh_by_material(mesh: Mesh, target_material: int) -> Mesh:
+    """Sub-mesh of the faces touching ``target_material`` (reference
+    io/gltf/encode.rs:1258-1330, vectorized): a face is kept when any of
+    its points carries the target value in the Material attribute; the
+    result is rebuilt through MeshBuilder so unused points drop out.
+    Meshes without a Material attribute pass through unchanged."""
+    mat_att = next((a for a in mesh.attributes
+                    if a.att_type == AttributeType.MATERIAL), None)
+    if mat_att is None:
+        return mesh
+    mat_per_point = np.asarray(mat_att.values_per_point()).reshape(-1)
+    face_mat = mat_per_point[np.asarray(mesh.faces, dtype=np.int64)]
+    keep = (face_mat == target_material).any(axis=1)
+    sub_faces = np.asarray(mesh.faces, dtype=np.int64)[keep]
+
+    builder = MeshBuilder()
+    builder.set_connectivity_attribute(sub_faces)
+    id_map: dict[int, int] = {}
+    for a in mesh.attributes:
+        if a.att_type == AttributeType.MATERIAL:
+            continue  # the split replaces the material indirection
+        parents = [id_map[p] for p in a.parents if p in id_map]
+        new_id = builder.add_attribute(a.values_per_point(), a.att_type,
+                                       a.domain, parents=parents)
+        id_map[a.att_id] = new_id
+    return builder.build()
+
+
+def split_mesh_by_materials(mesh: Mesh) -> list[tuple[int, Mesh]]:
+    """All (material_id, sub-mesh) pairs of a Material-attributed mesh, in
+    ascending material order; [(None-material passthrough)] otherwise."""
+    mat_att = next((a for a in mesh.attributes
+                    if a.att_type == AttributeType.MATERIAL), None)
+    if mat_att is None:
+        return [(-1, mesh)]
+    mats = np.unique(np.asarray(mat_att.values_per_point()).reshape(-1))
+    out = []
+    for m in mats.tolist():
+        sub = filter_mesh_by_material(mesh, int(m))
+        if sub.num_faces:
+            out.append((int(m), sub))
+    return out
+
+
 def _merge_meshes(meshes: list[Mesh]) -> Mesh:
     """Concatenate meshes that share an attribute layout."""
     builder = MeshBuilder()
@@ -453,7 +497,12 @@ class GlbWriter:
                 mesh = scene.meshes[inst.mesh_index]
                 if mesh.num_faces == 0:
                     continue
-                prims.append(self.add_mesh_primitive(mesh, inst.material_index))
+                # Material-attributed meshes split into one primitive per
+                # material (reference add_draco_mesh_as_primitive:919-929)
+                for mat_id, sub in split_mesh_by_materials(mesh):
+                    prims.append(self.add_mesh_primitive(
+                        sub,
+                        inst.material_index if mat_id < 0 else mat_id))
             gm = {"primitives": prims}
             if group.name:
                 gm["name"] = group.name
