@@ -159,3 +159,25 @@ def test_multihost_helpers_single_process(tmp_path):
     from tpudraco.decode import decode
     blob = open(os.path.join(out, "g0.drc"), "rb").read()
     assert decode(blob).num_faces == _grid_mesh(5, 0).num_faces
+
+
+def test_corpus_workers_byte_identical(tmp_path):
+    import os
+    from tpudraco.io.obj import save_obj
+
+    corpus = os.path.join(tmp_path, "in")
+    os.makedirs(corpus)
+    inputs = []
+    for i in range(6):
+        p = os.path.join(corpus, f"g{i}.obj")
+        save_obj(_grid_mesh(7, i), p)
+        inputs.append(p)
+    r1 = BatchEncoder().encode_corpus(inputs, os.path.join(tmp_path, "o1"),
+                                      workers=1)
+    r4 = BatchEncoder().encode_corpus(inputs, os.path.join(tmp_path, "o4"),
+                                      workers=4)
+    assert r1["encoded"] == r4["encoded"] == 6
+    for i in range(6):
+        a = open(os.path.join(tmp_path, "o1", f"g{i}.drc"), "rb").read()
+        b = open(os.path.join(tmp_path, "o4", f"g{i}.drc"), "rb").read()
+        assert a == b

@@ -159,34 +159,51 @@ class BatchEncoder:
         return out
 
     def encode_corpus(self, inputs: list[str], out_dir: str,
-                      resume: bool = True) -> dict:
+                      resume: bool = True, workers: int = 1) -> dict:
         """File-level corpus driver with resume (skip existing outputs) and
-        per-mesh error isolation. Returns a report dict."""
+        per-mesh error isolation. ``workers`` > 1 encodes files on a thread
+        pool — the C++ topology/entropy passes release the GIL, so this
+        scales across host cores. Returns a report dict."""
         from ..io import load_gltf, load_obj
 
         os.makedirs(out_dir, exist_ok=True)
         report = {"encoded": 0, "skipped": 0, "failed": [],
                   "total_in_bytes": 0, "total_out_bytes": 0}
         t0 = time.perf_counter()
-        for path in inputs:
+
+        def one(path):
             name = os.path.splitext(os.path.basename(path))[0] + ".drc"
             out_path = os.path.join(out_dir, name)
             if resume and os.path.isfile(out_path):
-                report["skipped"] += 1
-                continue
+                return ("skipped", path, 0, 0)
             try:
                 ext = os.path.splitext(path)[1].lower()
                 mesh = load_obj(path) if ext == ".obj" else load_gltf(path)
                 blob = self.encode_mesh(mesh)
-                tmp = out_path + ".tmp"
+                tmp = out_path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(blob)
                 os.replace(tmp, out_path)
-                report["encoded"] += 1
-                report["total_in_bytes"] += os.path.getsize(path)
-                report["total_out_bytes"] += len(blob)
+                return ("encoded", path, os.path.getsize(path), len(blob))
             except Exception as e:  # error isolation
-                report["failed"].append({"path": path, "error": repr(e)})
+                return ("failed", path, repr(e), 0)
+
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(one, inputs))
+        else:
+            results = [one(p) for p in inputs]
+
+        for status, path, a, b in results:
+            if status == "encoded":
+                report["encoded"] += 1
+                report["total_in_bytes"] += a
+                report["total_out_bytes"] += b
+            elif status == "skipped":
+                report["skipped"] += 1
+            else:
+                report["failed"].append({"path": path, "error": a})
         report["seconds"] = round(time.perf_counter() - t0, 3)
         with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
             json.dump(report, f, indent=1)

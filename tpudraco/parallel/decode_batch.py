@@ -31,32 +31,49 @@ class BatchDecoder:
         return out
 
     def decode_corpus(self, inputs: list[str], out_dir: str,
-                      resume: bool = True, fmt: str = "obj") -> dict:
+                      resume: bool = True, fmt: str = "obj",
+                      workers: int = 1) -> dict:
         """Decode .drc files to meshes on disk. Skips outputs that already
-        exist (resume); a bad blob is reported, not fatal."""
+        exist (resume); a bad blob is reported, not fatal. ``workers`` > 1
+        decodes on a thread pool (the C++ chains release the GIL)."""
         from ..io.obj import save_obj
 
         os.makedirs(out_dir, exist_ok=True)
         report = {"decoded": 0, "skipped": 0, "failed": [],
                   "total_in_bytes": 0}
         t0 = time.perf_counter()
-        for path in inputs:
+
+        def one(path):
             name = os.path.splitext(os.path.basename(path))[0] + "." + fmt
             out_path = os.path.join(out_dir, name)
             if resume and os.path.isfile(out_path):
-                report["skipped"] += 1
-                continue
+                return ("skipped", path, 0)
             try:
                 with open(path, "rb") as f:
                     blob = f.read()
                 mesh = decode(blob)
-                tmp = out_path + ".tmp"
+                tmp = out_path + f".tmp{os.getpid()}"
                 save_obj(mesh, tmp)
                 os.replace(tmp, out_path)
-                report["decoded"] += 1
-                report["total_in_bytes"] += len(blob)
+                return ("decoded", path, len(blob))
             except Exception as e:  # per-item isolation
-                report["failed"].append({"path": path, "error": repr(e)})
+                return ("failed", path, repr(e))
+
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(one, inputs))
+        else:
+            results = [one(p) for p in inputs]
+
+        for status, path, x in results:
+            if status == "decoded":
+                report["decoded"] += 1
+                report["total_in_bytes"] += x
+            elif status == "skipped":
+                report["skipped"] += 1
+            else:
+                report["failed"].append({"path": path, "error": x})
         report["seconds"] = round(time.perf_counter() - t0, 3)
         with open(os.path.join(out_dir, "decode_report.json"), "w") as f:
             json.dump(report, f, indent=1)
