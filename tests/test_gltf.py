@@ -153,3 +153,77 @@ def test_split_mesh_by_materials(tmp_path):
     assert len(blobs) == 2
     for _, blob in blobs:
         assert decode(blob).num_faces >= 2
+
+
+def test_structural_metadata_passthrough(tmp_path):
+    """EXT_structural_metadata schema + property tables (with their buffer
+    payloads) survive a load -> transcode -> load round trip."""
+    import base64
+    import json as _json
+    import os
+    import struct
+
+    import numpy as np
+
+    from tpudraco.io import load_gltf_to_scene, save_scene_glb
+    from tpudraco.io.gltf import _load_container
+
+    # hand-build a GLB with one mesh + EXT_structural_metadata
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    table_vals = np.arange(3, dtype=np.uint32).tobytes()
+    bin_chunk = pos.tobytes() + idx.tobytes() + b"\0\0" + table_vals
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+            {"buffer": 0, "byteOffset": 44, "byteLength": 12},
+        ],
+        "buffers": [{"byteLength": len(bin_chunk)}],
+        "extensionsUsed": ["EXT_structural_metadata"],
+        "extensions": {"EXT_structural_metadata": {
+            "schema": {"id": "test", "classes": {"c": {
+                "properties": {"ids": {"type": "SCALAR",
+                                       "componentType": "UINT32"}}}}},
+            "propertyTables": [{"name": "t", "class": "c", "count": 3,
+                                "properties": {"ids": {"values": 2}}}],
+        }},
+    }
+    doc = _json.dumps(gltf).encode()
+    doc += b" " * (-len(doc) % 4)
+    bin_pad = bin_chunk + b"\0" * (-len(bin_chunk) % 4)
+    glb = (b"glTF" + struct.pack("<II", 2, 12 + 8 + len(doc) + 8 + len(bin_pad))
+           + struct.pack("<II", len(doc), 0x4E4F534A) + doc
+           + struct.pack("<II", len(bin_pad), 0x004E4942) + bin_pad)
+    src = os.path.join(tmp_path, "sm.glb")
+    with open(src, "wb") as f:
+        f.write(glb)
+
+    scene = load_gltf_to_scene(src)
+    sm = scene.structural_metadata
+    assert sm.schema["id"] == "test"
+    assert len(sm.property_tables) == 1
+    assert sm.property_tables[0].buffers[0] == table_vals
+
+    out = os.path.join(tmp_path, "sm_draco.glb")
+    save_scene_glb(scene, out, compress=True)
+    gltf2, buffers2 = _load_container(out)
+    ext = gltf2["extensions"]["EXT_structural_metadata"]
+    assert ext["schema"]["id"] == "test"
+    bv = ext["propertyTables"][0]["properties"]["ids"]["values"]
+    view = gltf2["bufferViews"][bv]
+    start = view.get("byteOffset", 0)
+    assert buffers2[0][start:start + view["byteLength"]] == table_vals
+    # and it reloads
+    scene2 = load_gltf_to_scene(out)
+    assert scene2.structural_metadata.property_tables[0].buffers[0] == table_vals

@@ -25,8 +25,8 @@ import numpy as np
 
 from ..models import AttributeDomain, AttributeType, Mesh, MeshBuilder
 from ..models.scene import (
-    Image, Material, MeshGroup, MeshInstance, Scene, SceneNode, Texture,
-    TextureMap, TrsMatrix,
+    Image, Material, MeshGroup, MeshInstance, PropertyTable, Scene,
+    SceneNode, Texture, TextureMap, TrsMatrix,
 )
 
 COMPONENT_DTYPES = {
@@ -275,7 +275,66 @@ def load_gltf_to_scene(path: str) -> Scene:
     scene.root_nodes = list(default_scene.get("nodes", []))
     scene.animations_json = gltf.get("animations", [])
     scene.skins_json = gltf.get("skins", [])
+    _load_structural_metadata(gltf, buffers, scene)
     return scene
+
+
+# keys inside EXT_structural_metadata property JSON that reference
+# bufferViews (the reference walks the same set, decode.rs:1761-1870)
+_SM_BUFFERVIEW_KEYS = ("values", "arrayOffsets", "stringOffsets")
+
+
+def _load_structural_metadata(gltf: dict, buffers: list[bytes],
+                              scene: Scene) -> None:
+    """Capture EXT_structural_metadata: schema + property tables with their
+    referenced bufferView bytes, so the writer can re-emit them with
+    remapped bufferViews (reference decode.rs:1761-1870)."""
+    ext = gltf.get("extensions", {}).get("EXT_structural_metadata")
+    if not ext:
+        return
+    sm = scene.structural_metadata
+    sm.schema = ext.get("schema", {})
+    sm.property_attributes = ext.get("propertyAttributes", [])
+    for pt in ext.get("propertyTables", []):
+        table = PropertyTable(name=pt.get("name", ""),
+                              count=pt.get("count", 0),
+                              json=json.loads(json.dumps(pt)))
+        # collect referenced bufferView bytes; rewrite indices to local ids
+        local = 0
+        for prop in table.json.get("properties", {}).values():
+            for key in _SM_BUFFERVIEW_KEYS:
+                if key in prop:
+                    table.buffers.append(
+                        bytes(_bufferview_bytes(gltf, buffers, prop[key])))
+                    prop[key] = local
+                    local += 1
+        sm.property_tables.append(table)
+
+
+def _structural_metadata_ext(scene: Scene, add_buffer_view) -> dict | None:
+    """EXT_structural_metadata JSON for the writer: property-table buffers
+    are appended to the output BIN chunk (via ``add_buffer_view``) and the
+    bufferView indices remapped (reference encode.rs:2029-2143). Call
+    BEFORE the top-level buffers entry is finalized."""
+    sm = scene.structural_metadata
+    if not (sm.schema or sm.property_tables or sm.property_attributes):
+        return None
+    ext: dict = {}
+    if sm.schema:
+        ext["schema"] = sm.schema
+    if sm.property_attributes:
+        ext["propertyAttributes"] = sm.property_attributes
+    tables = []
+    for table in sm.property_tables:
+        pt = json.loads(json.dumps(table.json))
+        for prop in pt.get("properties", {}).values():
+            for key in _SM_BUFFERVIEW_KEYS:
+                if key in prop:
+                    prop[key] = add_buffer_view(table.buffers[prop[key]])
+        tables.append(pt)
+    if tables:
+        ext["propertyTables"] = tables
+    return ext
 
 
 def load_gltf(path: str) -> Mesh:
@@ -534,6 +593,8 @@ class GlbWriter:
         else:
             roots = scene.root_nodes
 
+        sm_ext = _structural_metadata_ext(scene, self._add_buffer_view)
+
         gltf: dict = {
             "asset": {"version": "2.0", "generator": "tpudraco"},
             "scene": 0,
@@ -559,6 +620,12 @@ class GlbWriter:
         if self.extensions_used:
             gltf["extensionsUsed"] = sorted(self.extensions_used)
             gltf["extensionsRequired"] = sorted(self.extensions_used)
+        if sm_ext:
+            gltf.setdefault("extensions", {})[
+                "EXT_structural_metadata"] = sm_ext
+            gltf.setdefault("extensionsUsed", [])
+            if "EXT_structural_metadata" not in gltf["extensionsUsed"]:
+                gltf["extensionsUsed"].append("EXT_structural_metadata")
 
         _write_glb(gltf, bytes(self.bin), path)
 
