@@ -254,9 +254,13 @@ def load_gltf_to_scene(path: str) -> Scene:
             mesh = _primitive_to_mesh(gltf, buffers, prim, None)
             mesh.name = gm.get("name", "")
             scene.meshes.append(mesh)
-            group.instances.append(MeshInstance(
-                mesh_index=len(scene.meshes) - 1,
-                material_index=prim.get("material")))
+            inst = MeshInstance(mesh_index=len(scene.meshes) - 1,
+                                material_index=prim.get("material"))
+            # EXT_mesh_features passthrough (raw JSON records)
+            mf = prim.get("extensions", {}).get("EXT_mesh_features")
+            if mf:
+                inst.mesh_features = mf.get("featureIds", [])
+            group.instances.append(inst)
         scene.mesh_groups.append(group)
 
     # nodes
@@ -455,7 +459,8 @@ class GlbWriter:
         self.images_json: list[dict] = []
         self.textures_json: list[dict] = []
         self.samplers_json: list[dict] = []
-        self.extensions_used: set[str] = set()
+        self.extensions_used: set[str] = set()       # used + required
+        self.extensions_optional: set[str] = set()   # used only
 
     def _pad(self) -> None:
         while len(self.bin) % 4:
@@ -559,9 +564,14 @@ class GlbWriter:
                 # Material-attributed meshes split into one primitive per
                 # material (reference add_draco_mesh_as_primitive:919-929)
                 for mat_id, sub in split_mesh_by_materials(mesh):
-                    prims.append(self.add_mesh_primitive(
-                        sub,
-                        inst.material_index if mat_id < 0 else mat_id))
+                    prim = self.add_mesh_primitive(
+                        sub, inst.material_index if mat_id < 0 else mat_id)
+                    if inst.mesh_features:
+                        prim.setdefault("extensions", {})[
+                            "EXT_mesh_features"] = {
+                                "featureIds": inst.mesh_features}
+                        self.extensions_optional.add("EXT_mesh_features")
+                    prims.append(prim)
             gm = {"primitives": prims}
             if group.name:
                 gm["name"] = group.name
@@ -617,15 +627,15 @@ class GlbWriter:
             gltf["animations"] = scene.animations_json
         if scene.skins_json:
             gltf["skins"] = scene.skins_json
-        if self.extensions_used:
-            gltf["extensionsUsed"] = sorted(self.extensions_used)
-            gltf["extensionsRequired"] = sorted(self.extensions_used)
         if sm_ext:
             gltf.setdefault("extensions", {})[
                 "EXT_structural_metadata"] = sm_ext
-            gltf.setdefault("extensionsUsed", [])
-            if "EXT_structural_metadata" not in gltf["extensionsUsed"]:
-                gltf["extensionsUsed"].append("EXT_structural_metadata")
+            self.extensions_optional.add("EXT_structural_metadata")
+        if self.extensions_used or self.extensions_optional:
+            gltf["extensionsUsed"] = sorted(self.extensions_used
+                                            | self.extensions_optional)
+        if self.extensions_used:
+            gltf["extensionsRequired"] = sorted(self.extensions_used)
 
         _write_glb(gltf, bytes(self.bin), path)
 
