@@ -1,0 +1,94 @@
+"""Decode robustness: corrupted streams must raise typed errors, never
+crash, hang, or return silently-wrong data without an exception. Also a
+randomized round-trip torture sweep across configs."""
+
+import numpy as np
+import pytest
+
+from tpudraco.decode import decode
+from tpudraco.encode import Config, encode
+from tpudraco.models import Attribute, AttributeDomain, AttributeType
+from tpudraco.models.mesh import Mesh
+from tpudraco.shared.connectivity_eq import weak_eq_by_laplacian
+
+
+def _random_mesh(rng, n=7):
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.random(n * n).astype(np.float32) * 3], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, i * n + j + 1,
+                          (i + 1) * n + j, (i + 1) * n + j + 1)
+            if rng.random() < 0.9:  # random holes
+                faces += [[a, b, c]]
+            if rng.random() < 0.9:
+                faces += [[b, d, c]]
+    # through MeshBuilder: random holes orphan vertices, and the builder's
+    # unused-vertex removal (builder.rs:129-189) is part of what we fuzz
+    from tpudraco.models import MeshBuilder
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces, dtype=np.int64))
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    return b.build()
+
+
+@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
+                                 Config(encoder_method=0)])
+def test_roundtrip_torture_random_holed_grids(cfg):
+    """Random holes produce boundary loops and non-manifold (bowtie)
+    vertices; the corner table legitimately splits the latter, so the
+    oracle is geometric (per-face value multisets, vertex-split-invariant)
+    rather than the Laplacian spectrum."""
+    from tests.test_roundtrip import assert_roundtrip
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        mesh = _random_mesh(rng)
+        if mesh.num_faces == 0:
+            continue
+        assert_roundtrip(mesh, cfg=cfg)
+
+
+@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2)])
+def test_decode_corruption_never_crashes(cfg):
+    """Flip/zero bytes all over a valid stream: every corruption must
+    either decode (harmless bit) or raise a typed error — including through
+    the C++ fast paths."""
+    rng = np.random.default_rng(3)
+    mesh = _random_mesh(rng, n=6)
+    blob = bytearray(encode(mesh, cfg=cfg))
+    survived, rejected = 0, 0
+    for k in range(0, len(blob), max(1, len(blob) // 120)):
+        for val in (0x00, 0xFF, blob[k] ^ 0x55):
+            mutated = bytearray(blob)
+            mutated[k] = val
+            try:
+                decode(bytes(mutated))
+                survived += 1
+            except Exception:
+                rejected += 1
+    assert survived + rejected > 100  # the sweep actually ran
+
+
+def test_decode_truncation_never_crashes():
+    rng = np.random.default_rng(5)
+    mesh = _random_mesh(rng, n=6)
+    blob = encode(mesh)
+    for cut in range(0, len(blob), max(1, len(blob) // 60)):
+        try:
+            decode(blob[:cut])
+        except Exception:
+            pass
+
+
+def test_decode_garbage_never_crashes():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        junk = b"DRACO\x02\x02\x01\x01\x00\x00" + rng.bytes(200)
+        try:
+            decode(junk)
+        except Exception:
+            pass

@@ -392,6 +392,8 @@ def _read_port_meta(reader, port_type: int, n: int) -> dict:
         mins = np.array([reader.read_f32() for _ in range(n)], dtype=np.float32)
         delta_max = np.float32(reader.read_f32())
         bits = reader.read_u8()
+        if not 1 <= bits <= 31:
+            raise DecodeError(f"invalid quantization bits {bits}")
         return {"mins": mins, "delta_max": delta_max, "bits": bits}
     if port_type == PORT_OCTAHEDRAL:
         return {"bits": reader.read_u8()}

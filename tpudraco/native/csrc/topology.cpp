@@ -839,7 +839,7 @@ static int64_t spirale_core(
             if (!stack.empty()) {
                 const int64_t v = ctv[next_c(stack.back())];
                 int64_t n = 0;
-                if (v >= 0) {
+                if (v >= 0 && v < max_nv) {
                     const int64_t start = left_most[v];
                     int64_t cc = start;
                     while (cc != NONE) {
@@ -865,13 +865,17 @@ static int64_t spirale_core(
             if (stack.empty()) return -1;
             const int64_t corner_a = stack.back();
             const int64_t vertex_x = ctv[next_c(corner_a)];
+            if (vertex_x < 0 || vertex_x >= max_nv
+                || left_most[vertex_x] < 0) return -1;
             const int64_t corner_b = next_c(left_most[vertex_x]);
             if (corner_a == corner_b) return -1;
             opposite[corner_a] = corner + 1; opposite[corner + 1] = corner_a;
             opposite[corner_b] = corner + 2; opposite[corner + 2] = corner_b;
+            if (corner_b < 0 || corner_b >= 3 * num_faces) return -1;
             const int64_t vert_a_prev = ctv[prev_c(corner_a)];
             const int64_t vert_b_next = ctv[next_c(corner_b)];
             if (vertex_x == vert_a_prev || vertex_x == vert_b_next) return -1;
+            if (vert_a_prev < 0 || vert_a_prev >= max_nv) return -1;
             ctv[corner] = vertex_x;
             ctv[corner + 1] = vert_b_next;
             ctv[corner + 2] = vert_a_prev;
@@ -892,6 +896,7 @@ static int64_t spirale_core(
             ctv[opp_corner] = new_vert;
             left_most[new_vert] = opp_corner;
             const int64_t vertex_r = ctv[prev_c(corner_a)];
+            if (vertex_r < 0 || vertex_r >= max_nv) return -1;
             ctv[corner_r] = vertex_r;
             left_most[vertex_r] = corner_r;
             ctv[corner_l] = ctv[next_c(corner_a)];
@@ -910,13 +915,16 @@ static int64_t spirale_core(
             opposite[corner_a] = corner + 2; opposite[corner + 2] = corner_a;
             opposite[corner_b] = corner + 1; opposite[corner + 1] = corner_b;
             const int64_t vertex_p = ctv[prev_c(corner_a)];
+            if (vertex_p < 0 || vertex_p >= max_nv) return -1;
             ctv[corner] = vertex_p;
             ctv[corner + 1] = ctv[next_c(corner_a)];
             const int64_t vert_b_prev = ctv[prev_c(corner_b)];
+            if (vert_b_prev < 0 || vert_b_prev >= max_nv) return -1;
             ctv[corner + 2] = vert_b_prev;
             left_most[vert_b_prev] = corner + 2;
             int64_t corner_n = next_c(corner_b);
             const int64_t vertex_n = ctv[corner_n];
+            if (vertex_n < 0 || vertex_n >= max_nv) return -1;
             left_most[vertex_p] = left_most[vertex_n];
             const int64_t first_cn = corner_n;
             while (corner_n != NONE) {
