@@ -181,3 +181,21 @@ def test_corpus_workers_byte_identical(tmp_path):
         a = open(os.path.join(tmp_path, "o1", f"g{i}.drc"), "rb").read()
         b = open(os.path.join(tmp_path, "o4", f"g{i}.drc"), "rb").read()
         assert a == b
+
+
+def test_shared_topology_batch_decode():
+    """Shared-topology batch decode must equal per-blob decode()."""
+    from tpudraco.decode import decode
+    from tpudraco.parallel import BatchDecoder
+
+    meshes = [_grid_mesh(8, s) for s in range(4)]
+    blobs = [encode(m) for m in meshes]
+    blobs.append(encode(_grid_mesh(6, 9)))   # different topology in the mix
+    blobs.append(b"garbage")                 # error isolation
+    out = BatchDecoder().decode_blobs_shared_topology(blobs)
+    assert out[-1] is None
+    for blob, got in zip(blobs[:-1], out[:-1]):
+        ref = decode(blob)
+        assert np.array_equal(got.faces, ref.faces)
+        for a, b in zip(got.attributes, ref.attributes):
+            assert np.array_equal(np.asarray(a.values), np.asarray(b.values))

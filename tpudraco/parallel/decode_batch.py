@@ -30,6 +30,45 @@ class BatchDecoder:
                 out.append(None)
         return out
 
+    def decode_blobs_shared_topology(self, blobs: list[bytes]) -> list:
+        """Batch decode for blobs produced from one topology group (the
+        output of BatchEncoder.encode_meshes_device): the connectivity
+        section is parsed and Spirale-reconstructed ONCE and reused for
+        every blob whose connectivity bytes match byte-for-byte; blobs that
+        diverge (or fail) fall back to the full per-blob decoder. Output
+        meshes are identical to per-blob decode() (pinned by tests)."""
+        from ..decode import _assemble_mesh, decode_header
+        from ..decode.attribute import decode_attributes
+        from ..decode.connectivity import decode_connectivity
+        from ..wire.byte_io import ByteReader
+
+        if not blobs:
+            return []
+        out: list = [None] * len(blobs)
+        try:
+            r0 = ByteReader(blobs[0])
+            header = decode_header(r0)
+            if header["flags"] & 0x8000 or header["method"] != 1 \
+                    or header["geometry_type"] != 1:
+                raise ValueError("not a plain edgebreaker mesh stream")
+            conn = decode_connectivity(r0)
+            conn_end = r0.pos
+            prefix = bytes(blobs[0][:conn_end])
+        except Exception:
+            return self.decode_blobs(blobs)
+
+        for i, blob in enumerate(blobs):
+            try:
+                if bytes(blob[:conn_end]) != prefix:
+                    out[i] = decode(blob)  # different topology: full path
+                    continue
+                r = ByteReader(blob, pos=conn_end)
+                atts = decode_attributes(r, conn)
+                out[i] = _assemble_mesh(conn, atts)
+            except Exception:
+                out[i] = None
+        return out
+
     def decode_corpus(self, inputs: list[str], out_dir: str,
                       resume: bool = True, fmt: str = "obj",
                       workers: int = 1) -> dict:
