@@ -412,3 +412,42 @@ def test_sequential_mesh_index_widths():
         blob = encode(mesh, cfg=Config(encoder_method=0))
         out = decode(blob)
         assert np.array_equal(out.faces, faces), n_pts
+
+
+def test_quantization_bit_overrides():
+    """Config.quant_bits changes the stream's bit depth and the
+    reconstruction precision accordingly (draco_encoder's -qp)."""
+    rng = np.random.RandomState(6)
+    n = 8
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32) * 3], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, i * n + j + 1,
+                          (i + 1) * n + j, (i + 1) * n + j + 1)
+            faces += [[a, b, c], [b, d, c]]
+    faces = np.asarray(faces, dtype=np.int64)
+    att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = Mesh(faces=faces, attributes=[att])
+
+    sizes, errors = {}, {}
+    for bits in (8, 11, 14):
+        cfg = Config(quant_bits={AttributeType.POSITION: bits})
+        blob = encode(mesh, cfg=cfg)
+        out = decode(blob)
+        got = np.asarray(out.attributes[0].values, dtype=np.float32)
+        errors[bits] = float(np.abs(np.sort(got.ravel())
+                                    - np.sort(pos.ravel())).max())
+        sizes[bits] = len(blob)
+    assert sizes[8] < sizes[11] < sizes[14]
+    assert errors[14] < errors[11] < errors[8]
+    # default unchanged
+    assert encode(mesh) == encode(mesh, cfg=Config(quant_bits={}))
+
+    with pytest.raises(ValueError):
+        encode(mesh, cfg=Config(quant_bits={AttributeType.POSITION: 0}))
+    with pytest.raises(ValueError):
+        encode(mesh, cfg=Config(quant_bits={AttributeType.NORMAL: 10}))

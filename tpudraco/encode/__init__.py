@@ -33,7 +33,9 @@ class Config:
     # EB_STANDARD (CrLight bits) or EB_VALENCE (per-context rANS streams,
     # shared/connectivity/edgebreaker/mod.rs:20-53)
     traversal: int = 0
-    # per-attribute-type overrides land here in later rounds
+    # per-AttributeType quantization bit overrides (draco_encoder's
+    # -qp/-qt; normals are fixed 8-bit octahedral)
+    quant_bits: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
 
 
@@ -71,6 +73,10 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     from ..utils.debug import debug_write
     rec = recorder if recorder is not None else NULL
     cfg = cfg or Config()
+    if cfg.quant_bits:
+        from .portabilization import default_portabilization_for
+        for t in cfg.quant_bits:  # validate overrides eagerly
+            default_portabilization_for(t, cfg.quant_bits)
     if mesh.metadata is not None and not mesh.metadata.is_empty():
         cfg = replace(cfg, metadata=True)
     if mesh.num_faces == 0 and mesh.attributes:
@@ -112,7 +118,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         rec.scope_begin("attributes", writer)
         encode_sequential_attributes(
             [(a.att_type, a.unique_id, a.values_per_point())
-             for a in mesh.attributes], num_points, writer)
+             for a in mesh.attributes], num_points, writer,
+            quant_bits=cfg.quant_bits)
         rec.scope_end(writer)
         debug_write(writer, "attributes done")
         rec.scope_end(writer)
@@ -130,7 +137,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     rec.write_pair("topology_splits", len(eb.topology_splits))
     rec.scope_end(writer)
     rec.scope_begin("attributes", writer)
-    encode_attributes(mesh.attributes, writer, conn_out, recorder=rec)
+    encode_attributes(mesh.attributes, writer, conn_out, recorder=rec,
+                      quant_bits=cfg.quant_bits)
     rec.scope_end(writer)
     debug_write(writer, "attributes done")
     rec.scope_end(writer)

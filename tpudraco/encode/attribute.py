@@ -49,7 +49,8 @@ VECTORIZED_PREDICTIONS = True
 def encode_attributes(attributes: list[Attribute], writer,
                       conn_out: ConnectivityOutput, recorder=None,
                       sequences: dict | None = None,
-                      precomputed: dict | None = None) -> None:
+                      precomputed: dict | None = None,
+                      quant_bits: dict | None = None) -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
     "xform_meta": bytes} to skip the host predict/transform/entropy stages
@@ -74,7 +75,8 @@ def encode_attributes(attributes: list[Attribute], writer,
         writer.write_u8(0)  # normalized flag
         uid = att.unique_id if att.unique_id is not None else att.att_id
         writer.write_u8(uid & 0xFF)
-        port_type, _bits = default_portabilization_for(att.att_type)
+        port_type, _bits = default_portabilization_for(att.att_type,
+                                                       quant_bits)
         writer.write_u8(port_type)
 
     port_atts: dict[int, Attribute] = {}
@@ -84,7 +86,8 @@ def encode_attributes(attributes: list[Attribute], writer,
         seq = sequences.get(i) if sequences else None
         pre = precomputed.get(i) if precomputed else None
         port_att = _encode_one(att, i, parents, conn_out, writer, rec,
-                               sequence=seq, precomputed=pre)
+                               sequence=seq, precomputed=pre,
+                               quant_bits=quant_bits)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -93,7 +96,8 @@ def encode_attributes(attributes: list[Attribute], writer,
 
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 conn_out: ConnectivityOutput, writer, rec=None,
-                sequence=None, precomputed=None) -> Attribute:
+                sequence=None, precomputed=None,
+                quant_bits=None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -113,7 +117,7 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
         sequence = compute_sequence(view, list(conn_out.corners_of_edgebreaker))
 
     # portabilize (writes quantization metadata into a side buffer)
-    port_type, bits = default_portabilization_for(att.att_type)
+    port_type, bits = default_portabilization_for(att.att_type, quant_bits)
     port_buf = _Buf()
     port_att = portabilize(att, port_type, bits, port_buf)
 

@@ -52,16 +52,22 @@ def encode_point_cloud(mesh: Mesh, writer) -> None:
         num_points, writer)
 
 
-def encode_sequential_attributes(atts, num_points: int, writer) -> None:
+def encode_sequential_attributes(atts, num_points: int, writer,
+                                 quant_bits: dict | None = None) -> None:
     """Point-major sequential attribute payload, shared by point clouds and
     sequential-connectivity meshes. ``atts`` is a list of
-    (att_type, unique_id, values (num_points, N)) tuples."""
+    (att_type, unique_id, values (num_points, N)) tuples. ``quant_bits``
+    optionally overrides the per-type bit depth (Config.quant_bits)."""
     writer.write_u8(len(atts))
     for att_type, unique_id, vals in atts:
         n_comp = vals.shape[1] if vals.ndim > 1 else 1
         vals = vals.reshape(num_points, n_comp)
         is_float = np.issubdtype(vals.dtype, np.floating)
         bits = DEFAULT_BITS.get(att_type, 11) if is_float else 0
+        if is_float and quant_bits and att_type in quant_bits:
+            bits = int(quant_bits[att_type])
+            if not 1 <= bits <= 30:
+                raise ValueError(f"invalid quantization bits {bits}")
         writer.write_u8(int(att_type))
         writer.write_u8(n_comp)
         writer.write_u8((unique_id or 0) & 0xFF)

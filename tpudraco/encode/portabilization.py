@@ -18,17 +18,34 @@ PORT_QUANTIZATION = 2
 PORT_OCTAHEDRAL = 3
 
 
-def default_portabilization_for(att_type: AttributeType) -> tuple[int, int]:
+def default_portabilization_for(att_type: AttributeType,
+                                quant_bits: dict | None = None
+                                ) -> tuple[int, int]:
     """(type id, quantization bits) defaults (mod.rs:101-143):
     Normal -> octahedral 8, TexCoord -> quant 10, Custom -> ToBits,
-    else quant 11."""
+    else quant 11. ``quant_bits`` optionally overrides the bit depth per
+    AttributeType (Config.quant_bits — draco_encoder's -qp/-qt/-qn; a knob
+    the reference declares but leaves unwired, encode/mod.rs:23-26)."""
     if att_type == AttributeType.NORMAL:
-        return PORT_OCTAHEDRAL, 8
-    if att_type == AttributeType.TEX_COORD:
-        return PORT_QUANTIZATION, 10
-    if att_type == AttributeType.CUSTOM:
-        return PORT_TO_BITS, 11
-    return PORT_QUANTIZATION, 11
+        out = PORT_OCTAHEDRAL, 8
+    elif att_type == AttributeType.TEX_COORD:
+        out = PORT_QUANTIZATION, 10
+    elif att_type == AttributeType.CUSTOM:
+        out = PORT_TO_BITS, 11
+    else:
+        out = PORT_QUANTIZATION, 11
+    if quant_bits and att_type in quant_bits:
+        bits = int(quant_bits[att_type])
+        if att_type == AttributeType.NORMAL:
+            if bits != 8:
+                # the octahedral pipeline is 8-bit throughout (the
+                # reference hardcodes max=255, oct_orthogonal.rs metadata)
+                raise ValueError("octahedral normals are fixed at 8 bits")
+        elif not 1 <= bits <= 30:
+            raise ValueError(f"invalid quantization bits {bits} for "
+                             f"{att_type.name}")
+        out = (out[0], bits)
+    return out
 
 
 def _clone_with_values(att: Attribute, values: np.ndarray) -> Attribute:

@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                    default="edgebreaker",
                    help="connectivity method (sequential = raw indices, "
                         "no traversal)")
+    p.add_argument("-qp", type=int, default=None, metavar="BITS",
+                   help="position quantization bits (default 11)")
+    p.add_argument("-qt", type=int, default=None, metavar="BITS",
+                   help="texcoord quantization bits (default 10)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -59,10 +63,17 @@ def main(argv=None) -> int:
             return 2
         from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
         from ..shared.clers import EB_STANDARD, EB_VALENCE
+        from ..models import AttributeType
+        quant_bits = {}
+        if args.qp is not None:
+            quant_bits[AttributeType.POSITION] = args.qp
+        if args.qt is not None:
+            quant_bits[AttributeType.TEX_COORD] = args.qt
         cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
                      else EB_STANDARD,
                      encoder_method=METHOD_SEQUENTIAL
-                     if args.method == "sequential" else METHOD_EDGEBREAKER)
+                     if args.method == "sequential" else METHOD_EDGEBREAKER,
+                     quant_bits=quant_bits)
         rec = EvalRecorder() if args.eval_json else None
         blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
