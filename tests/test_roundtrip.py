@@ -451,3 +451,36 @@ def test_quantization_bit_overrides():
         encode(mesh, cfg=Config(quant_bits={AttributeType.POSITION: 0}))
     with pytest.raises(ValueError):
         encode(mesh, cfg=Config(quant_bits={AttributeType.NORMAL: 10}))
+
+
+def test_symbol_coding_modes():
+    """LengthCoded/auto fix the DirectCoded table blow-up at high
+    quantization depths; the decoder dispatches on the stream's own method
+    byte, so all modes round-trip."""
+    rng = np.random.RandomState(6)
+    n = 8
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32) * 3], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, i * n + j + 1,
+                          (i + 1) * n + j, (i + 1) * n + j + 1)
+            faces += [[a, b, c], [b, d, c]]
+    att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = Mesh(faces=np.asarray(faces, dtype=np.int64), attributes=[att])
+
+    qb = {AttributeType.POSITION: 16}
+    sizes = {}
+    for mode in ("direct", "length", "auto"):
+        cfg = Config(quant_bits=qb, symbol_coding=mode)
+        blob = encode(mesh, cfg=cfg)
+        out = decode(blob)
+        assert out.num_faces == mesh.num_faces, mode
+        sizes[mode] = len(blob)
+    assert sizes["length"] < sizes["direct"]
+    assert sizes["auto"] == sizes["length"]  # wide alphabet -> LengthCoded
+    # at default depth auto picks DirectCoded (reference-faithful bytes)
+    assert encode(mesh) == encode(mesh, cfg=Config(symbol_coding="auto"))

@@ -36,6 +36,9 @@ class Config:
     # per-AttributeType quantization bit overrides (draco_encoder's
     # -qp/-qt; normals are fixed 8-bit octahedral)
     quant_bits: dict = field(default_factory=dict)
+    # attribute residual symbol coding: "direct" (reference-faithful),
+    # "length", or "auto" (LengthCoded for wide alphabets)
+    symbol_coding: str = "direct"
     extra: dict = field(default_factory=dict)
 
 
@@ -138,7 +141,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     rec.scope_end(writer)
     rec.scope_begin("attributes", writer)
     encode_attributes(mesh.attributes, writer, conn_out, recorder=rec,
-                      quant_bits=cfg.quant_bits)
+                      quant_bits=cfg.quant_bits,
+                      symbol_coding=cfg.symbol_coding)
     rec.scope_end(writer)
     debug_write(writer, "attributes done")
     rec.scope_end(writer)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+from ..entropy.symbol_coding import DIRECT_CODED, LENGTH_CODED, encode_symbols
 from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import TableView
 from ..shared.clers import TRAVERSAL_DEPTH_FIRST
@@ -50,7 +50,8 @@ def encode_attributes(attributes: list[Attribute], writer,
                       conn_out: ConnectivityOutput, recorder=None,
                       sequences: dict | None = None,
                       precomputed: dict | None = None,
-                      quant_bits: dict | None = None) -> None:
+                      quant_bits: dict | None = None,
+                      symbol_coding: str = "direct") -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
     "xform_meta": bytes} to skip the host predict/transform/entropy stages
@@ -87,17 +88,34 @@ def encode_attributes(attributes: list[Attribute], writer,
         pre = precomputed.get(i) if precomputed else None
         port_att = _encode_one(att, i, parents, conn_out, writer, rec,
                                sequence=seq, precomputed=pre,
-                               quant_bits=quant_bits)
+                               quant_bits=quant_bits,
+                               symbol_coding=symbol_coding)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
         port_atts[att.att_id] = port_att
 
 
+def _pick_symbol_method(flat_symbols, symbol_coding: str) -> int:
+    """Symbol-coding selection. The reference hardcodes DirectCoded
+    (attribute_encoder.rs:344-351), whose serialized frequency table grows
+    with the alphabet; LengthCoded stays compact for wide-range residuals.
+    "auto" switches when the alphabet would dominate the payload
+    (> 2^11 distinct symbol ids). "direct" (default) matches the
+    reference byte-for-byte; the decoder dispatches on the stream's own
+    method byte either way."""
+    if symbol_coding == "direct":
+        return DIRECT_CODED
+    if symbol_coding == "length":
+        return LENGTH_CODED
+    max_symbol = int(flat_symbols.max()) if len(flat_symbols) else 0
+    return LENGTH_CODED if max_symbol >= (1 << 11) else DIRECT_CODED
+
+
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 conn_out: ConnectivityOutput, writer, rec=None,
                 sequence=None, precomputed=None,
-                quant_bits=None) -> Attribute:
+                quant_bits=None, symbol_coding: str = "direct") -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -180,7 +198,9 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     symbols = xform.squeeze(origs, preds, xbuf)
 
     writer.write_u8(1)  # rans_encoding flag
-    encode_symbols(symbols.astype(np.uint64).ravel(), n, DIRECT_CODED, writer)
+    flat = symbols.astype(np.uint64).ravel()
+    method = _pick_symbol_method(flat, symbol_coding)
+    encode_symbols(flat, n, method, writer)
 
     # metadata ordering is prediction-type-dependent for draco compatibility
     # (attribute_encoder.rs:362-382)
