@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..wire.bit_io import BitReader, BitWriter
+from ..wire.bit_io import BitReader, BitWriter  # noqa: F401 (re-exported for callers)
 from ..wire.byte_io import ByteReader, ByteWriter
 from .rans import RansSymbolDecoder, RansSymbolEncoder, rans_precision_for_bit_length
 
@@ -97,20 +97,16 @@ def decode_symbols(num_symbols: int, num_components: int,
 
 def _decode_length_coded(num_symbols: int, num_components: int,
                          reader: ByteReader) -> np.ndarray:
+    from ..ops.bitpack import unpack_bits_msb
+
     dec = RansSymbolDecoder(reader, precision=12)
     num_values = num_symbols // num_components
     bit_lengths = dec.decode_all(num_values)
-    br = BitReader(reader, msb_first=True)
-    out = np.zeros(num_values * num_components, dtype=np.uint64)
-    k = 0
-    for i in range(num_values):
-        bl = int(bit_lengths[i])
-        if bl == 0:
-            k += num_components
-            continue
-        for _ in range(num_components):
-            out[k] = br.read_bits(bl)
-            k += 1
+    sizes = np.repeat(np.asarray(bit_lengths, dtype=np.int64),
+                      num_components)
+    total_bits = int(sizes.sum())
+    nbytes = (total_bits + 7) // 8
+    out = unpack_bits_msb(bytes(reader.read_bytes(nbytes)), sizes)
     return out
 
 

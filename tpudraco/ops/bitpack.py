@@ -43,3 +43,24 @@ def pack_bits_msb(sizes, values) -> bytes:
                        np.asarray(sizes, dtype=np.int64))
     bits = ((vals >> (widths - 1 - intra)) & 1).astype(np.uint8)
     return np.packbits(bits, bitorder="big").tobytes()
+
+
+def unpack_bits_msb(data: bytes, sizes) -> np.ndarray:
+    """Inverse of pack_bits_msb: read len(sizes) values of sizes[k] bits
+    each (MSB of each value first) from a zero-padded byte buffer.
+    Zero-size entries decode to 0. Returns uint64 values."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(len(sizes), dtype=np.uint64)
+    if total > 8 * len(data):
+        raise ValueError("bit buffer underrun")
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         count=total).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+    widths = np.repeat(sizes, sizes)
+    contrib = bits << (widths - 1 - intra).astype(np.uint64)
+    out = np.zeros(len(sizes), dtype=np.uint64)
+    np.add.at(out, np.repeat(np.arange(len(sizes)), sizes), contrib)
+    return out
