@@ -138,6 +138,9 @@ def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mes
 
     if prim.get("mode", 4) != 4:
         raise GltfError("only TRIANGLES primitives are supported")
+    if prim.get("targets"):
+        # the reference rejects morph targets too (decode.rs:774-811)
+        raise GltfError("morph targets are not supported")
     attrs = prim["attributes"]
     if "POSITION" not in attrs:
         raise GltfError("primitive without POSITION")
