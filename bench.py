@@ -28,7 +28,7 @@ def main():
     from tpudraco.ops import (build_combined_matrix, encode_step,
                               encode_step_pallas, predict_matmul_viable)
 
-    batch, n, slices = 512, 64, 8  # 8 x 512 meshes x 4096 verts per dispatch
+    batch, n, slices = 512, 64, 16  # 16 x 512 meshes x 4096 verts per dispatch
     positions, faces = g._make_mesh_batch(batch=batch, n=n, seed=1)
     gn = g._topology_gathers(positions[0], faces)
     gathers = {k: jnp.asarray(v) for k, v in gn.items()}
