@@ -92,3 +92,45 @@ def test_decode_garbage_never_crashes():
             decode(junk)
         except Exception:
             pass
+
+
+@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2)])
+def test_roundtrip_torture_textured(cfg):
+    """Randomized textured meshes (positions + normals + seamed UVs) across
+    traversals; exercises the vectorized normal/UV predictions and the
+    attribute corner tables on irregular topology."""
+    from tests.test_roundtrip import assert_roundtrip
+    from tpudraco.models import MeshBuilder
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        n = 6
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                             np.arange(n, dtype=np.float32))
+        pos = np.stack([xs.ravel(), ys.ravel(),
+                        rng.random(n * n).astype(np.float32) * 2], axis=1)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a, b, c, d = (i * n + j, i * n + j + 1,
+                              (i + 1) * n + j, (i + 1) * n + j + 1)
+                if rng.random() < 0.92:
+                    faces += [[a, b, c]]
+                if rng.random() < 0.92:
+                    faces += [[b, d, c]]
+        if not faces:
+            continue
+        nrm = rng.normal(size=(n * n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        # UVs with a seam: duplicate-looking values on a vertical cut
+        uv = (pos[:, :2] / n).astype(np.float32)
+        uv[rng.random(n * n) < 0.3] += 0.5  # value jumps create seams
+        b = MeshBuilder()
+        b.set_connectivity_attribute(np.asarray(faces, dtype=np.int64))
+        pid = b.add_attribute(pos, AttributeType.POSITION,
+                              AttributeDomain.POSITION)
+        b.add_attribute(nrm, AttributeType.NORMAL, AttributeDomain.CORNER,
+                        parents=[pid])
+        b.add_attribute(uv, AttributeType.TEX_COORD, AttributeDomain.CORNER,
+                        parents=[pid])
+        assert_roundtrip(b.build(), cfg=cfg)
