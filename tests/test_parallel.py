@@ -199,3 +199,16 @@ def test_shared_topology_batch_decode():
         assert np.array_equal(got.faces, ref.faces)
         for a, b in zip(got.attributes, ref.attributes):
             assert np.array_equal(np.asarray(a.values), np.asarray(b.values))
+
+
+def test_device_batch_encode_device_entropy(monkeypatch):
+    """The device-resident entropy option must also be byte-exact."""
+    meshes = [_grid_mesh(7, s) for s in range(3)]
+    be = BatchEncoder()
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes, entropy="device")
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m)

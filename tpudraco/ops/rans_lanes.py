@@ -3,10 +3,10 @@
 Each lane is one independent Draco rANS stream (per-attribute, per-mesh —
 draco streams are independent, so lane parallelism preserves bit-exactness).
 The sequential per-symbol recurrence runs as a lax.scan over symbol steps
-with all lanes vectorized; renormalization bytes scatter-add into
-per-lane output buffers at running cursors (each slot is written at most
-once). See PAPERS.md (Recoil; interleaved entropy coders) for the lane
-formulation.
+with all lanes vectorized; renormalization bytes are emitted densely as
+scan outputs (a per-step scatter would serialize the TPU) and compacted
+into per-lane byte streams on the host. See PAPERS.md (Recoil;
+interleaved entropy coders) for the lane formulation.
 
 Bit-exact with the host coder (tpudraco/entropy/rans.py): same state
 update, same renormalization condition, same flush framing.
@@ -14,11 +14,77 @@ update, same renormalization condition, same flush framing.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 margin
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
+                     cums: jnp.ndarray, lengths: jnp.ndarray,
+                     precision: int = 12):
+    """Device scan: per-step renormalization bytes emitted DENSELY as scan
+    outputs (no scatter — a per-step scatter serializes the TPU). Returns
+    (emits (T, R, L) int32 with 256 = no-byte sentinel, packed flush
+    state (L,) uint32, flush byte count (L,) int32)."""
+    L, T = symbols.shape
+    l_base = (1 << precision) << 2
+    base_sh = l_base >> precision
+    S = freqs.shape[-1]
+    lane_ids = jnp.arange(L)
+
+    def table_at(table, sym):
+        idx = jnp.clip(sym, 0, S - 1)
+        if table.ndim == 2:
+            return table[lane_ids, idx].astype(jnp.uint32)
+        return table[idx].astype(jnp.uint32)
+
+    def step(states, i):
+        sym = symbols[:, i]
+        active = i < lengths
+        f = table_at(freqs, sym)
+        cum = table_at(cums, sym)
+        limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
+
+        emitted = []
+        for _ in range(MAX_RENORM_PER_SYMBOL):
+            do = active & (states >= limit)
+            byte = (states & jnp.uint32(0xFF)).astype(jnp.int16)
+            emitted.append(jnp.where(do, byte, jnp.int16(256)))
+            states = jnp.where(do, states >> jnp.uint32(8), states)
+
+        new_states = ((states // f) << jnp.uint32(precision)) \
+            + states % f + cum
+        states = jnp.where(active, new_states, states)
+        return states, jnp.stack(emitted)  # (R, L)
+
+    states0 = jnp.full((L,), l_base, dtype=jnp.uint32)
+    states, emits = jax.lax.scan(step, states0, jnp.arange(T))
+
+    # flush framing: final state with 2-bit size flag (rans.rs:48-68)
+    st = states - jnp.uint32(l_base)
+    nbytes_state = jnp.where(st < (1 << 6), 1,
+                             jnp.where(st < (1 << 14), 2,
+                                       jnp.where(st < (1 << 22), 3, 4)))
+    flag = (nbytes_state - 1).astype(jnp.uint32)
+    packed = st + (flag << (jnp.uint32(6)
+                            + jnp.uint32(8)
+                            * (nbytes_state - 1).astype(jnp.uint32)))
+
+    # on-device compaction: stable-partition real bytes to the front so
+    # the host transfer is (L, 2T+8) uint8 instead of (T, R, L) int32
+    flat = emits.transpose(2, 0, 1).reshape(L, T * MAX_RENORM_PER_SYMBOL)
+    not_byte = flat == 256
+    order = jnp.argsort(not_byte, axis=1, stable=True)
+    compacted = jnp.take_along_axis(flat, order, axis=1)
+    cap = 2 * T + 8
+    compacted = compacted[:, :cap].astype(jnp.uint8)
+    counts = (~not_byte).sum(axis=1).astype(jnp.int32)
+    return compacted, counts, packed, nbytes_state.astype(jnp.int32)
 
 
 def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
@@ -30,71 +96,30 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     freqs/cums: (S,) shared normalized table (sum == 1<<precision), or
     (L, S) per-lane tables (per-mesh tables in corpus batches).
     lengths: (L,) int32 active symbol counts.
-    Returns (buffers (L, CAP) uint8, nbytes (L,) int32)."""
+    Returns (buffers (L, CAP) uint8, nbytes (L,) int32). The sequential
+    recurrence runs on device; byte-stream compaction (dropping the dense
+    no-emit sentinels) runs on host."""
     L, T = symbols.shape
+    compacted, counts, packed, nflush = _rans_scan_lanes(
+        jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(cums),
+        jnp.asarray(lengths), precision=precision)
+
     cap = 2 * T + 8
-    l_base = (1 << precision) << 2
-    base_sh = l_base >> precision
-    S = freqs.shape[-1]
-
-    lane_ids = jnp.arange(L)
-    buffers = jnp.zeros((L, cap), dtype=jnp.uint32)
-
-    def table_at(table, sym):
-        idx = jnp.clip(sym, 0, S - 1)
-        if table.ndim == 2:
-            return table[lane_ids, idx].astype(jnp.uint32)
-        return table[idx].astype(jnp.uint32)
-
-    def step(carry, i):
-        states, cursors, bufs = carry
-        sym = symbols[:, i]
-        active = i < lengths
-        f = table_at(freqs, sym)
-        cum = table_at(cums, sym)
-        limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
-
-        def renorm(j, val):
-            states, cursors, bufs = val
-            do = active & (states >= limit)
-            byte = (states & jnp.uint32(0xFF)).astype(jnp.uint32)
-            bufs = bufs.at[lane_ids, cursors].add(
-                jnp.where(do, byte, 0), mode="drop")
-            states = jnp.where(do, states >> jnp.uint32(8), states)
-            cursors = jnp.where(do, cursors + 1, cursors)
-            return states, cursors, bufs
-
-        states, cursors, bufs = jax.lax.fori_loop(
-            0, MAX_RENORM_PER_SYMBOL, renorm, (states, cursors, bufs))
-
-        new_states = ((states // f) << jnp.uint32(precision)) \
-            + states % f + cum
-        states = jnp.where(active, new_states, states)
-        return (states, cursors, bufs), None
-
-    states0 = jnp.full((L,), l_base, dtype=jnp.uint32)
-    cursors0 = jnp.zeros((L,), dtype=jnp.int32)
-    (states, cursors, buffers), _ = jax.lax.scan(
-        step, (states0, cursors0, buffers), jnp.arange(T))
-
-    # flush: final state with 2-bit size flag (encode/entropy/rans.rs:48-68)
-    st = states - jnp.uint32(l_base)
-    nbytes_state = jnp.where(st < (1 << 6), 1,
-                             jnp.where(st < (1 << 14), 2,
-                                       jnp.where(st < (1 << 22), 3, 4)))
-    flag = (nbytes_state - 1).astype(jnp.uint32)
-    packed = st + (flag << (jnp.uint32(6) + jnp.uint32(8) * (nbytes_state - 1).astype(jnp.uint32)))
-
-    def flush_byte(k, val):
-        cursors, bufs = val
-        do = k < nbytes_state
-        byte = ((packed >> (jnp.uint32(8) * jnp.uint32(k))) & jnp.uint32(0xFF)).astype(jnp.uint32)
-        bufs = bufs.at[lane_ids, cursors].add(jnp.where(do, byte, 0), mode="drop")
-        cursors = jnp.where(do, cursors + 1, cursors)
-        return cursors, bufs
-
-    cursors, buffers = jax.lax.fori_loop(0, 4, flush_byte, (cursors, buffers))
-    return buffers.astype(jnp.uint8), cursors
+    got = np.asarray(compacted)
+    buffers = np.zeros((L, cap), dtype=np.uint8)
+    buffers[:, :got.shape[1]] = got  # tiny-T streams: 3T may be < cap
+    counts = np.asarray(counts)
+    packed = np.asarray(packed)
+    nflush = np.asarray(nflush)
+    nbytes = np.zeros(L, dtype=np.int32)
+    for lane in range(L):
+        n = int(counts[lane])
+        k = int(nflush[lane])
+        p = int(packed[lane])
+        for b in range(k):
+            buffers[lane, n + b] = (p >> (8 * b)) & 0xFF
+        nbytes[lane] = n + k
+    return jnp.asarray(buffers), jnp.asarray(nbytes)
 
 
 def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
@@ -179,8 +204,7 @@ def encode_streams_device(symbol_streams: list[np.ndarray], freq_counts,
     for i, s in enumerate(symbol_streams):
         symbols[i, :len(s)] = s
         lengths[i] = len(s)
-    bufs, nbytes = jax.jit(
-        rans_encode_lanes, static_argnames=("precision",))(
+    bufs, nbytes = rans_encode_lanes(
         jnp.asarray(symbols), jnp.asarray(dist, dtype=jnp.uint32),
         jnp.asarray(cums, dtype=jnp.uint32), jnp.asarray(lengths),
         precision=precision)
@@ -219,23 +243,35 @@ def encode_direct_coded_streams_device(streams: list[np.ndarray]) -> list[bytes]
         counts = np.bincount(s, minlength=max_symbol + 1)
         dists.append(normalize_freq_counts(counts, int(precisions[i])))
 
+    def _pow2_at_least(x: int, floor: int) -> int:
+        n = floor
+        while n < x:
+            n *= 2
+        return n
+
     blobs: list[bytes | None] = [None] * L
     for prec in sorted(set(precisions.tolist())):
         lanes = [i for i in range(L) if precisions[i] == prec]
-        T = max((len(streams[i]) for i in lanes), default=0)
-        S = max((len(dists[i]) for i in lanes), default=1)
-        sym = np.zeros((len(lanes), max(T, 1)), dtype=np.int32)
-        lengths = np.zeros(len(lanes), dtype=np.int32)
-        freqs = np.zeros((len(lanes), S), dtype=np.uint32)
-        cums = np.zeros((len(lanes), S), dtype=np.uint32)
+        # pad lane count and symbol length to buckets so the device scan
+        # compiles once per (precision, bucket) instead of per corpus shape
+        LB = _pow2_at_least(len(lanes), 16)
+        T = _pow2_at_least(max((len(streams[i]) for i in lanes), default=1),
+                           128)
+        S = _pow2_at_least(max((len(dists[i]) for i in lanes), default=1),
+                           16)
+        sym = np.zeros((LB, T), dtype=np.int32)
+        lengths = np.zeros(LB, dtype=np.int32)
+        freqs = np.zeros((LB, S), dtype=np.uint32)
+        cums = np.zeros((LB, S), dtype=np.uint32)
+        freqs[:, 0] = 1 << int(prec)  # valid table for padding lanes
         for k, i in enumerate(lanes):
             sym[k, :len(streams[i])] = streams[i][::-1]  # reversed feed
             lengths[k] = len(streams[i])
             d = dists[i]
             freqs[k, :len(d)] = d
+            freqs[k, len(d):] = 0
             cums[k, 1:len(d)] = np.cumsum(d)[:-1]
-        bufs, nbytes = jax.jit(
-            rans_encode_lanes, static_argnames=("precision",))(
+        bufs, nbytes = rans_encode_lanes(
             jnp.asarray(sym), jnp.asarray(freqs), jnp.asarray(cums),
             jnp.asarray(lengths), precision=int(prec))
         bufs = np.asarray(bufs)
@@ -251,6 +287,74 @@ def encode_direct_coded_streams_device(streams: list[np.ndarray]) -> list[bytes]
         bl = max(1, min(18, int(bit_length_u64(
             np.asarray([num_nonzero]))[0]) + 1))
         w.write_u8(bl)
+        serialize_rans_table(dists[i], w)
+        leb128_write(len(blobs[i]), w)
+        w.write_bytes(blobs[i])
+        out.append(w.getvalue())
+    return out
+
+
+def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
+    """DirectCoded payloads for a topology-group batch with the symbols
+    kept ON DEVICE end-to-end: `symbols_dev` (B, T, C) uint32/int32 from
+    encode_step(_pallas), `counts_dev` (B, bins) int32 the device
+    histogram of the flattened per-mesh streams. Only the (small) counts
+    and the compacted byte streams cross the tunnel. Bit-exact with
+    `encode_symbols(..., DIRECT_CODED)` (pinned by tests)."""
+    from ..entropy.rans import normalize_freq_counts, serialize_rans_table
+    from ..entropy.symbol_coding import (
+        DIRECT_CODED, bit_length_u64, rans_precision_for_bit_length)
+    from ..wire.byte_io import ByteWriter
+    from ..wire.varint import leb128_write
+
+    B, T, C = symbols_dev.shape
+    n_sym = T * C
+    counts = np.asarray(counts_dev)
+
+    # per-lane table parameters from the device histogram
+    num_nonzero = n_sym - counts[:, 0]
+    bls = np.clip(bit_length_u64(num_nonzero.astype(np.uint64)) + 1, 1, 18)
+    precisions = np.asarray([rans_precision_for_bit_length(int(b))
+                             for b in bls])
+    max_syms = np.array([int(np.flatnonzero(c)[-1]) if c.any() else 0
+                         for c in counts])
+    dists = [normalize_freq_counts(counts[i][:max_syms[i] + 1],
+                                   int(precisions[i])) for i in range(B)]
+
+    # reversed feed, flattened per mesh — stays on device
+    lanes_dev = jnp.flip(
+        jnp.asarray(symbols_dev).reshape(B, n_sym).astype(jnp.int32), axis=1)
+
+    blobs: list[bytes | None] = [None] * B
+    for prec in sorted(set(precisions.tolist())):
+        lane_ids = [i for i in range(B) if precisions[i] == prec]
+        S = 16
+        while S < max(len(dists[i]) for i in lane_ids):
+            S *= 2
+        freqs = np.zeros((B, S), dtype=np.uint32)
+        cums = np.zeros((B, S), dtype=np.uint32)
+        freqs[:, 0] = 1 << int(prec)
+        for i in lane_ids:
+            d = dists[i]
+            freqs[i, :len(d)] = d
+            freqs[i, len(d):] = 0
+            cums[i, 1:len(d)] = np.cumsum(d)[:-1]
+        # single-precision groups (the common case) run as one device call
+        # over ALL lanes; mixed groups mask out foreign lanes via length 0
+        lengths = np.where(precisions == prec, n_sym, 0).astype(np.int32)
+        bufs, nbytes = rans_encode_lanes(
+            lanes_dev, jnp.asarray(freqs), jnp.asarray(cums),
+            jnp.asarray(lengths), precision=int(prec))
+        bufs = np.asarray(bufs)
+        nbytes = np.asarray(nbytes)
+        for i in lane_ids:
+            blobs[i] = bufs[i, :nbytes[i]].tobytes()
+
+    out: list[bytes] = []
+    for i in range(B):
+        w = ByteWriter()
+        w.write_u8(DIRECT_CODED)
+        w.write_u8(int(bls[i]))
         serialize_rans_table(dists[i], w)
         leb128_write(len(blobs[i]), w)
         w.write_bytes(blobs[i])

@@ -12,11 +12,13 @@ encode() — determinism is the distributed test oracle (SURVEY.md §4d).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
 import time
 
+import jax
 import numpy as np
 
 from ..encode import Config, encode
@@ -96,15 +98,28 @@ class BatchEncoder:
             self._topo_cache[sig] = topo
         return encode_with_topology(mesh, topo)
 
-    def encode_meshes_device(self, meshes: list[Mesh],
-                             bits: int = 11) -> list[bytes | None]:
-        """Full device encode chain for the position attribute: meshes are
-        grouped by topology; per group, quantize -> predict -> residual runs
-        batched on the accelerator and the per-mesh rANS payloads come from
-        the multi-lane device coder. Output bytes are identical to
-        sequential encode() (determinism oracle in tests)."""
-        from ..encode.transforms import XFORM_WRAPPED_DIFFERENCE
-        from ..ops.rans_lanes import encode_direct_coded_streams_device
+    # fixed device batch width: jit compiles once per (topology, CHUNK)
+    # instead of once per corpus size (XLA compiles through the remote
+    # tunnel cost ~20s per shape); short groups pad up with copies
+    DEVICE_CHUNK = 64
+
+    def encode_meshes_device(self, meshes: list[Mesh], bits: int = 11,
+                             entropy: str = "host") -> list[bytes | None]:
+        """Device encode chain for the position attribute: meshes are
+        grouped by topology; per group, quantize -> predict -> residual ->
+        histogram runs batched on the accelerator (in fixed-size chunks,
+        see DEVICE_CHUNK). Output bytes are identical to sequential
+        encode() (determinism oracle in tests).
+
+        ``entropy`` picks the rANS coder for the symbol payloads:
+        "host" (default) threads the C++ coder over meshes — the right
+        choice when the chip sits behind a high-latency tunnel;
+        "device" runs the multi-lane scan coder with symbols kept on
+        device (the right choice on directly-attached chips)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+        from ..ops.rans_lanes import encode_group_entropy_device
 
         groups: dict[str, list[int]] = {}
         sigs = []
@@ -123,10 +138,41 @@ class BatchEncoder:
                 pos_atts = [meshes[i].position_attribute() for i in idxs]
                 batch = np.stack([a.values.astype(np.float32)
                                   for a in pos_atts])
-                dev = device_encode_group(batch, topo, pos_atts[0],
-                                          bits=bits, return_full=True)
-                payloads = encode_direct_coded_streams_device(
-                    [dev["symbols"][k].ravel() for k in range(len(idxs))])
+                # pad to a whole number of fixed-width chunks so the jitted
+                # step compiles once per topology, not once per corpus size
+                chunk = self.DEVICE_CHUNK
+                n = len(idxs)
+                n_pad = -(-n // chunk) * chunk
+                if n_pad != n:
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[:1], n_pad - n, axis=0)])
+                payloads, vmins, vmaxs = [], [], []
+                for c0 in range(0, n_pad, chunk):
+                    dev_c = device_encode_group(
+                        batch[c0:c0 + chunk], topo, pos_atts[0],
+                        bits=bits, return_device=True)
+                    if entropy == "device":
+                        # symbols stay on device; only the histogram +
+                        # compacted bytes cross the link
+                        payloads.extend(encode_group_entropy_device(
+                            dev_c["symbols"], dev_c["counts"]))
+                    else:
+                        syms_np = np.asarray(dev_c["symbols"]).astype(
+                            np.uint64)
+
+                        def one(sym):
+                            w = ByteWriter()
+                            encode_symbols(sym.ravel(), sym.shape[-1],
+                                           DIRECT_CODED, w)
+                            return w.getvalue()
+
+                        with ThreadPoolExecutor(max_workers=8) as pool:
+                            payloads.extend(pool.map(one, syms_np))
+                    vmins.append(np.asarray(dev_c["vmin"]))
+                    vmaxs.append(np.asarray(dev_c["vmax"]))
+                dev = {"vmin": np.concatenate(vmins)[:n],
+                       "vmax": np.concatenate(vmaxs)[:n]}
+                payloads = payloads[:n]
                 for k, i in enumerate(idxs):
                     w = ByteWriter()
                     w.write_u32(int(dev["vmin"][k]) & 0xFFFFFFFF)
@@ -212,7 +258,8 @@ class BatchEncoder:
 
 def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
                         pos_att, bits: int = 11, mesh_axis=None,
-                        return_full: bool = False):
+                        return_full: bool = False,
+                        return_device: bool = False):
     """Device compute for a batch of meshes sharing one topology: runs the
     fused quantize/predict/residual step (optionally shard_map'ed over a
     'data' mesh axis) and returns per-mesh residual symbol arrays (or, with
@@ -241,7 +288,7 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     gathers = {k: jnp.asarray(v) for k, v in g.items()}
 
     # Pallas combo-matrix path on real TPU for small topology groups (dense
-    # (2T, V) matrix must fit VMEM); XLA gather path otherwise / on CPU
+    # (2T, V) matrix must fit HBM budget); XLA gather path otherwise / on CPU
     B, V, C = positions_batch.shape
     T = int(len(g["order"]))
     use_pallas = (jax.default_backend() == "tpu"
@@ -250,25 +297,51 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
             {k: np.asarray(v) for k, v in g.items()}, V))
          if use_pallas else None)
 
-    def step(pos):
-        if use_pallas:
-            out = encode_step_pallas(pos, gathers, M, bits=bits)
-        else:
-            out = encode_step(pos, gathers, bits=bits)
-        return out["symbols"], out["vmin"], out["vmax"]
-
     if mesh_axis is not None:
         from jax.sharding import PartitionSpec as P
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+
+        def step(pos):
+            out = encode_step(pos, gathers, bits=bits)
+            return out["symbols"], out["vmin"], out["vmax"], out["counts"]
+
         step = shard_map(step, mesh=mesh_axis,
                          in_specs=P("data", None, None),
                          out_specs=(P("data", None, None), P("data"),
-                                    P("data")))
-    syms, vmin, vmax = jax.jit(step)(jnp.asarray(positions_batch))
+                                    P("data"), P("data", None)))
+        syms, vmin, vmax, counts = jax.jit(step)(
+            jnp.asarray(positions_batch))
+    elif use_pallas:
+        syms, vmin, vmax, counts = _jit_step_pallas(
+            jnp.asarray(positions_batch), gathers, M, bits)
+    else:
+        syms, vmin, vmax, counts = _jit_step_gather(
+            jnp.asarray(positions_batch), gathers, bits)
+    if return_device:
+        # keep everything on device (the entropy stage consumes it there)
+        return {"symbols": syms, "vmin": vmin, "vmax": vmax,
+                "counts": counts}
     if return_full:
         return {"symbols": np.asarray(syms), "vmin": np.asarray(vmin),
                 "vmax": np.asarray(vmax)}
     return np.asarray(syms)
+
+
+# module-level jitted steps: defining the closure inside device_encode_group
+# would miss jax's jit cache on every call and recompile (~30 s through the
+# remote-compile tunnel) for every batch
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_step_pallas(pos, gathers, M, bits):
+    from ..ops import encode_step_pallas
+    out = encode_step_pallas(pos, gathers, M, bits=bits)
+    return out["symbols"], out["vmin"], out["vmax"], out["counts"]
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_step_gather(pos, gathers, bits):
+    from ..ops import encode_step
+    out = encode_step(pos, gathers, bits=bits)
+    return out["symbols"], out["vmin"], out["vmax"], out["counts"]
