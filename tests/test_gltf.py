@@ -227,3 +227,29 @@ def test_structural_metadata_passthrough(tmp_path):
     # and it reloads
     scene2 = load_gltf_to_scene(out)
     assert scene2.structural_metadata.property_tables[0].buffers[0] == table_vals
+
+
+def test_transcode_determinism(tmp_path):
+    """Repeated transcodes are byte-identical (the reference asserts this
+    over 1000 runs, io/gltf/transcoder.rs:344-452; 25 runs here keeps the
+    suite fast — the hash would change on the first divergence anyway)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from tpudraco.io import load_gltf_to_scene
+    from tpudraco.io.gltf import save_scene_glb
+
+    src = "/root/reference/draco-oxide/tests/data/Duck/Duck.glb"
+    if not os.path.isfile(src):
+        import pytest
+        pytest.skip("Duck fixture not mounted")
+    scene = load_gltf_to_scene(src)
+    digests = set()
+    for i in range(25):
+        out = os.path.join(tmp_path, f"d{i % 2}.glb")  # alternate paths too
+        save_scene_glb(scene, out, compress=True)
+        with open(out, "rb") as f:
+            digests.add(hashlib.sha256(f.read()).hexdigest())
+    assert len(digests) == 1
