@@ -212,3 +212,25 @@ def test_device_batch_encode_device_entropy(monkeypatch):
     got = be.encode_meshes_device(meshes, entropy="device")
     for m, blob in zip(meshes, got):
         assert blob == encode(m)
+
+
+def test_encode_corpus_use_device(tmp_path):
+    import os
+    from tpudraco.io.obj import save_obj
+
+    corpus = os.path.join(tmp_path, "in")
+    os.makedirs(corpus)
+    inputs = []
+    for i in range(4):
+        p = os.path.join(corpus, f"g{i}.obj")
+        save_obj(_grid_mesh(7, i), p)
+        inputs.append(p)
+    rep = BatchEncoder(use_device=True).encode_corpus(
+        inputs, os.path.join(tmp_path, "out"))
+    assert rep["encoded"] == 4
+    # byte-identical to the host driver
+    rep2 = BatchEncoder().encode_corpus(inputs, os.path.join(tmp_path, "o2"))
+    for i in range(4):
+        a = open(os.path.join(tmp_path, "out", f"g{i}.drc"), "rb").read()
+        b = open(os.path.join(tmp_path, "o2", f"g{i}.drc"), "rb").read()
+        assert a == b

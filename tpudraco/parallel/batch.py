@@ -86,6 +86,9 @@ class BatchEncoder:
     device compute step sharded over a JAX device mesh."""
 
     def __init__(self, use_device: bool = False, devices=None) -> None:
+        # use_device routes encode_corpus through the topology-grouped
+        # accelerator path (encode_meshes_device); the host path is the
+        # default and the right choice behind high-latency links
         self.use_device = use_device
         self.devices = devices
         self._topo_cache: dict[str, PreparedTopology] = {}
@@ -217,15 +220,33 @@ class BatchEncoder:
                   "total_in_bytes": 0, "total_out_bytes": 0}
         t0 = time.perf_counter()
 
+        device_blobs: dict[str, bytes | None] = {}
+        if self.use_device:
+            # load everything first so topology groups batch onto the chip
+            loadable, load_meshes = [], []
+            for path in inputs:
+                try:
+                    ext = os.path.splitext(path)[1].lower()
+                    load_meshes.append(load_obj(path) if ext == ".obj"
+                                       else load_gltf(path))
+                    loadable.append(path)
+                except Exception:
+                    pass  # per-file isolation below re-reports the error
+            blobs = self.encode_meshes_device(load_meshes)
+            device_blobs = dict(zip(loadable, blobs))
+
         def one(path):
             name = os.path.splitext(os.path.basename(path))[0] + ".drc"
             out_path = os.path.join(out_dir, name)
             if resume and os.path.isfile(out_path):
                 return ("skipped", path, 0, 0)
             try:
-                ext = os.path.splitext(path)[1].lower()
-                mesh = load_obj(path) if ext == ".obj" else load_gltf(path)
-                blob = self.encode_mesh(mesh)
+                blob = device_blobs.get(path)
+                if blob is None:
+                    ext = os.path.splitext(path)[1].lower()
+                    mesh = (load_obj(path) if ext == ".obj"
+                            else load_gltf(path))
+                    blob = self.encode_mesh(mesh)
                 tmp = out_path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(blob)
