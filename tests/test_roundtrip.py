@@ -484,3 +484,38 @@ def test_symbol_coding_modes():
     assert sizes["auto"] == sizes["length"]  # wide alphabet -> LengthCoded
     # at default depth auto picks DirectCoded (reference-faithful bytes)
     assert encode(mesh) == encode(mesh, cfg=Config(symbol_coding="auto"))
+
+
+def test_color_and_custom_attributes_roundtrip():
+    """COLOR (4-comp float, quantized) and CUSTOM (int, ToBits lossless)
+    attributes through the full codec."""
+    rng = np.random.RandomState(9)
+    n = 6
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32)], 1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, i * n + j + 1,
+                          (i + 1) * n + j, (i + 1) * n + j + 1)
+            faces += [[a, b, c], [b, d, c]]
+    col = rng.rand(n * n, 4).astype(np.float32)
+    custom = rng.randint(0, 100, size=(n * n, 2)).astype(np.int32)
+    bld = MeshBuilder()
+    bld.set_connectivity_attribute(np.asarray(faces, np.int64))
+    bld.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    bld.add_attribute(col, AttributeType.COLOR, AttributeDomain.POSITION)
+    bld.add_attribute(custom, AttributeType.CUSTOM,
+                      AttributeDomain.POSITION)
+    mesh = bld.build()
+    out = decode(encode(mesh))
+    got_col = next(a for a in out.attributes
+                   if a.att_type == AttributeType.COLOR)
+    got_cus = next(a for a in out.attributes
+                   if a.att_type == AttributeType.CUSTOM)
+    assert np.abs(np.sort(np.asarray(got_col.values).ravel())
+                  - np.sort(col.ravel())).max() < 1e-3  # 11-bit quantized
+    assert np.array_equal(np.sort(np.asarray(got_cus.values).ravel()),
+                          np.sort(custom.ravel()))  # ToBits is lossless
