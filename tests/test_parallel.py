@@ -234,3 +234,21 @@ def test_encode_corpus_use_device(tmp_path):
         a = open(os.path.join(tmp_path, "out", f"g{i}.drc"), "rb").read()
         b = open(os.path.join(tmp_path, "o2", f"g{i}.drc"), "rb").read()
         assert a == b
+
+
+def test_device_batch_encode_custom_bits(monkeypatch):
+    """Device batch at a non-default quantization depth must match the
+    sequential encoder at the same depth (metadata/payload consistency)."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+
+    meshes = [_grid_mesh(7, s) for s in range(3)]
+    be = BatchEncoder()
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes, bits=13)
+    cfg = Config(quant_bits={AttributeType.POSITION: 13})
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m, cfg=cfg)

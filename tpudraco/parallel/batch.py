@@ -77,7 +77,9 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
         encode_metadata(mesh, writer)
     writer.write_bytes(topo.conn_bytes)
     encode_attributes(mesh.attributes, writer, topo.conn_out,
-                      sequences=topo.sequences, precomputed=precomputed)
+                      sequences=topo.sequences, precomputed=precomputed,
+                      quant_bits=cfg.quant_bits,
+                      symbol_coding=cfg.symbol_coding)
     return writer.getvalue()
 
 
@@ -176,6 +178,10 @@ class BatchEncoder:
                 dev = {"vmin": np.concatenate(vmins)[:n],
                        "vmax": np.concatenate(vmaxs)[:n]}
                 payloads = payloads[:n]
+                # keep the host-side portabilization metadata at the same
+                # bit depth the device quantized with
+                cfg = (Config(quant_bits={AttributeType.POSITION: bits})
+                       if bits != 11 else None)
                 for k, i in enumerate(idxs):
                     w = ByteWriter()
                     w.write_u32(int(dev["vmin"][k]) & 0xFFFFFFFF)
@@ -185,7 +191,7 @@ class BatchEncoder:
                         if a.att_type == AttributeType.POSITION)
                     pre = {pos_idx: {"payload": payloads[k],
                                      "xform_meta": bytes(w.getvalue())}}
-                    out[i] = encode_with_topology(meshes[i], topo,
+                    out[i] = encode_with_topology(meshes[i], topo, cfg=cfg,
                                                   precomputed=pre)
             except Exception:
                 # per-group error isolation: fall back to the host path
