@@ -127,11 +127,8 @@ class BatchEncoder:
         from ..ops.rans_lanes import encode_group_entropy_device
 
         groups: dict[str, list[int]] = {}
-        sigs = []
         for idx, m in enumerate(meshes):
-            sig = topology_signature(m)
-            sigs.append(sig)
-            groups.setdefault(sig, []).append(idx)
+            groups.setdefault(topology_signature(m), []).append(idx)
 
         out: list[bytes | None] = [None] * len(meshes)
         for sig, idxs in groups.items():
