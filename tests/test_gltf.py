@@ -229,10 +229,12 @@ def test_structural_metadata_passthrough(tmp_path):
     assert scene2.structural_metadata.property_tables[0].buffers[0] == table_vals
 
 
-def test_transcode_determinism(tmp_path):
-    """Repeated transcodes are byte-identical (the reference asserts this
+def test_scene_writer_determinism(tmp_path):
+    """Repeated scene writes are byte-identical (the reference asserts this
     over 1000 runs, io/gltf/transcoder.rs:344-452; 25 runs here keeps the
-    suite fast — the hash would change on the first divergence anyway)."""
+    suite fast — the hash would change on the first divergence anyway).
+    Complements test_transcode_determinism above, which runs the full
+    DracoTranscoder file path."""
     import hashlib
     import os
 

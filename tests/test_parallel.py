@@ -236,6 +236,73 @@ def test_encode_corpus_use_device(tmp_path):
         assert a == b
 
 
+def test_device_batch_encode_custom_bits_device_entropy(monkeypatch):
+    """Regression (ADVICE r1 high): at quant bits >= 13 the device histogram
+    used to mis-bin large zigzag symbols into a fixed 4096-bin table, and
+    entropy='device' built corrupt rANS tables from it with no error. The
+    bins are now derived from the bit depth; output must be byte-exact."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+
+    meshes = [_grid_mesh(7, s) for s in range(3)]
+    be = BatchEncoder(strict_device=True)  # any fallback -> raise
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes, bits=13, entropy="device")
+    cfg = Config(quant_bits={AttributeType.POSITION: 13})
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m, cfg=cfg)
+
+
+def test_device_fallback_strict_and_counters(monkeypatch):
+    """A broken device entropy path must (a) raise under strict_device and
+    (b) be counted as a fallback otherwise — never silently pass."""
+    import tpudraco.parallel.batch as batch_mod
+
+    meshes = [_grid_mesh(6, s) for s in range(2)]
+
+    def boom(*a, **k):
+        raise RuntimeError("deliberately broken device kernel")
+    monkeypatch.setattr(batch_mod, "device_encode_group", boom)
+
+    with pytest.raises(RuntimeError, match="deliberately broken"):
+        BatchEncoder(strict_device=True).encode_meshes_device(meshes)
+
+    be = BatchEncoder()
+    got = be.encode_meshes_device(meshes)
+    assert be.fallback_groups == 1 and be.fallback_meshes == 2
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m)  # fallback output stays correct
+
+
+def test_corpus_resume_skips_device_batch(tmp_path, monkeypatch):
+    """Resumed device-corpus runs must not re-run the device batch for
+    files whose outputs already exist (ADVICE r1 low)."""
+    import os
+
+    import tpudraco.parallel.batch as batch_mod
+    from tpudraco.io.obj import save_obj
+
+    corpus = os.path.join(tmp_path, "in")
+    os.makedirs(corpus)
+    inputs = []
+    for i in range(3):
+        p = os.path.join(corpus, f"g{i}.obj")
+        save_obj(_grid_mesh(6, i), p)
+        inputs.append(p)
+    out = os.path.join(tmp_path, "out")
+    rep = BatchEncoder(use_device=True).encode_corpus(inputs, out)
+    assert rep["encoded"] == 3 and rep["device_fallback_groups"] == 0
+
+    def boom(*a, **k):
+        raise AssertionError("device batch re-ran on resume")
+    monkeypatch.setattr(batch_mod, "device_encode_group", boom)
+    rep2 = BatchEncoder(use_device=True).encode_corpus(inputs, out)
+    assert rep2["skipped"] == 3
+
+
 def test_device_batch_encode_custom_bits(monkeypatch):
     """Device batch at a non-default quantization depth must match the
     sequential encoder at the same depth (metadata/payload consistency)."""

@@ -257,7 +257,6 @@ class EdgebreakerEncoder:
             self._encode_traversal(writer)
 
         corners = list(reversed(self.init_face_corners)) + self.processed_corners
-        att_views = [None] + list(self.att_data)  # idx 0 = universal
         all_tables = AllInclusiveCornerTable(ct, self.att_data)
         return ConnectivityOutput(all_tables, corners, "edgebreaker")
 

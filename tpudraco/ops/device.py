@@ -101,15 +101,26 @@ def wrapped_difference_kernel(origs: jnp.ndarray, preds: jnp.ndarray):
 
 
 def bincount_kernel(symbols: jnp.ndarray, num_bins: int) -> jnp.ndarray:
-    """Per-row frequency counts (rANS table construction). symbols (B, T)."""
+    """Per-row frequency counts (rANS table construction). symbols (B, T).
+    Out-of-range symbols are DROPPED (not clamped) so a too-small bin count
+    surfaces as counts.sum() != T downstream instead of silently mis-binning
+    (the entropy stage verifies this)."""
     def one(row):
-        return jnp.zeros(num_bins, jnp.int32).at[row].add(1)
+        return jnp.zeros(num_bins, jnp.int32).at[row].add(1, mode="drop")
     return jax.vmap(one)(symbols.astype(jnp.int32))
+
+
+def default_hist_bins(bits: int) -> int:
+    """Smallest safe histogram size for zigzagged wrapped-difference
+    residuals at a given quantization depth: quantized values span
+    [0, 2^bits - 1], so max_diff <= 2^bits and the zigzagged correction is
+    <= 2^bits; one power of two above covers it for every depth."""
+    return 1 << (bits + 1)
 
 
 def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
                        M: jnp.ndarray, bits: int = 11,
-                       hist_bins: int = 1 << 12):
+                       hist_bins: int | None = None):
     """encode_step with the two TPU-hostile stages replaced by Pallas MXU
     kernels: prediction as an int8 combo-matrix matmul (exact for
     bits <= 14) and the symbol histogram as an int8 one-hot matmul.
@@ -120,6 +131,8 @@ def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
     the traversal-order gather is folded into the same matmul.
     """
     from .pallas_kernels import histogram_pallas, predict_matmul_pallas
+    if hist_bins is None:
+        hist_bins = default_hist_bins(bits)
     q, mins, delta_max = quantize_kernel(positions, bits)
     T = gathers["order"].shape[0]
     if M.shape[0] == 2 * T:
@@ -130,13 +143,15 @@ def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
         q_trav = q[:, gathers["order"], :]
     corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
     flat = corr.reshape(corr.shape[0], -1).astype(jnp.int32)
-    counts = histogram_pallas(jnp.minimum(flat, hist_bins - 1), hist_bins)
+    # no clamp: histogram_pallas drops out-of-range symbols, so an
+    # undersized hist_bins shows up as counts.sum() != n_sym downstream
+    counts = histogram_pallas(flat, hist_bins)
     return {"symbols": corr, "counts": counts, "mins": mins,
             "delta_max": delta_max, "vmin": vmin, "vmax": vmax}
 
 
 def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
-                hist_bins: int = 1 << 12):
+                hist_bins: int | None = None):
     """The fused device encode compute for a batch of meshes sharing one
     topology: quantize -> parallelogram predict (gathers) ->
     wrapped-difference residual -> zigzag -> symbol histogram.
@@ -145,6 +160,8 @@ def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
     host topology pass. Returns residual symbols + clamped rANS histogram +
     quantization metadata; the host performs the final entropy coding and
     bitstream assembly."""
+    if hist_bins is None:
+        hist_bins = default_hist_bins(bits)
     q, mins, delta_max = quantize_kernel(positions, bits)
     q_trav = q[:, gathers["order"], :]
     preds = parallelogram_predict_kernel(
@@ -152,6 +169,6 @@ def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
         gathers["fallback"], gathers["can_para"], gathers["has_fallback"])
     corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
     flat = corr.reshape(corr.shape[0], -1)
-    counts = bincount_kernel(jnp.minimum(flat, hist_bins - 1), hist_bins)
+    counts = bincount_kernel(flat, hist_bins)
     return {"symbols": corr, "counts": counts, "mins": mins,
             "delta_max": delta_max, "vmin": vmin, "vmax": vmax}

@@ -311,6 +311,18 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     n_sym = T * C
     counts = np.asarray(counts_dev)
 
+    # the device histogram DROPS out-of-range symbols; a deficit here means
+    # hist_bins was too small for the residual range (the lanes would encode
+    # symbols the table never saw -> corrupt bitstream), so fail loudly and
+    # let the caller fall back / re-raise instead of emitting garbage
+    sums = counts.sum(axis=1)
+    if not np.all(sums == n_sym):
+        bad = int(np.flatnonzero(sums != n_sym)[0])
+        raise ValueError(
+            f"device histogram dropped symbols (lane {bad}: "
+            f"{int(sums[bad])}/{n_sym} binned) — hist_bins too small for "
+            "the symbol range")
+
     # per-lane table parameters from the device histogram
     num_nonzero = n_sym - counts[:, 0]
     bls = np.clip(bit_length_u64(num_nonzero.astype(np.uint64)) + 1, 1, 18)

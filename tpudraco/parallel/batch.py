@@ -87,12 +87,18 @@ class BatchEncoder:
     """Encodes a corpus with topology-group batching and (optionally) the
     device compute step sharded over a JAX device mesh."""
 
-    def __init__(self, use_device: bool = False, devices=None) -> None:
+    def __init__(self, use_device: bool = False, devices=None,
+                 strict_device: bool = False) -> None:
         # use_device routes encode_corpus through the topology-grouped
         # accelerator path (encode_meshes_device); the host path is the
-        # default and the right choice behind high-latency links
+        # default and the right choice behind high-latency links.
+        # strict_device re-raises device-path failures instead of silently
+        # re-encoding on host, so a broken kernel fails tests loudly.
         self.use_device = use_device
         self.devices = devices
+        self.strict_device = strict_device
+        self.fallback_groups = 0   # device groups that fell back to host
+        self.fallback_meshes = 0   # meshes encoded via that fallback
         self._topo_cache: dict[str, PreparedTopology] = {}
 
     def encode_mesh(self, mesh: Mesh) -> bytes:
@@ -191,10 +197,15 @@ class BatchEncoder:
                     out[i] = encode_with_topology(meshes[i], topo, cfg=cfg,
                                                   precomputed=pre)
             except Exception:
+                if self.strict_device:
+                    raise
                 # per-group error isolation: fall back to the host path
+                # (counted, so corpus reports surface device regressions)
+                self.fallback_groups += 1
                 for i in idxs:
                     try:
                         out[i] = self.encode_mesh(meshes[i])
+                        self.fallback_meshes += 1
                     except Exception:
                         out[i] = None
         return out
@@ -223,11 +234,19 @@ class BatchEncoder:
                   "total_in_bytes": 0, "total_out_bytes": 0}
         t0 = time.perf_counter()
 
+        def out_path_for(path):
+            name = os.path.splitext(os.path.basename(path))[0] + ".drc"
+            return os.path.join(out_dir, name)
+
         device_blobs: dict[str, bytes | None] = {}
         if self.use_device:
             # load everything first so topology groups batch onto the chip
+            # — but skip inputs whose outputs already exist (resume), so a
+            # resumed run doesn't redo (and discard) the device batch
             loadable, load_meshes = [], []
             for path in inputs:
+                if resume and os.path.isfile(out_path_for(path)):
+                    continue
                 try:
                     ext = os.path.splitext(path)[1].lower()
                     load_meshes.append(load_obj(path) if ext == ".obj"
@@ -239,8 +258,7 @@ class BatchEncoder:
             device_blobs = dict(zip(loadable, blobs))
 
         def one(path):
-            name = os.path.splitext(os.path.basename(path))[0] + ".drc"
-            out_path = os.path.join(out_dir, name)
+            out_path = out_path_for(path)
             if resume and os.path.isfile(out_path):
                 return ("skipped", path, 0, 0)
             try:
@@ -275,6 +293,11 @@ class BatchEncoder:
             else:
                 report["failed"].append({"path": path, "error": a})
         report["seconds"] = round(time.perf_counter() - t0, 3)
+        if self.use_device:
+            # surface silent device->host fallbacks (a broken kernel must
+            # not hide behind correct-but-slow host re-encodes)
+            report["device_fallback_groups"] = self.fallback_groups
+            report["device_fallback_meshes"] = self.fallback_meshes
         with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
             json.dump(report, f, indent=1)
         return report

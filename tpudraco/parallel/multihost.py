@@ -45,7 +45,8 @@ def encode_corpus_multihost(inputs: list[str], out_dir: str,
     merged report is returned on every host, with cross-host totals
     all-reduced via a tiny psum when more than one process participates."""
     import jax
-    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
 
     from .batch import BatchEncoder
 
@@ -54,12 +55,15 @@ def encode_corpus_multihost(inputs: list[str], out_dir: str,
     report = BatchEncoder().encode_corpus(mine, out_dir, resume=resume)
 
     if nproc > 1:
-        # aggregate counters over DCN (one all-reduce of a 4-vector)
-        local = jnp.asarray([report["encoded"], report["skipped"],
-                             report["total_in_bytes"],
-                             report["total_out_bytes"]], dtype=jnp.int64)
-        totals = jax.experimental.multihost_utils.process_allgather(local)
-        agg = totals.sum(axis=0)
+        # aggregate counters over DCN (one all-gather of a 4-vector);
+        # float64 is exact to 2^53 and avoids the silent int64->int32
+        # downcast jnp applies without jax_enable_x64 (byte totals of
+        # multi-GiB corpora overflow int32)
+        local = np.asarray([report["encoded"], report["skipped"],
+                            report["total_in_bytes"],
+                            report["total_out_bytes"]], dtype=np.float64)
+        totals = np.asarray(multihost_utils.process_allgather(local))
+        agg = totals.reshape(nproc, 4).sum(axis=0)
         report = dict(report)
         report["encoded"] = int(agg[0])
         report["skipped"] = int(agg[1])
