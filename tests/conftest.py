@@ -1,5 +1,9 @@
 """Test harness config: run JAX on a virtual 8-device CPU mesh so sharding
-paths are exercised without TPU hardware."""
+paths are exercised without TPU hardware.
+
+Set TPUDRACO_TEST_TPU=1 to keep whatever platform the site configures
+(e.g. the real chip behind the axon tunnel) — slower, but exercises the
+compiled Pallas kernels instead of interpret mode."""
 
 import os
 
@@ -9,11 +13,14 @@ if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# this jax build ignores the XLA flag; set the config knob too (must happen
-# before the backend initializes)
+# this jax build ignores both env knobs above when a site hook (the axon
+# plugin's sitecustomize) pins the platform; the config calls are what
+# actually take effect (must happen before the backend initializes)
 try:
     import jax
 
+    if not os.environ.get("TPUDRACO_TEST_TPU"):
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass

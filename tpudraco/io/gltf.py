@@ -19,14 +19,15 @@ from __future__ import annotations
 import base64
 import json
 import os
+import re
 import struct
 
 import numpy as np
 
 from ..models import AttributeDomain, AttributeType, Mesh, MeshBuilder
 from ..models.scene import (
-    Image, Material, MeshGroup, MeshInstance, PropertyTable, Scene,
-    SceneNode, Texture, TextureMap, TrsMatrix,
+    Image, Light, Material, MeshGroup, MeshInstance, PropertyAttribute,
+    PropertyTable, Scene, SceneNode, Texture, TextureMap, TrsMatrix,
 )
 
 COMPONENT_DTYPES = {
@@ -45,6 +46,33 @@ ATTRIBUTE_TYPES = {
     "JOINTS_0": AttributeType.JOINT,
     "WEIGHTS_0": AttributeType.WEIGHT,
 }
+
+# glTF componentType ids by numpy dtype (accessor writing)
+GLTF_COMPONENT_IDS = {
+    np.dtype(np.int8): 5120, np.dtype(np.uint8): 5121,
+    np.dtype(np.int16): 5122, np.dtype(np.uint16): 5123,
+    np.dtype(np.uint32): 5125, np.dtype(np.float32): 5126,
+}
+
+
+def attribute_type_for_semantic(name: str) -> AttributeType:
+    """Map any glTF attribute semantic to a draco attribute type. Unknown
+    semantics — `_FEATURE_ID_*`, property attributes, other extension
+    attrs — become CUSTOM with the name preserved, exactly like the
+    reference's raw-JSON re-parse path (decode.rs:502-656, 1298-1400),
+    instead of being dropped."""
+    if name in ATTRIBUTE_TYPES:
+        return ATTRIBUTE_TYPES[name]
+    base = name.rsplit("_", 1)[0]
+    if base == "TEXCOORD":
+        return AttributeType.TEX_COORD
+    if base == "COLOR":
+        return AttributeType.COLOR
+    if base == "JOINTS":
+        return AttributeType.JOINT
+    if base == "WEIGHTS":
+        return AttributeType.WEIGHT
+    return AttributeType.CUSTOM
 
 
 class GltfError(Exception):
@@ -132,6 +160,13 @@ def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mes
         from ..decode import decode as draco_decode
         blob = _bufferview_bytes(gltf, buffers, ext["bufferView"])
         mesh = draco_decode(bytes(blob))
+        # restore glTF semantic names from the extension's attribute map
+        # (semantic -> draco unique id) so a re-transcode keeps them
+        for sem, uid in ext.get("attributes", {}).items():
+            for a in mesh.attributes:
+                if a.unique_id == uid and a.name is None:
+                    a.name = sem
+                    break
         if transform is not None:
             _apply_transform(mesh, transform)
         return mesh
@@ -157,15 +192,17 @@ def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mes
         hom = np.concatenate([pos, np.ones((len(pos), 1), np.float32)], axis=1)
         pos = (hom @ transform.T)[:, :3].astype(np.float32)
     pid = builder.add_attribute(pos, AttributeType.POSITION,
-                                AttributeDomain.POSITION)
+                                AttributeDomain.POSITION, name="POSITION")
     for name, acc_idx in attrs.items():
-        if name == "POSITION" or name not in ATTRIBUTE_TYPES:
+        if name == "POSITION":
             continue
         vals = _read_accessor(gltf, buffers, acc_idx)
-        ty = ATTRIBUTE_TYPES[name]
+        ty = attribute_type_for_semantic(name)
         parents = [pid] if ty in (AttributeType.NORMAL, AttributeType.TEX_COORD) else []
         if np.issubdtype(vals.dtype, np.floating):
             vals = vals.astype(np.float32)
+        # integer attrs (feature ids, joints, custom ext attrs) keep their
+        # dtype: CUSTOM goes through lossless ToBits portabilization
         builder.add_attribute(vals, ty, AttributeDomain.CORNER,
                               parents=parents, name=name)
     return builder.build()
@@ -189,6 +226,79 @@ def _node_transform(node: dict) -> TrsMatrix:
     if "scale" in node:
         trs.scale = np.asarray(node["scale"], dtype=np.float64)
     return trs
+
+
+# material extensions modeled as typed fields (material.rs:97-220); parsed
+# out of the raw extension dict on load, re-emitted by _material_to_json
+_TYPED_MATERIAL_EXTENSIONS = (
+    "KHR_materials_unlit", "KHR_materials_sheen",
+    "KHR_materials_transmission", "KHR_materials_clearcoat",
+    "KHR_materials_volume", "KHR_materials_ior", "KHR_materials_specular",
+)
+
+
+def _material_from_json(mat: dict, tex_map) -> Material:
+    pbr = mat.get("pbrMetallicRoughness", {})
+    exts = mat.get("extensions", {})
+    m = Material(
+        name=mat.get("name", ""),
+        base_color_factor=tuple(pbr.get("baseColorFactor", (1, 1, 1, 1))),
+        metallic_factor=pbr.get("metallicFactor", 1.0),
+        roughness_factor=pbr.get("roughnessFactor", 1.0),
+        emissive_factor=tuple(mat.get("emissiveFactor", (0, 0, 0))),
+        base_color_texture=tex_map(pbr.get("baseColorTexture")),
+        metallic_roughness_texture=tex_map(pbr.get("metallicRoughnessTexture")),
+        normal_texture=tex_map(mat.get("normalTexture")),
+        normal_texture_scale=mat.get("normalTexture", {}).get("scale", 1.0),
+        occlusion_texture=tex_map(mat.get("occlusionTexture")),
+        emissive_texture=tex_map(mat.get("emissiveTexture")),
+        alpha_mode=mat.get("alphaMode", "OPAQUE"),
+        alpha_cutoff=mat.get("alphaCutoff", 0.5),
+        double_sided=mat.get("doubleSided", False),
+        unlit="KHR_materials_unlit" in exts,
+        extensions={k: v for k, v in exts.items()
+                    if k not in _TYPED_MATERIAL_EXTENSIONS},
+    )
+    if "KHR_materials_sheen" in exts:
+        e = exts["KHR_materials_sheen"]
+        m.has_sheen = True
+        m.sheen_color_factor = tuple(e.get("sheenColorFactor", (0, 0, 0)))
+        m.sheen_roughness_factor = e.get("sheenRoughnessFactor", 0.0)
+        m.sheen_color_texture = tex_map(e.get("sheenColorTexture"))
+        m.sheen_roughness_texture = tex_map(e.get("sheenRoughnessTexture"))
+    if "KHR_materials_transmission" in exts:
+        e = exts["KHR_materials_transmission"]
+        m.has_transmission = True
+        m.transmission_factor = e.get("transmissionFactor", 0.0)
+        m.transmission_texture = tex_map(e.get("transmissionTexture"))
+    if "KHR_materials_clearcoat" in exts:
+        e = exts["KHR_materials_clearcoat"]
+        m.has_clearcoat = True
+        m.clearcoat_factor = e.get("clearcoatFactor", 0.0)
+        m.clearcoat_roughness_factor = e.get("clearcoatRoughnessFactor", 0.0)
+        m.clearcoat_texture = tex_map(e.get("clearcoatTexture"))
+        m.clearcoat_roughness_texture = tex_map(
+            e.get("clearcoatRoughnessTexture"))
+        m.clearcoat_normal_texture = tex_map(e.get("clearcoatNormalTexture"))
+    if "KHR_materials_volume" in exts:
+        e = exts["KHR_materials_volume"]
+        m.has_volume = True
+        m.thickness_factor = e.get("thicknessFactor", 0.0)
+        m.thickness_texture = tex_map(e.get("thicknessTexture"))
+        m.attenuation_distance = e.get("attenuationDistance", float("inf"))
+        m.attenuation_color = tuple(e.get("attenuationColor", (1, 1, 1)))
+    if "KHR_materials_ior" in exts:
+        m.has_ior = True
+        m.ior = exts["KHR_materials_ior"].get("ior", 1.5)
+    if "KHR_materials_specular" in exts:
+        e = exts["KHR_materials_specular"]
+        m.has_specular = True
+        m.specular_factor = e.get("specularFactor", 1.0)
+        m.specular_texture = tex_map(e.get("specularTexture"))
+        m.specular_color_factor = tuple(e.get("specularColorFactor",
+                                               (1, 1, 1)))
+        m.specular_color_texture = tex_map(e.get("specularColorTexture"))
+    return m
 
 
 def load_gltf_to_scene(path: str) -> Scene:
@@ -216,9 +326,15 @@ def load_gltf_to_scene(path: str) -> Scene:
         sampler = None
         if "sampler" in tex:
             sampler = gltf.get("samplers", [])[tex["sampler"]]
+        # EXT_texture_webp: the real source is the webp image; "source"
+        # holds an optional fallback (decode.rs:795 accepts the extension;
+        # image bytes pass through untranscoded so no restoration needed)
+        webp = tex.get("extensions", {}).get("EXT_texture_webp", {})
         scene.material_library.texture_library.textures.append(
-            Texture(image_index=tex.get("source", 0), sampler=sampler,
-                    name=tex.get("name", "")))
+            Texture(image_index=tex.get("source",
+                                        webp.get("source", 0)),
+                    sampler=sampler, name=tex.get("name", ""),
+                    webp_image_index=webp.get("source")))
 
     def tex_map(d):
         if d is None:
@@ -229,26 +345,8 @@ def load_gltf_to_scene(path: str) -> Scene:
                               "KHR_texture_transform"))
 
     for mat in gltf.get("materials", []):
-        pbr = mat.get("pbrMetallicRoughness", {})
-        m = Material(
-            name=mat.get("name", ""),
-            base_color_factor=tuple(pbr.get("baseColorFactor", (1, 1, 1, 1))),
-            metallic_factor=pbr.get("metallicFactor", 1.0),
-            roughness_factor=pbr.get("roughnessFactor", 1.0),
-            emissive_factor=tuple(mat.get("emissiveFactor", (0, 0, 0))),
-            base_color_texture=tex_map(pbr.get("baseColorTexture")),
-            metallic_roughness_texture=tex_map(pbr.get("metallicRoughnessTexture")),
-            normal_texture=tex_map(mat.get("normalTexture")),
-            occlusion_texture=tex_map(mat.get("occlusionTexture")),
-            emissive_texture=tex_map(mat.get("emissiveTexture")),
-            alpha_mode=mat.get("alphaMode", "OPAQUE"),
-            alpha_cutoff=mat.get("alphaCutoff", 0.5),
-            double_sided=mat.get("doubleSided", False),
-            unlit="KHR_materials_unlit" in mat.get("extensions", {}),
-            extensions={k: v for k, v in mat.get("extensions", {}).items()
-                        if k != "KHR_materials_unlit"},
-        )
-        scene.material_library.materials.append(m)
+        scene.material_library.materials.append(
+            _material_from_json(mat, tex_map))
 
     # meshes -> mesh groups
     for gm in gltf.get("meshes", []):
@@ -259,12 +357,33 @@ def load_gltf_to_scene(path: str) -> Scene:
             scene.meshes.append(mesh)
             inst = MeshInstance(mesh_index=len(scene.meshes) - 1,
                                 material_index=prim.get("material"))
-            # EXT_mesh_features passthrough (raw JSON records)
-            mf = prim.get("extensions", {}).get("EXT_mesh_features")
+            # EXT_mesh_features passthrough (raw JSON records); its
+            # "attribute" indices refer to _FEATURE_ID_n semantics, which
+            # survive as named CUSTOM draco attributes
+            prim_exts = prim.get("extensions", {})
+            mf = prim_exts.get("EXT_mesh_features")
             if mf:
                 inst.mesh_features = mf.get("featureIds", [])
+            # per-primitive EXT_structural_metadata refs (propertyAttributes
+            # / propertyTextures index lists into the document-level arrays)
+            sm = prim_exts.get("EXT_structural_metadata")
+            if sm:
+                inst.structural_metadata = sm
             group.instances.append(inst)
         scene.mesh_groups.append(group)
+
+    # KHR_lights_punctual: document-level lights + per-node references
+    for lj in (gltf.get("extensions", {})
+               .get("KHR_lights_punctual", {}).get("lights", [])):
+        scene.lights.append(Light(
+            name=lj.get("name", ""),
+            color=tuple(lj.get("color", (1.0, 1.0, 1.0))),
+            intensity=lj.get("intensity", 1.0),
+            light_type=lj.get("type", "directional"),
+            range=lj.get("range"),
+            inner_cone_angle=lj.get("spot", {}).get("innerConeAngle", 0.0),
+            outer_cone_angle=lj.get("spot", {}).get(
+                "outerConeAngle", 0.7853981633974483)))
 
     # nodes
     for nd in gltf.get("nodes", []):
@@ -272,7 +391,9 @@ def load_gltf_to_scene(path: str) -> Scene:
                          children=list(nd.get("children", [])),
                          trs=_node_transform(nd),
                          mesh_group_index=nd.get("mesh"),
-                         skin_index=nd.get("skin"))
+                         skin_index=nd.get("skin"),
+                         light_index=nd.get("extensions", {}).get(
+                             "KHR_lights_punctual", {}).get("light"))
         scene.nodes.append(node)
     for i, nd in enumerate(gltf.get("nodes", [])):
         for ch in nd.get("children", []):
@@ -301,7 +422,8 @@ def _load_structural_metadata(gltf: dict, buffers: list[bytes],
         return
     sm = scene.structural_metadata
     sm.schema = ext.get("schema", {})
-    sm.property_attributes = ext.get("propertyAttributes", [])
+    sm.property_attributes = [PropertyAttribute.from_json(j)
+                              for j in ext.get("propertyAttributes", [])]
     for pt in ext.get("propertyTables", []):
         table = PropertyTable(name=pt.get("name", ""),
                               count=pt.get("count", 0),
@@ -330,7 +452,8 @@ def _structural_metadata_ext(scene: Scene, add_buffer_view) -> dict | None:
     if sm.schema:
         ext["schema"] = sm.schema
     if sm.property_attributes:
-        ext["propertyAttributes"] = sm.property_attributes
+        ext["propertyAttributes"] = [pa.to_json()
+                                     for pa in sm.property_attributes]
     tables = []
     for table in sm.property_tables:
         pt = json.loads(json.dumps(table.json))
@@ -399,7 +522,8 @@ def filter_mesh_by_material(mesh: Mesh, target_material: int) -> Mesh:
             continue  # the split replaces the material indirection
         parents = [id_map[p] for p in a.parents if p in id_map]
         new_id = builder.add_attribute(a.values_per_point(), a.att_type,
-                                       a.domain, parents=parents)
+                                       a.domain, parents=parents,
+                                       name=a.name)
         id_map[a.att_id] = new_id
     return builder.build()
 
@@ -421,29 +545,32 @@ def split_mesh_by_materials(mesh: Mesh) -> list[tuple[int, Mesh]]:
 
 
 def _merge_meshes(meshes: list[Mesh]) -> Mesh:
-    """Concatenate meshes that share an attribute layout."""
+    """Concatenate meshes that share an attribute layout. Keyed by
+    (type, name, components) so multiple same-type attributes (TEXCOORD_0
+    vs TEXCOORD_1, several _FEATURE_ID_n) merge into distinct streams."""
     builder = MeshBuilder()
     offset = 0
     faces = []
-    by_type: dict = {}
+    by_key: dict = {}
     for m in meshes:
         faces.append(m.faces + offset)
         offset += m.attributes[0].num_points
         for a in m.attributes:
-            by_type.setdefault((a.att_type, a.num_components), []).append(
-                a.values_per_point())
+            by_key.setdefault((a.att_type, a.name, a.num_components),
+                              []).append(a.values_per_point())
     builder.set_connectivity_attribute(np.concatenate(faces))
     pid = None
-    for (ty, _n), vals in by_type.items():
+    for (ty, _name, _n), vals in by_key.items():
         data = np.concatenate(vals)
         if ty == AttributeType.POSITION:
             pid = builder.add_attribute(data, ty, AttributeDomain.POSITION)
-    for (ty, _n), vals in by_type.items():
+    for (ty, name, _n), vals in by_key.items():
         if ty == AttributeType.POSITION:
             continue
         parents = [pid] if ty in (AttributeType.NORMAL, AttributeType.TEX_COORD) else []
         builder.add_attribute(np.concatenate(vals), ty,
-                              AttributeDomain.CORNER, parents=parents)
+                              AttributeDomain.CORNER, parents=parents,
+                              name=name)
     return builder.build()
 
 
@@ -488,26 +615,28 @@ class GlbWriter:
         prim: dict = {"mode": 4}
         if material_index is not None:
             prim["material"] = material_index
+        semantics = assign_semantics(mesh.attributes)
         if self.compress:
             blob = draco_encode(mesh)
             bv = self._add_buffer_view(blob)
-            pos = mesh.position_attribute()
-            pos_vals = pos.values_per_point().astype(np.float32)
             prim["indices"] = self._add_accessor(
                 componentType=5125, count=int(mesh.faces.size),
                 type="SCALAR")
             ext_attrs = {}
             attrs = {}
-            for a in mesh.attributes:
-                sem = _semantic_for(a)
+            for i, a in enumerate(mesh.attributes):
+                sem = semantics.get(i)
                 if sem is None:
                     continue
-                kw = dict(componentType=5126, count=int(a.num_points),
+                vals = a.values_per_point()
+                kw = dict(componentType=_gltf_component_id(vals.dtype),
+                          count=int(a.num_points),
                           type=f"VEC{a.num_components}"
                           if a.num_components > 1 else "SCALAR")
                 if a.att_type == AttributeType.POSITION:
-                    kw["min"] = [float(x) for x in pos_vals.min(axis=0)]
-                    kw["max"] = [float(x) for x in pos_vals.max(axis=0)]
+                    pv = vals.astype(np.float32)
+                    kw["min"] = [float(x) for x in pv.min(axis=0)]
+                    kw["max"] = [float(x) for x in pv.max(axis=0)]
                 attrs[sem] = self._add_accessor(**kw)
                 uid = a.unique_id if a.unique_id is not None else a.att_id
                 ext_attrs[sem] = int(uid)
@@ -522,14 +651,15 @@ class GlbWriter:
                 bufferView=bv, componentType=5125, count=int(idx.size),
                 type="SCALAR")
             attrs = {}
-            for a in mesh.attributes:
-                sem = _semantic_for(a)
+            for i, a in enumerate(mesh.attributes):
+                sem = semantics.get(i)
                 if sem is None:
                     continue
-                vals = a.values_per_point().astype(np.float32)
+                vals = _gltf_storable(a.values_per_point())
                 abv = self._add_buffer_view(
                     np.ascontiguousarray(vals).tobytes(), target=34962)
-                kw = dict(bufferView=abv, componentType=5126,
+                kw = dict(bufferView=abv,
+                          componentType=_gltf_component_id(vals.dtype),
                           count=int(len(vals)),
                           type=f"VEC{vals.shape[1]}" if vals.shape[1] > 1 else "SCALAR")
                 if a.att_type == AttributeType.POSITION:
@@ -550,7 +680,17 @@ class GlbWriter:
             else:
                 self.images_json.append({"uri": img.uri or ""})
         for tex in lib.texture_library.textures:
-            t = {"source": tex.image_index}
+            t: dict = {}
+            if tex.webp_image_index is not None:
+                # EXT_texture_webp: webp source rides the extension; the
+                # plain "source" stays the fallback when one exists
+                t["extensions"] = {"EXT_texture_webp": {
+                    "source": tex.webp_image_index}}
+                self.extensions_used.add("EXT_texture_webp")
+                if tex.image_index != tex.webp_image_index:
+                    t["source"] = tex.image_index
+            else:
+                t["source"] = tex.image_index
             if tex.sampler is not None:
                 self.samplers_json.append(tex.sampler)
                 t["sampler"] = len(self.samplers_json) - 1
@@ -574,6 +714,12 @@ class GlbWriter:
                             "EXT_mesh_features"] = {
                                 "featureIds": inst.mesh_features}
                         self.extensions_optional.add("EXT_mesh_features")
+                    if inst.structural_metadata:
+                        prim.setdefault("extensions", {})[
+                            "EXT_structural_metadata"] = \
+                            inst.structural_metadata
+                        self.extensions_optional.add(
+                            "EXT_structural_metadata")
                     prims.append(prim)
             gm = {"primitives": prims}
             if group.name:
@@ -599,6 +745,9 @@ class GlbWriter:
                 nd["rotation"] = [float(x) for x in t.rotation]
             if t.scale is not None:
                 nd["scale"] = [float(x) for x in t.scale]
+            if node.light_index is not None:
+                nd.setdefault("extensions", {})["KHR_lights_punctual"] = {
+                    "light": node.light_index}
             nodes_json.append(nd)
         if not nodes_json:
             nodes_json = [{"mesh": i} for i in range(len(self.gltf_meshes))]
@@ -634,6 +783,10 @@ class GlbWriter:
             gltf.setdefault("extensions", {})[
                 "EXT_structural_metadata"] = sm_ext
             self.extensions_optional.add("EXT_structural_metadata")
+        if scene.lights:
+            gltf.setdefault("extensions", {})["KHR_lights_punctual"] = {
+                "lights": [_light_to_json(lt) for lt in scene.lights]}
+            self.extensions_optional.add("KHR_lights_punctual")
         if self.extensions_used or self.extensions_optional:
             gltf["extensionsUsed"] = sorted(self.extensions_used
                                             | self.extensions_optional)
@@ -643,22 +796,73 @@ class GlbWriter:
         _write_glb(gltf, bytes(self.bin), path)
 
 
-def _semantic_for(att) -> str | None:
-    if att.att_type == AttributeType.POSITION:
-        return "POSITION"
-    if att.att_type == AttributeType.NORMAL:
-        return "NORMAL"
-    if att.att_type == AttributeType.TEX_COORD:
-        return "TEXCOORD_0"
-    if att.att_type == AttributeType.COLOR:
-        return "COLOR_0"
-    if att.att_type == AttributeType.TANGENT:
-        return "TANGENT"
-    if att.att_type == AttributeType.JOINT:
-        return "JOINTS_0"
-    if att.att_type == AttributeType.WEIGHT:
-        return "WEIGHTS_0"
-    return None
+_SEMANTIC_RE = re.compile(r"^(_[A-Za-z0-9_]+|[A-Z][A-Z0-9_]*)$")
+_SEMANTIC_BASE = {
+    AttributeType.POSITION: "POSITION",
+    AttributeType.NORMAL: "NORMAL",
+    AttributeType.TANGENT: "TANGENT",
+    AttributeType.TEX_COORD: "TEXCOORD",
+    AttributeType.COLOR: "COLOR",
+    AttributeType.JOINT: "JOINTS",
+    AttributeType.WEIGHT: "WEIGHTS",
+    AttributeType.CUSTOM: "_CUSTOM",
+}
+_UNSUFFIXED = ("POSITION", "NORMAL", "TANGENT")
+
+
+def assign_semantics(attributes) -> dict[int, str]:
+    """attribute index -> glTF semantic. Named attributes keep their
+    original semantic (TEXCOORD_2, _FEATURE_ID_0, extension attrs — the
+    reference round-trips exactly these, decode.rs:502-656); unnamed ones
+    get type-derived names with per-type counters. MATERIAL attributes are
+    consumed by the per-material primitive split and never exported."""
+    used: set[str] = set()
+    out: dict[int, str] = {}
+    for i, a in enumerate(attributes):
+        if a.att_type == AttributeType.MATERIAL:
+            continue
+        n = a.name
+        if n and _SEMANTIC_RE.match(n) and n not in used:
+            out[i] = n
+            used.add(n)
+    for i, a in enumerate(attributes):
+        if i in out or a.att_type == AttributeType.MATERIAL:
+            continue
+        base = _SEMANTIC_BASE.get(a.att_type)
+        if base is None:
+            continue
+        if base in _UNSUFFIXED:
+            if base in used:
+                continue  # second unnamed POSITION/NORMAL: not expressible
+            sem = base
+        else:
+            k = 0
+            while f"{base}_{k}" in used:
+                k += 1
+            sem = f"{base}_{k}"
+        out[i] = sem
+        used.add(sem)
+    return out
+
+
+def _gltf_component_id(dtype) -> int:
+    dt = np.dtype(dtype)
+    if dt in GLTF_COMPONENT_IDS:
+        return GLTF_COMPONENT_IDS[dt]
+    if np.issubdtype(dt, np.floating):
+        return 5126
+    return 5125  # wide ints stored as uint32
+
+
+def _gltf_storable(vals: np.ndarray) -> np.ndarray:
+    """Cast to a dtype glTF accessors can hold (int32/64 -> uint32,
+    float64 -> float32); no-op for already-storable dtypes."""
+    dt = np.dtype(vals.dtype)
+    if dt in GLTF_COMPONENT_IDS:
+        return vals
+    if np.issubdtype(dt, np.floating):
+        return vals.astype(np.float32)
+    return vals.astype(np.uint32)
 
 
 def _material_to_json(m: Material) -> dict:
@@ -702,12 +906,88 @@ def _material_to_json(m: Material) -> dict:
             out["alphaCutoff"] = m.alpha_cutoff
     if m.double_sided:
         out["doubleSided"] = True
+    if tm(m.normal_texture) and m.normal_texture_scale != 1.0:
+        out["normalTexture"]["scale"] = m.normal_texture_scale
+
+    # typed material extensions back to JSON (reference material writers,
+    # io/gltf/encode.rs:2795-3311)
     exts = dict(m.extensions)
     if m.unlit:
         exts["KHR_materials_unlit"] = {}
+    if m.has_sheen:
+        e: dict = {}
+        if tuple(m.sheen_color_factor) != (0.0, 0.0, 0.0):
+            e["sheenColorFactor"] = list(m.sheen_color_factor)
+        if m.sheen_roughness_factor != 0.0:
+            e["sheenRoughnessFactor"] = m.sheen_roughness_factor
+        if tm(m.sheen_color_texture):
+            e["sheenColorTexture"] = tm(m.sheen_color_texture)
+        if tm(m.sheen_roughness_texture):
+            e["sheenRoughnessTexture"] = tm(m.sheen_roughness_texture)
+        exts["KHR_materials_sheen"] = e
+    if m.has_transmission:
+        e = {}
+        if m.transmission_factor != 0.0:
+            e["transmissionFactor"] = m.transmission_factor
+        if tm(m.transmission_texture):
+            e["transmissionTexture"] = tm(m.transmission_texture)
+        exts["KHR_materials_transmission"] = e
+    if m.has_clearcoat:
+        e = {}
+        if m.clearcoat_factor != 0.0:
+            e["clearcoatFactor"] = m.clearcoat_factor
+        if m.clearcoat_roughness_factor != 0.0:
+            e["clearcoatRoughnessFactor"] = m.clearcoat_roughness_factor
+        if tm(m.clearcoat_texture):
+            e["clearcoatTexture"] = tm(m.clearcoat_texture)
+        if tm(m.clearcoat_roughness_texture):
+            e["clearcoatRoughnessTexture"] = tm(m.clearcoat_roughness_texture)
+        if tm(m.clearcoat_normal_texture):
+            e["clearcoatNormalTexture"] = tm(m.clearcoat_normal_texture)
+        exts["KHR_materials_clearcoat"] = e
+    if m.has_volume:
+        e = {}
+        if m.thickness_factor != 0.0:
+            e["thicknessFactor"] = m.thickness_factor
+        if tm(m.thickness_texture):
+            e["thicknessTexture"] = tm(m.thickness_texture)
+        if m.attenuation_distance != float("inf"):
+            e["attenuationDistance"] = m.attenuation_distance
+        if tuple(m.attenuation_color) != (1.0, 1.0, 1.0):
+            e["attenuationColor"] = list(m.attenuation_color)
+        exts["KHR_materials_volume"] = e
+    if m.has_ior:
+        exts["KHR_materials_ior"] = {"ior": m.ior}
+    if m.has_specular:
+        e = {}
+        if m.specular_factor != 1.0:
+            e["specularFactor"] = m.specular_factor
+        if tm(m.specular_texture):
+            e["specularTexture"] = tm(m.specular_texture)
+        if tuple(m.specular_color_factor) != (1.0, 1.0, 1.0):
+            e["specularColorFactor"] = list(m.specular_color_factor)
+        if tm(m.specular_color_texture):
+            e["specularColorTexture"] = tm(m.specular_color_texture)
+        exts["KHR_materials_specular"] = e
     if exts:
         out["extensions"] = exts
     return out
+
+
+def _light_to_json(lt: Light) -> dict:
+    j: dict = {"type": lt.light_type}
+    if lt.name:
+        j["name"] = lt.name
+    if tuple(lt.color) != (1.0, 1.0, 1.0):
+        j["color"] = list(lt.color)
+    if lt.intensity != 1.0:
+        j["intensity"] = lt.intensity
+    if lt.range is not None:
+        j["range"] = lt.range
+    if lt.light_type == "spot":
+        j["spot"] = {"innerConeAngle": lt.inner_cone_angle,
+                     "outerConeAngle": lt.outer_cone_angle}
+    return j
 
 
 def _write_glb(gltf: dict, bin_data: bytes, path: str) -> None:

@@ -63,6 +63,9 @@ class MeshInstance:
     mesh_index: int
     material_index: int | None = None
     mesh_features: list = field(default_factory=list)
+    # per-primitive EXT_structural_metadata refs (propertyAttributes /
+    # propertyTextures index lists), raw-JSON passthrough
+    structural_metadata: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -76,6 +79,13 @@ class TextureMap:
     texture_index: int
     tex_coord: int = 0
     transform: dict | None = None  # KHR_texture_transform passthrough
+
+
+_MIME_BY_FORMAT = {"png": "image/png", "jpeg": "image/jpeg",
+                   "webp": "image/webp", "basis": "image/basis",
+                   "ktx2": "image/ktx2"}
+_EXT_BY_FORMAT = {"png": ".png", "jpeg": ".jpg", "webp": ".webp",
+                  "basis": ".basis", "ktx2": ".ktx2"}
 
 
 @dataclass
@@ -100,12 +110,41 @@ class Image:
             return "ktx2"
         return "unknown"
 
+    # TextureUtils equivalents (reference core/texture.rs TextureUtils:
+    # target format / mime type / file stem helpers)
+    def target_format(self) -> str:
+        """Format the image should be written as: the actual byte format
+        (we never transcode pixels, so sniffing is authoritative)."""
+        fmt = self.sniff_format()
+        if fmt == "unknown" and self.mime_type.startswith("image/"):
+            return self.mime_type.split("/", 1)[1]
+        return fmt
+
+    def target_mime(self) -> str:
+        return (self.mime_type
+                or _MIME_BY_FORMAT.get(self.target_format(),
+                                       "application/octet-stream"))
+
+    def stem(self) -> str:
+        """File stem for extraction (name, else uri basename, sans ext)."""
+        import os
+        base = self.name or (os.path.basename(self.uri) if self.uri else "")
+        return os.path.splitext(base)[0]
+
+    def suggested_filename(self, fallback_stem: str = "image") -> str:
+        return ((self.stem() or fallback_stem)
+                + _EXT_BY_FORMAT.get(self.target_format(), ".bin"))
+
 
 @dataclass
 class Texture:
     image_index: int
     sampler: dict | None = None
     name: str = ""
+    # EXT_texture_webp: index of the WebP image; image_index then holds the
+    # (optional) fallback source (reference tracks webp for restoration,
+    # decode.rs:211 / encode.rs:2144-2350 — we carry bytes through natively)
+    webp_image_index: int | None = None
 
 
 @dataclass
@@ -116,8 +155,10 @@ class TextureLibrary:
 
 @dataclass
 class Material:
-    """PBR metallic-roughness material (material.rs:97-220); extension
-    payloads are carried through as raw JSON."""
+    """PBR metallic-roughness material with the KHR material extensions
+    modeled as typed fields (reference core/material.rs:97-220: sheen,
+    transmission, clearcoat, volume, ior, specular + unlit); extensions
+    beyond those are carried through as raw JSON."""
     name: str = ""
     base_color_factor: tuple = (1.0, 1.0, 1.0, 1.0)
     metallic_factor: float = 1.0
@@ -126,13 +167,65 @@ class Material:
     base_color_texture: TextureMap | None = None
     metallic_roughness_texture: TextureMap | None = None
     normal_texture: TextureMap | None = None
+    normal_texture_scale: float = 1.0
     occlusion_texture: TextureMap | None = None
     emissive_texture: TextureMap | None = None
     alpha_mode: str = "OPAQUE"
     alpha_cutoff: float = 0.5
     double_sided: bool = False
     unlit: bool = False
+    # KHR_materials_sheen
+    has_sheen: bool = False
+    sheen_color_factor: tuple = (0.0, 0.0, 0.0)
+    sheen_roughness_factor: float = 0.0
+    sheen_color_texture: TextureMap | None = None
+    sheen_roughness_texture: TextureMap | None = None
+    # KHR_materials_transmission
+    has_transmission: bool = False
+    transmission_factor: float = 0.0
+    transmission_texture: TextureMap | None = None
+    # KHR_materials_clearcoat
+    has_clearcoat: bool = False
+    clearcoat_factor: float = 0.0
+    clearcoat_roughness_factor: float = 0.0
+    clearcoat_texture: TextureMap | None = None
+    clearcoat_roughness_texture: TextureMap | None = None
+    clearcoat_normal_texture: TextureMap | None = None
+    # KHR_materials_volume
+    has_volume: bool = False
+    thickness_factor: float = 0.0
+    thickness_texture: TextureMap | None = None
+    attenuation_distance: float = float("inf")
+    attenuation_color: tuple = (1.0, 1.0, 1.0)
+    # KHR_materials_ior
+    has_ior: bool = False
+    ior: float = 1.5
+    # KHR_materials_specular
+    has_specular: bool = False
+    specular_factor: float = 1.0
+    specular_texture: TextureMap | None = None
+    specular_color_factor: tuple = (1.0, 1.0, 1.0)
+    specular_color_texture: TextureMap | None = None
+    # unparsed extension passthrough
     extensions: dict = field(default_factory=dict)
+
+    def check_any_pbr_extensions(self) -> bool:
+        """material.rs check_any_pbr_extensions."""
+        return (self.has_sheen or self.has_transmission
+                or self.has_clearcoat or self.has_volume or self.has_ior
+                or self.has_specular or self.unlit)
+
+
+@dataclass
+class Light:
+    """KHR_lights_punctual light (reference core/scene/mod.rs:402-500)."""
+    name: str = ""
+    color: tuple = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+    light_type: str = "directional"  # directional | point | spot
+    range: float | None = None       # point/spot only
+    inner_cone_angle: float = 0.0    # spot only
+    outer_cone_angle: float = 0.7853981633974483  # pi/4, spot only
 
 
 @dataclass
@@ -152,10 +245,41 @@ class PropertyTable:
 
 
 @dataclass
+class PropertyAttribute:
+    """EXT_structural_metadata property attribute
+    (structural_metadata.rs:44-199): maps class properties to vertex
+    attribute semantics (e.g. "_INTENSITY"); the referenced semantics are
+    real draco attributes in this framework (CUSTOM, name preserved)."""
+    name: str = ""
+    class_name: str = ""
+    # property name -> {"attribute": semantic, optional min/max/offset/scale}
+    properties: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, j: dict) -> "PropertyAttribute":
+        return cls(name=j.get("name", ""), class_name=j.get("class", ""),
+                   properties=dict(j.get("properties", {})))
+
+    def to_json(self) -> dict:
+        out: dict = {}
+        if self.name:
+            out["name"] = self.name
+        if self.class_name:
+            out["class"] = self.class_name
+        if self.properties:
+            out["properties"] = self.properties
+        return out
+
+    def attribute_semantics(self) -> list[str]:
+        return [p["attribute"] for p in self.properties.values()
+                if isinstance(p, dict) and "attribute" in p]
+
+
+@dataclass
 class StructuralMetadata:
     schema: dict = field(default_factory=dict)
     property_tables: list[PropertyTable] = field(default_factory=list)
-    property_attributes: list[dict] = field(default_factory=list)
+    property_attributes: list[PropertyAttribute] = field(default_factory=list)
 
 
 @dataclass
@@ -178,6 +302,7 @@ class Scene:
         self.root_nodes: list[int] = []
         self.material_library = MaterialLibrary()
         self.structural_metadata = StructuralMetadata()
+        self.lights: list[Light] = []    # KHR_lights_punctual
         self.metadata: dict[str, str] = {}
         self.animations_json: list = []  # passthrough (reference stubs these)
         self.skins_json: list = []

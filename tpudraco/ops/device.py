@@ -81,12 +81,22 @@ def parallelogram_predict_kernel(values: jnp.ndarray,
     return jnp.where(can_parallelogram[..., None], para, fallback)
 
 
-def wrapped_difference_kernel(origs: jnp.ndarray, preds: jnp.ndarray):
+def wrapped_difference_kernel(origs: jnp.ndarray, preds: jnp.ndarray,
+                              range_source: jnp.ndarray | None = None):
     """Wrapped-difference residual (wrapped_difference.rs:36-99), batched.
-    Returns (zigzagged corrections uint32, vmin, vmax)."""
+    Returns (zigzagged corrections uint32, vmin, vmax).
+
+    ``range_source`` optionally supplies the array the vmin/vmax reduction
+    runs over. The traversal order is a permutation of the unique values,
+    so reducing over the pre-gather quantized array is byte-identical to
+    reducing over the traversal — and, under stream-axis sharding, the
+    pre-gather array is replicated per shard, so every shard computes the
+    global range without a collective (the per-shard-slice range would
+    silently diverge from the single-device bytes)."""
     o = origs.astype(jnp.int32)
-    vmax = o.max(axis=(-2, -1))
-    vmin = o.min(axis=(-2, -1))
+    r = o if range_source is None else range_source.astype(jnp.int32)
+    vmax = r.max(axis=(-2, -1))
+    vmin = r.min(axis=(-2, -1))
     max_diff = 1 + vmax - vmin
     max_corr = max_diff // 2
     min_corr = -max_corr
@@ -141,7 +151,8 @@ def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
     else:
         preds = predict_matmul_pallas(M, q)
         q_trav = q[:, gathers["order"], :]
-    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds,
+                                                 range_source=q)
     flat = corr.reshape(corr.shape[0], -1).astype(jnp.int32)
     # no clamp: histogram_pallas drops out-of-range symbols, so an
     # undersized hist_bins shows up as counts.sum() != n_sym downstream
@@ -167,7 +178,8 @@ def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
     preds = parallelogram_predict_kernel(
         q, gathers["next"], gathers["prev"], gathers["opp"],
         gathers["fallback"], gathers["can_para"], gathers["has_fallback"])
-    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds)
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds,
+                                                 range_source=q)
     flat = corr.reshape(corr.shape[0], -1)
     counts = bincount_kernel(flat, hist_bins)
     return {"symbols": corr, "counts": counts, "mins": mins,

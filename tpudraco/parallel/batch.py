@@ -88,15 +88,20 @@ class BatchEncoder:
     device compute step sharded over a JAX device mesh."""
 
     def __init__(self, use_device: bool = False, devices=None,
-                 strict_device: bool = False) -> None:
+                 strict_device: bool = False, mesh_axis=None) -> None:
         # use_device routes encode_corpus through the topology-grouped
         # accelerator path (encode_meshes_device); the host path is the
         # default and the right choice behind high-latency links.
         # strict_device re-raises device-path failures instead of silently
         # re-encoding on host, so a broken kernel fails tests loudly.
+        # mesh_axis: a 1-D jax.sharding.Mesh with a "data" axis — the
+        # device step then runs shard_map'ed data-parallel over it; output
+        # bytes stay identical to the single-device/sequential paths
+        # (SURVEY.md §4d determinism oracle, pinned by tests).
         self.use_device = use_device
         self.devices = devices
         self.strict_device = strict_device
+        self.mesh_axis = mesh_axis
         self.fallback_groups = 0   # device groups that fell back to host
         self.fallback_meshes = 0   # meshes encoded via that fallback
         self._topo_cache: dict[str, PreparedTopology] = {}
@@ -158,7 +163,8 @@ class BatchEncoder:
                 for c0 in range(0, n_pad, chunk):
                     dev_c = device_encode_group(
                         batch[c0:c0 + chunk], topo, pos_atts[0],
-                        bits=bits, return_device=True)
+                        bits=bits, mesh_axis=self.mesh_axis,
+                        return_device=True)
                     if entropy == "device":
                         # symbols stay on device; only the histogram +
                         # compacted bytes cross the link
@@ -345,22 +351,8 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
          if use_pallas else None)
 
     if mesh_axis is not None:
-        from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        def step(pos):
-            out = encode_step(pos, gathers, bits=bits)
-            return out["symbols"], out["vmin"], out["vmax"], out["counts"]
-
-        step = shard_map(step, mesh=mesh_axis,
-                         in_specs=P("data", None, None),
-                         out_specs=(P("data", None, None), P("data"),
-                                    P("data"), P("data", None)))
-        syms, vmin, vmax, counts = jax.jit(step)(
-            jnp.asarray(positions_batch))
+        syms, vmin, vmax, counts = _jit_step_sharded(
+            jnp.asarray(positions_batch), gathers, bits, mesh_axis)
     elif use_pallas:
         syms, vmin, vmax, counts = _jit_step_pallas(
             jnp.asarray(positions_batch), gathers, M, bits)
@@ -392,3 +384,29 @@ def _jit_step_gather(pos, gathers, bits):
     from ..ops import encode_step
     out = encode_step(pos, gathers, bits=bits)
     return out["symbols"], out["vmin"], out["vmax"], out["counts"]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
+def _jit_step_sharded(pos, gathers, bits, mesh_axis):
+    """Data-parallel encode step over a 1-D ("data",) device mesh. The
+    per-shard computation is the plain encode_step; meshes are independent,
+    so the only cross-device contract is the gather order (handled by the
+    out_specs concatenation) — output equals the single-device run
+    bit-for-bit (pinned by tests/test_parallel.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import encode_step
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(pos_shard, g):
+        out = encode_step(pos_shard, g, bits=bits)
+        return out["symbols"], out["vmin"], out["vmax"], out["counts"]
+
+    fn = shard_map(step, mesh=mesh_axis,
+                   in_specs=(P("data", None, None), P()),
+                   out_specs=(P("data", None, None), P("data"),
+                              P("data"), P("data", None)))
+    return fn(pos, gathers)
