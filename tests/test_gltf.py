@@ -100,6 +100,40 @@ def test_transcode_determinism(tmp_path):
 
 
 @needs_ref
+def test_khr_reference_id_mode(tmp_path):
+    """--khr-ids reference replicates the reference encoder's hardcoded
+    Position->1 / Normal->0 / else-iteration-index mapping
+    (encode.rs:1020-1025); default mode writes the stream's real unique
+    ids. Both variants must reload correctly."""
+    from tpudraco.io.gltf import _load_container
+
+    sc = load_gltf_to_scene(DUCK)
+    ref_out = str(tmp_path / "duck_ref_ids.glb")
+    save_scene_glb(sc, ref_out, compress=True, khr_ids="reference")
+    gltf, _ = _load_container(ref_out)
+    ext = gltf["meshes"][0]["primitives"][0]["extensions"][
+        "KHR_draco_mesh_compression"]["attributes"]
+    assert ext["POSITION"] == 1 and ext["NORMAL"] == 0
+    assert ext["TEXCOORD_0"] == 2  # iteration index
+
+    uniq_out = str(tmp_path / "duck_uniq_ids.glb")
+    save_scene_glb(sc, uniq_out, compress=True, khr_ids="unique")
+    gltf2, _ = _load_container(uniq_out)
+    ext2 = gltf2["meshes"][0]["primitives"][0]["extensions"][
+        "KHR_draco_mesh_compression"]["attributes"]
+    assert ext2 != ext  # the quirk mapping differs from the real ids
+
+    # both reload to the same geometry (name restoration is type-guarded
+    # against the contradictory reference ids)
+    a = load_gltf(ref_out)
+    b = load_gltf(uniq_out)
+    assert a.num_faces == b.num_faces == 4212
+    pa = next(x for x in a.attributes
+              if x.att_type == AttributeType.POSITION)
+    assert pa.name in (None, "POSITION")
+
+
+@needs_ref
 def test_uncompressed_glb_writer(tmp_path):
     sc = load_gltf_to_scene(DUCK)
     out = str(tmp_path / "duck_raw.glb")

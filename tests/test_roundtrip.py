@@ -107,6 +107,68 @@ def test_roundtrip_fixture_valence(name):
         assert len(blob) < len(std)
 
 
+@needs_ref
+@pytest.mark.parametrize("name", ["tetrahedron.obj", "sphere.obj",
+                                  "torus.obj", "punctured_sphere.obj"])
+def test_roundtrip_fixture_multi_parallelogram(name):
+    """Opt-in MultiParallelogram (wire id 2; the reference stubs it,
+    mesh_multi_parallelogram_prediction.rs) must round-trip through our
+    decoder, carry the proper wire id, and beat single-parallelogram
+    payload size on the regular fixtures."""
+    from tpudraco.io import load_obj
+    from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    mesh = load_obj(os.path.join(REF_DATA, name))
+    cfg = Config(prediction={
+        AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM})
+    blob, _ = assert_roundtrip(mesh, cfg=cfg)
+    std = encode(mesh)
+    assert blob != std  # the scheme really engaged
+    if name == "torus.obj":
+        # averaged parallelograms win on regular connectivity even under
+        # reference-faithful DirectCoded streams
+        assert len(blob) < len(std), (len(blob), len(std))
+    # under the table-aware auto symbol coding the multi scheme wins on
+    # every curved fixture (its mid-range residual alphabet no longer pays
+    # the reference's degraded zero-run table cost)
+    if name in ("sphere.obj", "torus.obj", "punctured_sphere.obj"):
+        auto_std = encode(mesh, cfg=Config(symbol_coding="auto"))
+        auto_multi = encode(mesh, cfg=Config(
+            prediction={AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM},
+            symbol_coding="auto"))
+        assert_roundtrip(mesh, cfg=Config(
+            prediction={AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM},
+            symbol_coding="auto"))
+        assert len(auto_multi) < len(auto_std), (len(auto_multi),
+                                                 len(auto_std))
+
+
+def test_multi_parallelogram_fuzz_grids():
+    """Random grids round-trip under MultiParallelogram bit-exactly in the
+    quantized domain (encoder symbols -> decoder reconstruction)."""
+    from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    rng = np.random.RandomState(7)
+    for n in (4, 6, 9):
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                             np.arange(n, dtype=np.float32))
+        pos = np.stack([xs.ravel(), ys.ravel(),
+                        rng.rand(n * n).astype(np.float32) * 2], axis=1)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a = i * n + j
+                faces.append([a, a + 1, a + n])
+                faces.append([a + 1, a + n + 1, a + n])
+        b = MeshBuilder()
+        b.set_connectivity_attribute(np.asarray(faces))
+        b.add_attribute(pos, AttributeType.POSITION,
+                        AttributeDomain.POSITION)
+        cfg = Config(prediction={
+            AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM})
+        assert_roundtrip(b.build(), cfg=cfg)
+
+
 def _build(faces, pos, normals=None, tex=None):
     b = MeshBuilder()
     b.set_connectivity_attribute(np.asarray(faces))
@@ -482,8 +544,13 @@ def test_symbol_coding_modes():
         sizes[mode] = len(blob)
     assert sizes["length"] < sizes["direct"]
     assert sizes["auto"] == sizes["length"]  # wide alphabet -> LengthCoded
-    # at default depth auto picks DirectCoded (reference-faithful bytes)
-    assert encode(mesh) == encode(mesh, cfg=Config(symbol_coding="auto"))
+    # auto never loses to the reference-faithful DirectCoded default
+    # (it switches to LengthCoded whenever the table would dominate)
+    auto_blob = encode(mesh, cfg=Config(symbol_coding="auto"))
+    assert len(auto_blob) <= len(encode(mesh))
+    assert decode(auto_blob).num_faces == mesh.num_faces
+    # "direct" (the default) stays byte-faithful to the reference layout
+    assert encode(mesh) == encode(mesh, cfg=Config(symbol_coding="direct"))
 
 
 def test_color_and_custom_attributes_roundtrip():

@@ -39,6 +39,11 @@ class Config:
     # attribute residual symbol coding: "direct" (reference-faithful),
     # "length", or "auto" (LengthCoded for wide alphabets)
     symbol_coding: str = "direct"
+    # per-AttributeType prediction-scheme overrides (wire ids,
+    # shared/prediction.py) — e.g. {AttributeType.POSITION:
+    # PRED_MULTI_PARALLELOGRAM} opts into the averaged multi-parallelogram
+    # the reference only stubs; streams stay self-describing
+    prediction: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
 
 
@@ -142,7 +147,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     rec.scope_begin("attributes", writer)
     encode_attributes(mesh.attributes, writer, conn_out, recorder=rec,
                       quant_bits=cfg.quant_bits,
-                      symbol_coding=cfg.symbol_coding)
+                      symbol_coding=cfg.symbol_coding,
+                      prediction=cfg.prediction)
     rec.scope_end(writer)
     debug_write(writer, "attributes done")
     rec.scope_end(writer)

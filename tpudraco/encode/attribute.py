@@ -15,8 +15,8 @@ from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import TableView
 from ..shared.clers import TRAVERSAL_DEPTH_FIRST
 from ..shared.prediction import (
-    PRED_DELTA, PRED_NORMAL, PRED_PARALLELOGRAM, PRED_TEX_COORDS,
-    PredictionState, make_prediction,
+    PRED_DELTA, PRED_MULTI_PARALLELOGRAM, PRED_NORMAL, PRED_PARALLELOGRAM,
+    PRED_TEX_COORDS, PredictionState, make_prediction,
 )
 from ..shared.sequencer import compute_sequence
 from .connectivity import ConnectivityOutput
@@ -27,18 +27,32 @@ from .transforms import (
 )
 
 
-def default_prediction_for(att_type: AttributeType) -> tuple[int, int]:
+def default_prediction_for(att_type: AttributeType,
+                           prediction: dict | None = None) -> tuple[int, int]:
     """(prediction scheme, transform) defaults
-    (attribute_encoder.rs:59-108)."""
+    (attribute_encoder.rs:59-108). ``prediction`` optionally overrides the
+    scheme per AttributeType (Config.prediction) — the transform stays the
+    type default; only traversal-value schemes may be substituted."""
     if att_type == AttributeType.POSITION:
-        return PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
-    if att_type == AttributeType.NORMAL:
-        return PRED_NORMAL, XFORM_OCT_ORTHOGONAL
-    if att_type == AttributeType.TEX_COORD:
-        return PRED_TEX_COORDS, XFORM_WRAPPED_DIFFERENCE
-    if att_type == AttributeType.CUSTOM:
-        return PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
-    return PRED_DELTA, XFORM_DIFFERENCE
+        out = PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
+    elif att_type == AttributeType.NORMAL:
+        out = PRED_NORMAL, XFORM_OCT_ORTHOGONAL
+    elif att_type == AttributeType.TEX_COORD:
+        out = PRED_TEX_COORDS, XFORM_WRAPPED_DIFFERENCE
+    elif att_type == AttributeType.CUSTOM:
+        out = PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
+    else:
+        out = PRED_DELTA, XFORM_DIFFERENCE
+    if prediction and att_type in prediction:
+        scheme = int(prediction[att_type])
+        allowed = (PRED_DELTA, PRED_PARALLELOGRAM,
+                   PRED_MULTI_PARALLELOGRAM)
+        if scheme not in allowed:
+            raise ValueError(
+                f"prediction override {scheme} not supported for "
+                f"{att_type.name}; pick one of {allowed}")
+        out = (scheme, out[1])
+    return out
 
 
 # batched normal/texcoord prediction (bit-identical to the scalar loops);
@@ -51,7 +65,8 @@ def encode_attributes(attributes: list[Attribute], writer,
                       sequences: dict | None = None,
                       precomputed: dict | None = None,
                       quant_bits: dict | None = None,
-                      symbol_coding: str = "direct") -> None:
+                      symbol_coding: str = "direct",
+                      prediction: dict | None = None) -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
     "xform_meta": bytes} to skip the host predict/transform/entropy stages
@@ -89,7 +104,8 @@ def encode_attributes(attributes: list[Attribute], writer,
         port_att = _encode_one(att, i, parents, conn_out, writer, rec,
                                sequence=seq, precomputed=pre,
                                quant_bits=quant_bits,
-                               symbol_coding=symbol_coding)
+                               symbol_coding=symbol_coding,
+                               prediction=prediction)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -99,27 +115,32 @@ def encode_attributes(attributes: list[Attribute], writer,
 def _pick_symbol_method(flat_symbols, symbol_coding: str) -> int:
     """Symbol-coding selection. The reference hardcodes DirectCoded
     (attribute_encoder.rs:344-351), whose serialized frequency table grows
-    with the alphabet; LengthCoded stays compact for wide-range residuals.
-    "auto" switches when the alphabet would dominate the payload
-    (> 2^11 distinct symbol ids). "direct" (default) matches the
-    reference byte-for-byte; the decoder dispatches on the stream's own
-    method byte either way."""
+    with the alphabet — and its zero-run coding degrades to one byte per
+    zero for runs > 64 (rans.rs:203-210 loop quirk), so sparse wide
+    alphabets are doubly punished. "auto" switches to LengthCoded when the
+    alphabet is wide (>= 2^11) or would dominate the payload (max symbol
+    exceeding ~2x the stream length means mostly-empty table entries).
+    "direct" (default) matches the reference byte-for-byte; the decoder
+    dispatches on the stream's own method byte either way."""
     if symbol_coding == "direct":
         return DIRECT_CODED
     if symbol_coding == "length":
         return LENGTH_CODED
     max_symbol = int(flat_symbols.max()) if len(flat_symbols) else 0
-    return LENGTH_CODED if max_symbol >= (1 << 11) else DIRECT_CODED
+    if max_symbol >= (1 << 11) or max_symbol > 2 * len(flat_symbols):
+        return LENGTH_CODED
+    return DIRECT_CODED
 
 
 def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 conn_out: ConnectivityOutput, writer, rec=None,
                 sequence=None, precomputed=None,
-                quant_bits=None, symbol_coding: str = "direct") -> Attribute:
+                quant_bits=None, symbol_coding: str = "direct",
+                prediction: dict | None = None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
-    scheme_id, xform_id = default_prediction_for(att.att_type)
+    scheme_id, xform_id = default_prediction_for(att.att_type, prediction)
     rec.write_pair("prediction_scheme", scheme_id)
     rec.write_pair("prediction_transform", xform_id)
     writer.write_u8(scheme_id)

@@ -161,10 +161,15 @@ def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mes
         blob = _bufferview_bytes(gltf, buffers, ext["bufferView"])
         mesh = draco_decode(bytes(blob))
         # restore glTF semantic names from the extension's attribute map
-        # (semantic -> draco unique id) so a re-transcode keeps them
+        # (semantic -> draco unique id) so a re-transcode keeps them; the
+        # type check guards against the reference encoder's Position->1/
+        # Normal->0 id quirk (encode.rs:1020-1025), which contradicts the
+        # stream's own ids
         for sem, uid in ext.get("attributes", {}).items():
+            want = attribute_type_for_semantic(sem)
             for a in mesh.attributes:
-                if a.unique_id == uid and a.name is None:
+                if (a.unique_id == uid and a.name is None
+                        and a.att_type == want):
                     a.name = sem
                     break
         if transform is not None:
@@ -578,10 +583,21 @@ def _merge_meshes(meshes: list[Mesh]) -> Mesh:
 
 class GlbWriter:
     """glTF JSON + GLB container writer with per-primitive draco
-    compression (encode.rs GltfAsset/add_draco_mesh_internal)."""
+    compression (encode.rs GltfAsset/add_draco_mesh_internal).
 
-    def __init__(self, compress: bool = True) -> None:
+    ``khr_ids`` picks the KHR_draco_mesh_compression attribute-id mapping:
+    "unique" (default) writes each attribute's actual draco unique id —
+    self-consistent with the encoded stream; "reference" replicates the
+    reference encoder's hardcoded Position->1 / Normal->0 / else iteration
+    index quirk (encode.rs:1020-1025) for byte-level compatibility with
+    consumers tuned to its output."""
+
+    def __init__(self, compress: bool = True,
+                 khr_ids: str = "unique") -> None:
+        if khr_ids not in ("unique", "reference"):
+            raise ValueError(f"unknown khr_ids mode {khr_ids!r}")
         self.compress = compress
+        self.khr_ids = khr_ids
         self.bin = bytearray()
         self.buffer_views: list[dict] = []
         self.accessors: list[dict] = []
@@ -638,8 +654,18 @@ class GlbWriter:
                     kw["min"] = [float(x) for x in pv.min(axis=0)]
                     kw["max"] = [float(x) for x in pv.max(axis=0)]
                 attrs[sem] = self._add_accessor(**kw)
-                uid = a.unique_id if a.unique_id is not None else a.att_id
-                ext_attrs[sem] = int(uid)
+                if self.khr_ids == "reference":
+                    # encode.rs:1020-1025 quirk: Position->1, Normal->0,
+                    # everything else its iteration index
+                    if a.att_type == AttributeType.POSITION:
+                        ext_attrs[sem] = 1
+                    elif a.att_type == AttributeType.NORMAL:
+                        ext_attrs[sem] = 0
+                    else:
+                        ext_attrs[sem] = i
+                else:
+                    uid = a.unique_id if a.unique_id is not None else a.att_id
+                    ext_attrs[sem] = int(uid)
             prim["attributes"] = attrs
             prim["extensions"] = {"KHR_draco_mesh_compression": {
                 "bufferView": bv, "attributes": ext_attrs}}
@@ -1005,20 +1031,24 @@ def _write_glb(gltf: dict, bin_data: bytes, path: str) -> None:
             f.write(bin_data)
 
 
-def save_scene_glb(scene: Scene, path: str, compress: bool = True) -> None:
-    GlbWriter(compress=compress).write_scene(scene, path)
+def save_scene_glb(scene: Scene, path: str, compress: bool = True,
+                   khr_ids: str = "unique") -> None:
+    GlbWriter(compress=compress, khr_ids=khr_ids).write_scene(scene, path)
 
 
 class DracoTranscoder:
     """glTF -> glTF transcoder compressing every primitive with draco
     (transcoder.rs:60-151)."""
 
-    def __init__(self, compress: bool = True) -> None:
+    def __init__(self, compress: bool = True,
+                 khr_ids: str = "unique") -> None:
         self.compress = compress
+        self.khr_ids = khr_ids
 
     def transcode_file(self, in_path: str, out_path: str) -> Scene:
         scene = load_gltf_to_scene(in_path)
-        save_scene_glb(scene, out_path, compress=self.compress)
+        save_scene_glb(scene, out_path, compress=self.compress,
+                       khr_ids=self.khr_ids)
         return scene
 
     def transcode_buffer(self, data: bytes, out_path: str) -> Scene:

@@ -30,11 +30,28 @@ def main(argv=None) -> int:
     p.add_argument("--traversal", choices=("standard", "valence"),
                    default="standard",
                    help="edgebreaker symbol coding (valence wins on large "
-                        "regular meshes)")
+                        "regular meshes). WARNING: 'valence' is a "
+                        "tpudraco-specific dialect — the reference's "
+                        "valence coder is bit-rotted, so there is no "
+                        "cross-codec oracle; valence streams decode only "
+                        "with this tool (standard is Draco v2.2)")
+    p.add_argument("--khr-ids", choices=("unique", "reference"),
+                   default="unique",
+                   help="KHR_draco_mesh_compression attribute-id mapping "
+                        "for --transcode: 'unique' = the stream's actual "
+                        "draco unique ids; 'reference' = the reference "
+                        "encoder's Position->1/Normal->0 quirk "
+                        "(encode.rs:1020-1025)")
     p.add_argument("--method", choices=("edgebreaker", "sequential"),
                    default="edgebreaker",
                    help="connectivity method (sequential = raw indices, "
                         "no traversal)")
+    p.add_argument("--prediction", choices=("default", "multi"),
+                   default="default",
+                   help="position prediction scheme: 'multi' opts into "
+                        "averaged multi-parallelogram (wire id 2; the "
+                        "reference stubs it) — usually smaller on regular "
+                        "meshes, decodable by this tool")
     p.add_argument("-qp", type=int, default=None, metavar="BITS",
                    help="position quantization bits (default 11)")
     p.add_argument("-qt", type=int, default=None, metavar="BITS",
@@ -48,7 +65,8 @@ def main(argv=None) -> int:
 
     if args.transcode or (in_ext in (".gltf", ".glb") and out_ext in (".gltf", ".glb")):
         from ..io import DracoTranscoder
-        DracoTranscoder().transcode_file(args.input, args.output)
+        DracoTranscoder(khr_ids=args.khr_ids).transcode_file(
+            args.input, args.output)
     elif out_ext == ".drc":
         from ..encode import encode
         from ..eval import EvalRecorder
@@ -69,11 +87,15 @@ def main(argv=None) -> int:
             quant_bits[AttributeType.POSITION] = args.qp
         if args.qt is not None:
             quant_bits[AttributeType.TEX_COORD] = args.qt
+        prediction = {}
+        if args.prediction == "multi":
+            from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
+            prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
         cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
                      else EB_STANDARD,
                      encoder_method=METHOD_SEQUENTIAL
                      if args.method == "sequential" else METHOD_EDGEBREAKER,
-                     quant_bits=quant_bits)
+                     quant_bits=quant_bits, prediction=prediction)
         rec = EvalRecorder() if args.eval_json else None
         blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
