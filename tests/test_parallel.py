@@ -415,6 +415,40 @@ def test_dryrun_multichip_oracle():
     g.dryrun_multichip(8)
 
 
+def test_chunked_huge_mesh_byte_oracle():
+    """SURVEY §5.7 streaming path: a mesh encoded in fixed-size segments
+    (device memory O(chunk)) must produce .drc bytes identical to host
+    encode() — including a chunk size far smaller than the traversal, odd
+    tails, and non-default bit depths."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+
+    mesh = _grid_mesh(20, 3)  # 400 vertices, 722 faces
+    be = BatchEncoder()
+    for chunk in (64, 257, 1 << 15):
+        blob = be.encode_mesh_device_chunked(mesh, chunk=chunk)
+        assert blob == encode(mesh), f"chunk={chunk}"
+    blob13 = be.encode_mesh_device_chunked(mesh, bits=13, chunk=100)
+    assert blob13 == encode(
+        mesh, cfg=Config(quant_bits={AttributeType.POSITION: 13}))
+
+
+def test_stream_sharded_single_mesh_byte_oracle():
+    """Single-mesh cross-chip API: the traversal shards over an 8-device
+    ("stream",) mesh; output bytes equal host encode()."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    sp_mesh = Mesh(np.asarray(jax.devices()[:8]), ("stream",))
+    be = BatchEncoder()
+    for n in (9, 12):
+        mesh = _grid_mesh(n, n)
+        blob = be.encode_mesh_device_stream_sharded(mesh, sp_mesh)
+        assert blob == encode(mesh)
+
+
 def test_device_batch_encode_custom_bits(monkeypatch):
     """Device batch at a non-default quantization depth must match the
     sequential encoder at the same depth (metadata/payload consistency)."""

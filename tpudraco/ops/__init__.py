@@ -1,10 +1,15 @@
 from .device import (
     bincount_kernel,
+    default_hist_bins,
     dequantize_kernel,
     encode_step,
+    encode_step_chunk,
     encode_step_pallas,
+    minmax_chunk_kernel,
     parallelogram_predict_kernel,
     quantize_kernel,
+    quantize_rows_kernel,
+    quantized_range_chunk_kernel,
     unzigzag_kernel,
     wrapped_difference_kernel,
     zigzag_kernel,
@@ -19,8 +24,10 @@ from .pallas_kernels import (
 )
 
 __all__ = [
-    "bincount_kernel", "dequantize_kernel", "encode_step",
-    "encode_step_pallas", "parallelogram_predict_kernel", "quantize_kernel",
+    "bincount_kernel", "default_hist_bins", "dequantize_kernel",
+    "encode_step", "encode_step_chunk", "encode_step_pallas",
+    "minmax_chunk_kernel", "parallelogram_predict_kernel", "quantize_kernel",
+    "quantize_rows_kernel", "quantized_range_chunk_kernel",
     "unzigzag_kernel", "wrapped_difference_kernel", "zigzag_kernel",
     "build_parallelogram_gathers", "build_combined_matrix",
     "build_prediction_matrix", "histogram_pallas", "predict_matmul_pallas",

@@ -17,6 +17,8 @@ Reference semantics:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,6 +161,86 @@ def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
     counts = histogram_pallas(flat, hist_bins)
     return {"symbols": corr, "counts": counts, "mins": mins,
             "delta_max": delta_max, "vmin": vmin, "vmax": vmax}
+
+
+# ---------------------------------------------------------------------------
+# Chunked/streaming kernels for meshes exceeding one chip's HBM (SURVEY §5.7)
+# ---------------------------------------------------------------------------
+#
+# The unchunked encode_step holds (V, 3) positions + (T,) gathers resident.
+# For a single huge mesh, the host instead streams fixed-size segments:
+#   pass 1: per-vertex-chunk min/max reduce       -> global quantization range
+#   pass 2: per-vertex-chunk quantized min/max    -> global residual range
+#   pass 3: per-traversal-chunk gather rows shipped from host, quantize +
+#           predict + wrapped-difference + histogram on device
+# Each pass is O(chunk) device memory; results are bit-identical to the
+# resident path because min/max reduces are exact and every per-element
+# formula is unchanged (pinned by tests).
+
+
+@functools.partial(jax.jit, static_argnames=())
+def minmax_chunk_kernel(pos_chunk: jnp.ndarray):
+    """(C, N) float32 -> ((N,) min, (N,) max). Padding rows must replicate
+    a real row so they cannot bias the reduce."""
+    v = pos_chunk.astype(jnp.float32)
+    return v.min(axis=0), v.max(axis=0)
+
+
+def quantize_rows_kernel(rows: jnp.ndarray, mins: jnp.ndarray,
+                         delta_max: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """quantize_kernel's per-element formula with an externally supplied
+    global range (bit-identical to the resident reduce+quantize)."""
+    v = rows.astype(jnp.float32)
+    diff = v - mins
+    safe = jnp.where(delta_max == 0, jnp.float32(1.0), delta_max)
+    normalized = jnp.where(delta_max == 0, diff, diff / safe)
+    scale = jnp.float32((1 << bits) - 1)
+    return (normalized * scale + jnp.float32(0.5)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def quantized_range_chunk_kernel(pos_chunk, mins, delta_max, bits: int):
+    """Global residual range pass: ((), ()) scalar min/max of the chunk's
+    quantized values over all components."""
+    q = quantize_rows_kernel(pos_chunk, mins, delta_max, bits)
+    return q.min(), q.max()
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "hist_bins"))
+def encode_step_chunk(cur, nxt, prv, opp, fb, can_para, has_fallback,
+                      active, mins, delta_max, vmin, vmax,
+                      bits: int, hist_bins: int):
+    """One traversal segment of the fused encode step. All position rows
+    arrive pre-gathered from host ((C, N) each), so device memory is
+    O(chunk) regardless of mesh size. ``active`` masks padding rows out of
+    the histogram (their symbols route to the dropped-sentinel bin).
+    Returns ((C, N) uint32 symbols, (hist_bins,) int32 partial counts)."""
+    q_cur = quantize_rows_kernel(cur, mins, delta_max, bits)
+    q_n = quantize_rows_kernel(nxt, mins, delta_max, bits).astype(jnp.int32)
+    q_p = quantize_rows_kernel(prv, mins, delta_max, bits).astype(jnp.int32)
+    q_o = quantize_rows_kernel(opp, mins, delta_max, bits).astype(jnp.int32)
+    q_f = quantize_rows_kernel(fb, mins, delta_max, bits).astype(jnp.int32)
+    para = q_n + q_p - q_o
+    fallback = jnp.where(has_fallback[:, None], q_f, 0)
+    preds = jnp.where(can_para[:, None], para, fallback)
+
+    # wrapped difference against the externally supplied global range
+    o = q_cur.astype(jnp.int32)
+    max_diff = 1 + vmax - vmin
+    max_corr = max_diff // 2
+    min_corr = -max_corr
+    max_corr = jnp.where((max_diff & 1) == 0, max_corr - 1, max_corr)
+    p = jnp.clip(preds, vmin, vmax)
+    val = o - p
+    corr = jnp.where(val > max_corr, val - max_diff,
+                     jnp.where(val < min_corr, val + max_diff, val))
+    sym = zigzag_kernel(corr)
+
+    flat = sym.reshape(-1).astype(jnp.int32)
+    act = jnp.repeat(active, sym.shape[1])
+    counts = jnp.zeros(hist_bins, jnp.int32).at[
+        jnp.where(act, flat, hist_bins)].add(1, mode="drop")
+    return sym, counts
 
 
 def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,

@@ -216,6 +216,155 @@ class BatchEncoder:
                         out[i] = None
         return out
 
+    def _topo_for(self, mesh: Mesh) -> PreparedTopology:
+        sig = topology_signature(mesh)
+        topo = self._topo_cache.get(sig)
+        if topo is None:
+            topo = PreparedTopology(mesh)
+            self._topo_cache[sig] = topo
+        return topo
+
+    def _assemble_precomputed(self, mesh: Mesh, topo: PreparedTopology,
+                              symbols: np.ndarray, vmin: int, vmax: int,
+                              bits: int) -> bytes:
+        """Final .drc assembly from device-produced position symbols +
+        wrapped-difference range (byte-identical to the host path)."""
+        from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+
+        w = ByteWriter()
+        encode_symbols(symbols.astype(np.uint64).ravel(),
+                       symbols.shape[-1], DIRECT_CODED, w)
+        payload = w.getvalue()
+        meta = ByteWriter()
+        meta.write_u32(int(vmin) & 0xFFFFFFFF)
+        meta.write_u32(int(vmax) & 0xFFFFFFFF)
+        pos_idx = next(j for j, a in enumerate(mesh.attributes)
+                       if a.att_type == AttributeType.POSITION)
+        cfg = (Config(quant_bits={AttributeType.POSITION: bits})
+               if bits != 11 else None)
+        pre = {pos_idx: {"payload": payload,
+                         "xform_meta": bytes(meta.getvalue())}}
+        return encode_with_topology(mesh, topo, cfg=cfg, precomputed=pre)
+
+    def encode_mesh_device_chunked(self, mesh: Mesh, bits: int = 11,
+                                   chunk: int = 1 << 15) -> bytes:
+        """Single-huge-mesh streaming encode (SURVEY §5.7): the device only
+        ever holds O(chunk) rows — pass 1 streams vertex chunks for the
+        global quantization range, pass 2 for the global residual range,
+        pass 3 streams traversal segments (pre-gathered rows from host)
+        through the fused quantize/predict/residual/histogram kernel.
+        Output bytes are identical to host encode() (pinned by tests)."""
+        import jax.numpy as jnp
+
+        from ..ops import (default_hist_bins, encode_step_chunk,
+                           minmax_chunk_kernel, quantized_range_chunk_kernel)
+
+        topo = self._topo_for(mesh)
+        pos_att = mesh.position_attribute()
+        pos = np.ascontiguousarray(pos_att.values, dtype=np.float32)
+        g = topology_gathers_np(topo, pos_att)
+        V, N = pos.shape
+        T = len(g["order"])
+
+        def vertex_chunks():
+            for c0 in range(0, V, chunk):
+                rows = pos[c0:c0 + chunk]
+                if len(rows) < chunk:  # pad by replicating a real row
+                    rows = np.concatenate(
+                        [rows, np.broadcast_to(pos[:1],
+                                               (chunk - len(rows), N))])
+                yield jnp.asarray(rows)
+
+        # pass 1: global min/max (exact reduces; float32 throughout,
+        # matching quantize_kernel's zero-seeded range semantics)
+        mins = np.full(N, np.inf, np.float32)
+        maxs = np.full(N, -np.inf, np.float32)
+        for rows in vertex_chunks():
+            mn, mx = minmax_chunk_kernel(rows)
+            mins = np.minimum(mins, np.asarray(mn))
+            maxs = np.maximum(maxs, np.asarray(mx))
+        mins = np.minimum(mins, np.float32(0)).astype(np.float32)
+        maxs = np.maximum(maxs, np.float32(0)).astype(np.float32)
+        delta_max = np.float32(np.max((maxs - mins).astype(np.float32)))
+        jmins = jnp.asarray(mins)
+        jdelta = jnp.asarray(delta_max)
+
+        # pass 2: global residual (quantized-value) range
+        vmin, vmax = np.iinfo(np.int32).max, np.iinfo(np.int32).min
+        for rows in vertex_chunks():
+            lo, hi = quantized_range_chunk_kernel(rows, jmins, jdelta, bits)
+            vmin = min(vmin, int(lo))
+            vmax = max(vmax, int(hi))
+
+        # pass 3: traversal segments, pre-gathered on host
+        hist_bins = default_hist_bins(bits)
+        counts = np.zeros(hist_bins, np.int64)
+        sym_parts = []
+        order, nxt, prv = g["order"], g["next"], g["prev"]
+        opp, fb = g["opp"], g["fallback"]
+        can_para = np.asarray(g["can_para"], bool)
+        has_fb = np.asarray(g["has_fallback"], bool)
+        for t0 in range(0, T, chunk):
+            t1 = min(t0 + chunk, T)
+            n_valid = t1 - t0
+
+            def rows_of(idx):
+                r = pos[idx[t0:t1]]
+                if n_valid < chunk:
+                    r = np.concatenate(
+                        [r, np.zeros((chunk - n_valid, N), np.float32)])
+                return jnp.asarray(r)
+
+            def mask_of(m):
+                r = m[t0:t1]
+                if n_valid < chunk:
+                    r = np.concatenate([r, np.zeros(chunk - n_valid, bool)])
+                return jnp.asarray(r)
+
+            active = np.zeros(chunk, bool)
+            active[:n_valid] = True
+            sym, cnt = encode_step_chunk(
+                rows_of(order), rows_of(nxt), rows_of(prv), rows_of(opp),
+                rows_of(fb), mask_of(can_para), mask_of(has_fb),
+                jnp.asarray(active), jmins, jdelta, vmin, vmax,
+                bits=bits, hist_bins=hist_bins)
+            counts += np.asarray(cnt, dtype=np.int64)
+            sym_parts.append(np.asarray(sym)[:n_valid])
+
+        symbols = (np.concatenate(sym_parts) if sym_parts
+                   else np.zeros((0, N), np.uint32))
+        assert int(counts.sum()) == T * N, "chunked histogram lost symbols"
+        return self._assemble_precomputed(mesh, topo, symbols, vmin, vmax,
+                                          bits)
+
+    def encode_mesh_device_stream_sharded(self, mesh: Mesh, device_mesh,
+                                          bits: int = 11) -> bytes:
+        """Single-mesh cross-chip encode: the traversal (residual stream)
+        shards over a 1-D ("stream",) device mesh — each chip computes its
+        segment of the fused step from replicated positions; the histogram
+        all-reduces over the stream axis (table broadcast). Bytes identical
+        to host encode() (SURVEY §4d oracle, pinned by tests)."""
+        import jax
+        import jax.numpy as jnp
+
+        topo = self._topo_for(mesh)
+        pos_att = mesh.position_attribute()
+        g = topology_gathers_np(topo, pos_att)
+        sp = int(np.prod(device_mesh.devices.shape))
+        T = len(g["order"])
+        T_pad = -(-max(T, 1) // sp) * sp
+        gp = {}
+        for k, v in g.items():
+            pad = np.zeros(T_pad - T, dtype=v.dtype)
+            gp[k] = jnp.asarray(np.concatenate([v, pad]))
+        pos = jnp.asarray(pos_att.values.astype(np.float32))[None]
+
+        syms, vmin, vmax, _counts = _jit_step_stream_sharded(
+            pos, gp, bits, device_mesh)
+        symbols = np.asarray(syms)[0][:T]
+        return self._assemble_precomputed(mesh, topo, symbols,
+                                          int(vmin[0]), int(vmax[0]), bits)
+
     def encode_meshes(self, meshes: list[Mesh]) -> list[bytes | None]:
         """Per-mesh error isolation: a failing mesh yields None and does not
         abort the batch (SURVEY.md §5.3)."""
@@ -309,6 +458,24 @@ class BatchEncoder:
         return report
 
 
+def topology_gathers_np(topo: PreparedTopology, pos_att) -> dict:
+    """Per-topology parallelogram gather arrays (numpy), native pass with
+    Python fallback — shared by every device encode driver."""
+    from ..native import topo as ntopo
+    from ..ops.gathers import build_parallelogram_gathers
+
+    view = TableView(topo.conn_out.corner_table.corner_table)
+    seq = topo.sequences[0]
+    unique_of_point = pos_att.unique_indices()
+    arrays = view.as_arrays()
+    voc = unique_of_point[view.u.faces_points.ravel()]
+    g = ntopo.parallelogram_gathers(arrays[0], arrays[1], arrays[2], voc,
+                                    np.asarray(seq))
+    if g is None:
+        g = build_parallelogram_gathers(view, seq, unique_of_point)
+    return {k: np.asarray(v) for k, v in g.items()}
+
+
 def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
                         pos_att, bits: int = 11, mesh_axis=None,
                         return_full: bool = False,
@@ -324,20 +491,9 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     import jax
     import jax.numpy as jnp
 
-    from ..native import topo as ntopo
-    from ..ops import (build_combined_matrix, encode_step,
-                       encode_step_pallas, predict_matmul_viable)
-    from ..ops.gathers import build_parallelogram_gathers
+    from ..ops import build_combined_matrix, predict_matmul_viable
 
-    view = TableView(topo.conn_out.corner_table.corner_table)
-    seq = topo.sequences[0]
-    unique_of_point = pos_att.unique_indices()
-    arrays = view.as_arrays()
-    voc = unique_of_point[view.u.faces_points.ravel()]
-    g = ntopo.parallelogram_gathers(arrays[0], arrays[1], arrays[2], voc,
-                                    np.asarray(seq))
-    if g is None:
-        g = build_parallelogram_gathers(view, seq, unique_of_point)
+    g = topology_gathers_np(topo, pos_att)
     gathers = {k: jnp.asarray(v) for k, v in g.items()}
 
     # Pallas combo-matrix path on real TPU for small topology groups (dense
@@ -409,4 +565,31 @@ def _jit_step_sharded(pos, gathers, bits, mesh_axis):
                    in_specs=(P("data", None, None), P()),
                    out_specs=(P("data", None, None), P("data"),
                               P("data"), P("data", None)))
+    return fn(pos, gathers)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
+def _jit_step_stream_sharded(pos, gathers, bits, mesh_axis):
+    """Single-mesh stream-parallel step over a 1-D ("stream",) mesh:
+    positions replicate, the traversal gathers shard, each chip emits its
+    residual segment, and the histogram all-reduces over the stream axis.
+    The residual range comes from the replicated pre-gather array
+    (wrapped_difference_kernel range_source), so every shard wraps against
+    the global range — bit-identical to the single-device run."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import encode_step
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(pos_rep, g):
+        out = encode_step(pos_rep, g, bits=bits)
+        counts = jax.lax.psum(out["counts"], "stream")
+        return out["symbols"], out["vmin"], out["vmax"], counts
+
+    fn = shard_map(step, mesh=mesh_axis,
+                   in_specs=(P(), P("stream")),
+                   out_specs=(P(None, "stream", None), P(), P(), P()))
     return fn(pos, gathers)
