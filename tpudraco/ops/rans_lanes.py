@@ -21,6 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 margin
+SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
+#                       batching K sequential symbols per step cuts the
+#                       iteration count 8x (the recurrence itself is
+#                       unchanged — still symbol-sequential within the body)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -37,33 +41,44 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     S = freqs.shape[-1]
     lane_ids = jnp.arange(L)
 
+    K = SYMBOLS_PER_STEP
+    T_pad = -(-T // K) * K
+    if T_pad != T:  # padding symbols land beyond every lane's length
+        symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
+
     def table_at(table, sym):
         idx = jnp.clip(sym, 0, S - 1)
         if table.ndim == 2:
             return table[lane_ids, idx].astype(jnp.uint32)
         return table[idx].astype(jnp.uint32)
 
-    def step(states, i):
-        sym = symbols[:, i]
-        active = i < lengths
+    def one_symbol(states, sym, active):
         f = table_at(freqs, sym)
         cum = table_at(cums, sym)
         limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
-
         emitted = []
         for _ in range(MAX_RENORM_PER_SYMBOL):
             do = active & (states >= limit)
             byte = (states & jnp.uint32(0xFF)).astype(jnp.int16)
             emitted.append(jnp.where(do, byte, jnp.int16(256)))
             states = jnp.where(do, states >> jnp.uint32(8), states)
-
         new_states = ((states // f) << jnp.uint32(precision)) \
             + states % f + cum
         states = jnp.where(active, new_states, states)
-        return states, jnp.stack(emitted)  # (R, L)
+        return states, emitted
+
+    def step(states, s):
+        emitted = []
+        for k in range(K):
+            i = s * K + k
+            states, e = one_symbol(states, symbols[:, i], i < lengths)
+            emitted.extend(e)
+        return states, jnp.stack(emitted)  # (K*R, L)
 
     states0 = jnp.full((L,), l_base, dtype=jnp.uint32)
-    states, emits = jax.lax.scan(step, states0, jnp.arange(T))
+    states, emits = jax.lax.scan(step, states0, jnp.arange(T_pad // K))
+    # restore the (T, R, L) layout the compaction below expects
+    emits = emits.reshape(T_pad, MAX_RENORM_PER_SYMBOL, L)[:T]
 
     # flush framing: final state with 2-bit size flag (rans.rs:48-68)
     st = states - jnp.uint32(l_base)
@@ -87,6 +102,11 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     return compacted, counts, packed, nbytes_state.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    return arr[:, :n]
+
+
 def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                       cums: jnp.ndarray, lengths: jnp.ndarray,
                       precision: int = 12):
@@ -96,44 +116,52 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     freqs/cums: (S,) shared normalized table (sum == 1<<precision), or
     (L, S) per-lane tables (per-mesh tables in corpus batches).
     lengths: (L,) int32 active symbol counts.
-    Returns (buffers (L, CAP) uint8, nbytes (L,) int32). The sequential
-    recurrence runs on device; byte-stream compaction (dropping the dense
-    no-emit sentinels) runs on host."""
+    Returns (buffers (L, CAP) uint8, nbytes (L,) int32) as NUMPY arrays —
+    every caller slices per-lane byte blobs on host, so shipping the
+    buffers back to the device would just pay the link twice. The
+    sequential recurrence runs on device; the flush-byte append runs
+    vectorized on host."""
     L, T = symbols.shape
     compacted, counts, packed, nflush = _rans_scan_lanes(
         jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(cums),
         jnp.asarray(lengths), precision=precision)
 
     cap = 2 * T + 8
-    got = np.asarray(compacted)
+    # transfer the small per-lane metadata first, then only the occupied
+    # prefix of the byte matrix (bucketed to limit slice recompiles) — the
+    # worst-case cap is ~2x the typical payload, and the link is the
+    # bottleneck behind a tunnel
+    counts = np.asarray(counts).astype(np.int64)
+    dev_cap = int(compacted.shape[1])
+    max_b = int(counts.max()) if L else 0
+    bucket = min(dev_cap, max(2048, -(-max_b // 2048) * 2048))
+    if bucket < dev_cap:
+        got = np.asarray(_slice_cols(compacted, bucket))
+    else:
+        got = np.asarray(compacted)
     buffers = np.zeros((L, cap), dtype=np.uint8)
     buffers[:, :got.shape[1]] = got  # tiny-T streams: 3T may be < cap
-    counts = np.asarray(counts)
-    packed = np.asarray(packed)
-    nflush = np.asarray(nflush)
-    nbytes = np.zeros(L, dtype=np.int32)
-    for lane in range(L):
-        n = int(counts[lane])
-        k = int(nflush[lane])
-        p = int(packed[lane])
-        for b in range(k):
-            buffers[lane, n + b] = (p >> (8 * b)) & 0xFF
-        nbytes[lane] = n + k
-    return jnp.asarray(buffers), jnp.asarray(nbytes)
+    packed = np.asarray(packed).astype(np.uint64)
+    nflush = np.asarray(nflush).astype(np.int64)
+    # vectorized flush append: up to 4 state bytes per lane
+    b_idx = np.arange(4, dtype=np.int64)[None, :]
+    mask = b_idx < nflush[:, None]
+    rows = np.repeat(np.arange(L, dtype=np.int64)[:, None], 4, axis=1)
+    cols = counts[:, None] + b_idx
+    vals = ((packed[:, None] >> (8 * b_idx).astype(np.uint64))
+            & np.uint64(0xFF)).astype(np.uint8)
+    buffers[rows[mask], cols[mask]] = vals[mask]
+    nbytes = (counts + nflush).astype(np.int32)
+    return buffers, nbytes
 
 
-def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
-                      freqs: jnp.ndarray, cums: jnp.ndarray,
-                      slots: jnp.ndarray, counts: jnp.ndarray,
-                      precision: int = 12):
-    """Decode L lanes: buffers (L, CAP) uint8, nbytes (L,), counts (L,)
-    symbols per lane (max T). freqs/cums (S,) + slots (1<<P,) shared, or
-    (L, S) / (L, 1<<P) per-lane. Returns (L, T) int32 symbols."""
-    L, cap = buffers.shape
-    T = int(counts.max()) if isinstance(counts, np.ndarray) else None
+@functools.partial(jax.jit, static_argnames=("precision", "max_T"))
+def _rans_decode_scan(bufs_u8, nbytes, freqs, cums, slots, counts,
+                      precision: int, max_T: int):
+    L = bufs_u8.shape[0]
     l_base = (1 << precision) << 2
     lane_ids = jnp.arange(L)
-    bufs = buffers.astype(jnp.uint32)
+    bufs = bufs_u8.astype(jnp.uint32)
 
     # init: read the tail metadata byte per lane
     pos = nbytes.astype(jnp.int32) - 1
@@ -154,11 +182,9 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
                        << (jnp.uint32(8) * flag.astype(jnp.uint32)))
     states = states + jnp.uint32(l_base)
 
-    max_T = T if T is not None else cap * 2
     mask = jnp.uint32((1 << precision) - 1)
 
-    def step(carry, i):
-        states, pos = carry
+    def one_symbol(states, pos, i):
         active = i < counts
 
         def refill(j, val):
@@ -183,10 +209,42 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
             c = cums[idx].astype(jnp.uint32)
         new_states = q * f + r - c
         states = jnp.where(active, new_states, states)
-        return (states, pos), jnp.where(active, idx, -1)
+        return states, pos, jnp.where(active, idx, -1)
 
-    (_, _), out = jax.lax.scan(step, (states, pos), jnp.arange(max_T))
+    K = SYMBOLS_PER_STEP
+    T_pad = -(-max_T // K) * K
+
+    def step(carry, s):
+        states, pos = carry
+        outs = []
+        for k in range(K):
+            states, pos, o = one_symbol(states, pos, s * K + k)
+            outs.append(o)
+        return (states, pos), jnp.stack(outs)  # (K, L)
+
+    (_, _), out = jax.lax.scan(step, (states, pos), jnp.arange(T_pad // K))
+    out = out.reshape(T_pad, L)[:max_T]
+    # halve the readback when the alphabet fits int16 (-1 sentinel included)
+    if int(freqs.shape[-1]) <= (1 << 15) - 1:
+        out = out.astype(jnp.int16)
     return out.T  # (L, T)
+
+
+def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
+                      freqs: jnp.ndarray, cums: jnp.ndarray,
+                      slots: jnp.ndarray, counts: jnp.ndarray,
+                      precision: int = 12):
+    """Decode L lanes: buffers (L, CAP) uint8, nbytes (L,), counts (L,)
+    symbols per lane (max T). freqs/cums (S,) + slots (1<<P,) shared, or
+    (L, S) / (L, 1<<P) per-lane. Returns (L, T) int symbols (int16 when
+    the alphabet fits — the readback is usually the bottleneck)."""
+    L, cap = buffers.shape
+    T = int(np.asarray(counts).max()) if np.asarray(counts).size else 0
+    max_T = T if T > 0 else cap * 2
+    return _rans_decode_scan(
+        jnp.asarray(buffers), jnp.asarray(nbytes), jnp.asarray(freqs),
+        jnp.asarray(cums), jnp.asarray(slots), jnp.asarray(counts),
+        precision=precision, max_T=max_T)
 
 
 def encode_streams_device(symbol_streams: list[np.ndarray], freq_counts,
@@ -294,6 +352,17 @@ def encode_direct_coded_streams_device(streams: list[np.ndarray]) -> list[bytes]
     return out
 
 
+@jax.jit
+def _flip_lanes(symbols_dev: jnp.ndarray) -> jnp.ndarray:
+    B = symbols_dev.shape[0]
+    return jnp.flip(symbols_dev.reshape(B, -1).astype(jnp.int32), axis=1)
+
+
+@jax.jit
+def _cast_u16(counts: jnp.ndarray) -> jnp.ndarray:
+    return counts.astype(jnp.uint16)
+
+
 def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     """DirectCoded payloads for a topology-group batch with the symbols
     kept ON DEVICE end-to-end: `symbols_dev` (B, T, C) uint32/int32 from
@@ -309,7 +378,13 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
 
     B, T, C = symbols_dev.shape
     n_sym = T * C
-    counts = np.asarray(counts_dev)
+    # histogram entries are bounded by n_sym, so a u16 transfer halves the
+    # (B, bins) readback when it fits
+    if n_sym < (1 << 16):
+        counts = np.asarray(_cast_u16(jnp.asarray(counts_dev))).astype(
+            np.int64)
+    else:
+        counts = np.asarray(counts_dev)
 
     # the device histogram DROPS out-of-range symbols; a deficit here means
     # hist_bins was too small for the residual range (the lanes would encode
@@ -333,9 +408,9 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     dists = [normalize_freq_counts(counts[i][:max_syms[i] + 1],
                                    int(precisions[i])) for i in range(B)]
 
-    # reversed feed, flattened per mesh — stays on device
-    lanes_dev = jnp.flip(
-        jnp.asarray(symbols_dev).reshape(B, n_sym).astype(jnp.int32), axis=1)
+    # reversed feed, flattened per mesh — stays on device (one jitted
+    # dispatch; the eager reshape/astype/flip chain costs three)
+    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
 
     blobs: list[bytes | None] = [None] * B
     for prec in sorted(set(precisions.tolist())):
