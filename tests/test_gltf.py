@@ -534,6 +534,54 @@ def test_extension_rich_transcode(tmp_path):
         assert np.allclose(t1[k], t2[k], atol=1.5 / (1 << bits)), k
 
 
+def test_materials_variants_and_image_extraction(tmp_path):
+    """KHR_materials_variants passthrough (document variant names +
+    per-primitive mappings; the reference models but placeholders this,
+    encode.rs:1961) and the image-extraction tool."""
+    from tpudraco.io import load_gltf_to_scene, save_scene_glb
+    from tpudraco.io.gltf import _load_container
+    from tpudraco.tools.glb_tools import extract_images
+
+    src = str(tmp_path / "rich.glb")
+    _build_rich_glb(src)
+    # graft a variants extension onto the rich GLB
+    with open(src, "rb") as f:
+        data = f.read()
+    jlen, = struct.unpack_from("<I", data, 12)
+    gltf = json.loads(data[20:20 + jlen])
+    gltf["extensions"]["KHR_materials_variants"] = {
+        "variants": [{"name": "day"}, {"name": "night"}]}
+    gltf["meshes"][0]["primitives"][0]["extensions"][
+        "KHR_materials_variants"] = {
+            "mappings": [{"material": 0, "variants": [0, 1]}]}
+    gltf["extensionsUsed"].append("KHR_materials_variants")
+    bin_off = 20 + jlen
+    clen, _ = struct.unpack_from("<II", data, bin_off)
+    bin_chunk = data[bin_off + 8: bin_off + 8 + clen]
+    with open(src, "wb") as f:
+        f.write(_glb_from_json(gltf, bin_chunk))
+
+    scene = load_gltf_to_scene(src)
+    assert scene.materials_variants_names == ["day", "night"]
+    inst = scene.mesh_groups[0].instances[0]
+    assert inst.materials_variants == [{"material": 0, "variants": [0, 1]}]
+
+    out = str(tmp_path / "rich_v.glb")
+    save_scene_glb(scene, out, compress=True)
+    gltf2, _ = _load_container(out)
+    assert gltf2["extensions"]["KHR_materials_variants"]["variants"] == [
+        {"name": "day"}, {"name": "night"}]
+    prim = gltf2["meshes"][0]["primitives"][0]
+    assert prim["extensions"]["KHR_materials_variants"]["mappings"] == [
+        {"material": 0, "variants": [0, 1]}]
+
+    # image extraction with TextureUtils-derived names
+    images = extract_images(out)
+    assert len(images) == 1
+    name, data2 = images[0]
+    assert name.endswith(".webp") and data2 == WEBP_BYTES
+
+
 def test_scene_writer_determinism(tmp_path):
     """Repeated scene writes are byte-identical (the reference asserts this
     over 1000 runs, io/gltf/transcoder.rs:344-452; 25 runs here keeps the

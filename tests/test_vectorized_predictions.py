@@ -120,6 +120,26 @@ def test_encode_bytes_equal_scalar_path(monkeypatch):
 
 
 @needs_ref
+@pytest.mark.parametrize("name", ["sphere.obj", "torus.obj",
+                                  "punctured_sphere.obj",
+                                  "tetrahedron.obj"])
+def test_multi_parallelogram_vector_matches_scalar(name, monkeypatch):
+    """Vectorized MultiParallelogram must be byte-identical to the scalar
+    swing-ring loop on every fixture (boundaries, seams, handles)."""
+    from tpudraco.encode import Config
+    from tpudraco.encode import attribute as ea
+    from tpudraco.io import load_obj
+    from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    mesh = load_obj(os.path.join(REF_DATA, name))
+    cfg = Config(prediction={
+        AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM})
+    blob_fast = encode(mesh, cfg=cfg)
+    monkeypatch.setattr(ea, "VECTORIZED_PREDICTIONS", False)
+    assert blob_fast == encode(mesh, cfg=cfg)
+
+
+@needs_ref
 def test_duck_encode_bytes_equal_scalar_path(monkeypatch):
     from tests.test_roundtrip import assert_roundtrip
     from tpudraco.encode import attribute as ea

@@ -180,6 +180,16 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     if scheme_id in (PRED_PARALLELOGRAM, PRED_DELTA) and len(sequence):
         origs, preds = _vectorized_predict(
             scheme_id, view, sequence, port_att, per_point)
+    elif (scheme_id == PRED_MULTI_PARALLELOGRAM and len(sequence)
+          and VECTORIZED_PREDICTIONS):
+        # the swing-right rings are static walks; visited checks reduce to
+        # first-occurrence masks -> fully batched on the encoder
+        from ..shared.prediction import MultiParallelogramPrediction
+        preds = MultiParallelogramPrediction.predict_sequence(
+            view, sequence, per_point)
+        seq_arr = np.asarray(sequence, dtype=np.int64)
+        pts = np.asarray(view.u.faces_points, dtype=np.int64).ravel()[seq_arr]
+        origs = per_point[pts]
     elif scheme_id == PRED_NORMAL and len(sequence) and VECTORIZED_PREDICTIONS:
         # ring sums are traversal-state-independent -> fully batched
         from ..shared.prediction import NormalPrediction

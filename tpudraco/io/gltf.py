@@ -374,8 +374,16 @@ def load_gltf_to_scene(path: str) -> Scene:
             sm = prim_exts.get("EXT_structural_metadata")
             if sm:
                 inst.structural_metadata = sm
+            # KHR_materials_variants per-primitive material mappings
+            mv = prim_exts.get("KHR_materials_variants")
+            if mv:
+                inst.materials_variants = mv.get("mappings", [])
             group.instances.append(inst)
         scene.mesh_groups.append(group)
+
+    scene.materials_variants_names = [
+        v.get("name", "") for v in gltf.get("extensions", {})
+        .get("KHR_materials_variants", {}).get("variants", [])]
 
     # KHR_lights_punctual: document-level lights + per-node references
     for lj in (gltf.get("extensions", {})
@@ -746,6 +754,12 @@ class GlbWriter:
                             inst.structural_metadata
                         self.extensions_optional.add(
                             "EXT_structural_metadata")
+                    if inst.materials_variants:
+                        prim.setdefault("extensions", {})[
+                            "KHR_materials_variants"] = {
+                                "mappings": inst.materials_variants}
+                        self.extensions_optional.add(
+                            "KHR_materials_variants")
                     prims.append(prim)
             gm = {"primitives": prims}
             if group.name:
@@ -813,6 +827,11 @@ class GlbWriter:
             gltf.setdefault("extensions", {})["KHR_lights_punctual"] = {
                 "lights": [_light_to_json(lt) for lt in scene.lights]}
             self.extensions_optional.add("KHR_lights_punctual")
+        if scene.materials_variants_names:
+            gltf.setdefault("extensions", {})["KHR_materials_variants"] = {
+                "variants": [{"name": n}
+                             for n in scene.materials_variants_names]}
+            self.extensions_optional.add("KHR_materials_variants")
         if self.extensions_used or self.extensions_optional:
             gltf["extensionsUsed"] = sorted(self.extensions_used
                                             | self.extensions_optional)

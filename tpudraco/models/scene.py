@@ -66,6 +66,10 @@ class MeshInstance:
     # per-primitive EXT_structural_metadata refs (propertyAttributes /
     # propertyTextures index lists), raw-JSON passthrough
     structural_metadata: dict = field(default_factory=dict)
+    # KHR_materials_variants per-primitive mappings
+    # (reference core/scene MaterialsVariantsMapping, encode.rs:664);
+    # entries are {"material": i, "variants": [..]} raw JSON
+    materials_variants: list = field(default_factory=list)
 
 
 @dataclass
@@ -303,6 +307,9 @@ class Scene:
         self.material_library = MaterialLibrary()
         self.structural_metadata = StructuralMetadata()
         self.lights: list[Light] = []    # KHR_lights_punctual
+        # KHR_materials_variants document-level variant names
+        # (reference add_materials_variants_names, encode.rs:1961)
+        self.materials_variants_names: list[str] = []
         self.metadata: dict[str, str] = {}
         self.animations_json: list = []  # passthrough (reference stubs these)
         self.skins_json: list = []

@@ -167,6 +167,75 @@ class MultiParallelogramPrediction(BasePrediction):
                             dtype=np.int64)
         return _last_value_fallback(view, state, att_get, self.n)
 
+    @staticmethod
+    def predict_sequence(view: TableView, sequence,
+                         vals_by_point: np.ndarray) -> np.ndarray:
+        """Vectorized encoder-side multi-parallelogram for the whole
+        traversal: the swing-right corner rings are static corner-table
+        walks and the visited checks reduce to first-occurrence masks, so
+        the per-ring parallelogram sums batch over (T, ring) — bit-
+        identical to the scalar loop (pinned by tests)."""
+        from ..models.corner_table import next_corners, prev_corners
+
+        seq = np.asarray(sequence, dtype=np.int64)
+        T = len(seq)
+        if T == 0:
+            return np.zeros((0, vals_by_point.shape[-1]), dtype=np.int64)
+        eff_opp, ctv, lm = view.as_arrays()
+        eff_opp = np.asarray(eff_opp, dtype=np.int64)
+        if hasattr(view, "u"):
+            points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+        else:
+            points = np.arange(view.num_corners, dtype=np.int64)
+        vals = np.asarray(vals_by_point, dtype=np.int64)
+
+        ks = np.arange(T)
+        pos_in_seq = np.full(view.num_vertices, T, dtype=np.int64)
+        pos_in_seq[ctv[seq]] = ks
+
+        def swing_right(c):
+            base = np.where(c >= 0, c, 0)
+            o = eff_opp[prev_corners(base)]
+            return np.where((c >= 0) & (o >= 0),
+                            prev_corners(np.where(o >= 0, o, 0)), NONE)
+
+        counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
+        maxv = int(np.max(counts))
+        rings = np.full((T, maxv), NONE, dtype=np.int64)
+        rings[:, 0] = seq
+        cur = seq.copy()
+        active = np.ones(T, dtype=bool)
+        for i in range(1, maxv):
+            nxt = swing_right(cur)
+            ok = active & (nxt != NONE) & (nxt != seq)
+            rings[:, i] = np.where(ok, nxt, NONE)
+            active = ok
+            cur = np.where(ok, nxt, cur)
+
+        rbase = np.where(rings >= 0, rings, 0)
+        opp = eff_opp[rbase]
+        ob = np.where(opp >= 0, opp, 0)
+        nc, pc = next_corners(rbase), prev_corners(rbase)
+        visited = (pos_in_seq[ctv[ob]] < ks[:, None]) \
+            & (pos_in_seq[ctv[nc]] < ks[:, None]) \
+            & (pos_in_seq[ctv[pc]] < ks[:, None])
+        valid = (rings >= 0) & (opp >= 0) & visited
+
+        contrib = (vals[points[nc]] + vals[points[pc]]
+                   - vals[points[ob]])                       # (T, R, N)
+        contrib = np.where(valid[..., None], contrib, 0)
+        total = contrib.sum(axis=1)                          # (T, N)
+        num = valid.sum(axis=1)                              # (T,)
+
+        safe = np.maximum(num, 1)[:, None]
+        avg = np.sign(total) * (np.abs(total) // safe)       # trunc toward 0
+
+        # fallback: the most recent visited vertex's value (zeros at t=0)
+        lastvals = np.zeros((T, vals.shape[-1]), dtype=np.int64)
+        if T > 1:
+            lastvals[1:] = vals[points[lm[ctv[seq[:-1]]]]]
+        return np.where((num > 0)[:, None], avg, lastvals)
+
 
 class NormalPrediction(BasePrediction):
     """Ring sum of face-normal cross products from quantized positions,

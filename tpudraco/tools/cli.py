@@ -73,6 +73,9 @@ def main(argv=None) -> int:
         if in_ext == ".obj":
             from ..io import load_obj
             mesh = load_obj(args.input)
+        elif in_ext == ".ply":
+            from ..io import load_ply
+            mesh = load_ply(args.input)
         elif in_ext in (".gltf", ".glb"):
             from ..io import load_gltf
             mesh = load_gltf(args.input)
@@ -96,6 +99,9 @@ def main(argv=None) -> int:
                      encoder_method=METHOD_SEQUENTIAL
                      if args.method == "sequential" else METHOD_EDGEBREAKER,
                      quant_bits=quant_bits, prediction=prediction)
+        if mesh.num_faces == 0:  # point cloud (e.g. face-less PLY)
+            from ..encode import GEOMETRY_POINT_CLOUD
+            cfg.geometry_type = GEOMETRY_POINT_CLOUD
         rec = EvalRecorder() if args.eval_json else None
         blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
@@ -109,6 +115,9 @@ def main(argv=None) -> int:
         if out_ext == ".obj":
             from ..io import save_obj
             save_obj(mesh, args.output)
+        elif out_ext == ".ply":
+            from ..io import save_ply
+            save_ply(mesh, args.output)
         else:
             print(f"unsupported output format {out_ext}", file=sys.stderr)
             return 2

@@ -6,8 +6,9 @@ KHR_draco_mesh_compression bufferView payloads out of a GLB/glTF container
 for external decoding or byte-diffing, and pretty-print the scene JSON.
 
 Usage:
-  python -m tpudraco.tools.glb_tools json  scene.glb [-o scene.json]
-  python -m tpudraco.tools.glb_tools draco scene.glb [-o outdir]
+  python -m tpudraco.tools.glb_tools json   scene.glb [-o scene.json]
+  python -m tpudraco.tools.glb_tools draco  scene.glb [-o outdir]
+  python -m tpudraco.tools.glb_tools images scene.glb [-o outdir]
 """
 
 from __future__ import annotations
@@ -40,6 +41,22 @@ def extract_draco_blobs(path: str) -> list[tuple[str, bytes]]:
     return out
 
 
+def extract_images(path: str) -> list[tuple[str, bytes]]:
+    """All embedded images as (suggested filename, bytes) — format/mime
+    resolved via the Image TextureUtils helpers (reference
+    io/gltf/encode.rs image processing + texture_io sniffing)."""
+    from ..io.gltf import load_gltf_to_scene
+
+    scene = load_gltf_to_scene(path)
+    out = []
+    for i, img in enumerate(scene.material_library.texture_library.images):
+        if not img.data:
+            continue
+        out.append((img.suggested_filename(fallback_stem=f"image{i}"),
+                    img.data))
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tpudraco-glb")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -50,7 +67,24 @@ def main(argv=None) -> int:
     pd.add_argument("input")
     pd.add_argument("-o", "--output", default=".",
                     help="directory for the .drc files")
+    pi = sub.add_parser("images", help="extract embedded images")
+    pi.add_argument("input")
+    pi.add_argument("-o", "--output", default=".",
+                    help="directory for the image files")
     args = p.parse_args(argv)
+
+    if args.cmd == "images":
+        images = extract_images(args.input)
+        if not images:
+            print("no embedded images found")
+            return 1
+        os.makedirs(args.output, exist_ok=True)
+        for name, data in images:
+            out_path = os.path.join(args.output, name)
+            with open(out_path, "wb") as f:
+                f.write(data)
+            print(f"{out_path}: {len(data)} bytes")
+        return 0
 
     if args.cmd == "json":
         doc = json.dumps(extract_glb_json(args.input), indent=2)
