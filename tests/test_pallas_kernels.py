@@ -101,3 +101,58 @@ def test_encode_step_pallas_combined_matrix():
 def test_predict_matmul_viable_heuristic():
     assert predict_matmul_viable(T=10000, V=4096, B=64, C=3)
     assert not predict_matmul_viable(T=600000, V=200000, B=1, C=3)
+
+
+def test_rans_scan_pallas_matches_scan():
+    """The Pallas rANS kernel must be bit-identical to the lax.scan path:
+    same emitted bytes (in order), same masks, same final states — across
+    per-lane tables, inactive lanes, and T not a multiple of the chunk."""
+    from tpudraco.entropy.rans import normalize_freq_counts
+    from tpudraco.ops.pallas_kernels import rans_scan_pallas
+
+    rng = np.random.default_rng(5)
+    L, T, prec = 7, 700, 12  # forces lane padding to 1024 and T padding
+    streams = [rng.integers(0, 30 + 11 * i, size=T, dtype=np.int64)
+               for i in range(L)]
+    S = max(int(s.max()) + 1 for s in streams)
+    freqs = np.zeros((L, S), np.uint32)
+    cums = np.zeros((L, S), np.uint32)
+    sym = np.zeros((L, T), np.int32)
+    lengths = np.zeros(L, np.int32)
+    for i, s in enumerate(streams):
+        d = normalize_freq_counts(np.bincount(s), prec)
+        freqs[i, :len(d)] = d
+        cums[i, 1:len(d)] = np.cumsum(d)[:-1]
+        sym[i] = s
+        lengths[i] = T if i != 3 else T // 2  # one short lane
+    lengths[5] = 0  # one fully inactive lane
+
+    idx = np.clip(sym, 0, S - 1)
+    fs = np.take_along_axis(freqs, idx, axis=1).astype(np.uint32)
+    cs = np.take_along_axis(cums, idx, axis=1).astype(np.uint32)
+    fs[fs == 0] = 1  # inactive steps never divide by zero in interpret mode
+
+    # oracle: the plain python recurrence
+    l_base = (1 << prec) << 2
+    exp_bytes = [[] for _ in range(L)]
+    exp_states = np.zeros(L, np.uint32)
+    for i in range(L):
+        state = l_base
+        for t in range(int(lengths[i])):
+            f, c = int(fs[i, t]), int(cs[i, t])
+            while state >= ((l_base >> prec) * f) << 8:
+                exp_bytes[i].append(state & 0xFF)
+                state >>= 8
+            state = ((state // f) << prec) + state % f + c
+        exp_states[i] = state
+
+    emitted, is_byte, states = rans_scan_pallas(
+        jnp.asarray(fs), jnp.asarray(cs), jnp.asarray(lengths),
+        precision=prec)
+    emitted = np.asarray(emitted)
+    is_byte = np.asarray(is_byte)
+    states = np.asarray(states)
+    for i in range(L):
+        got = emitted[i][is_byte[i]].tolist()
+        assert got == exp_bytes[i], f"lane {i}"
+        assert int(states[i]) == int(exp_states[i]), f"lane {i} state"

@@ -217,6 +217,139 @@ def predict_matmul_pallas(M: jnp.ndarray, q: jnp.ndarray, tile_t: int = 512,
     return out[:T, :bc].reshape(T, B, C).transpose(1, 0, 2)
 
 
+# ---------------------------------------------------------------------------
+# Multi-lane rANS scan (the sequential entropy recurrence)
+# ---------------------------------------------------------------------------
+#
+# The XLA lax.scan formulation pays ~30 us of loop overhead per iteration;
+# at one vector-op bundle per symbol that overhead IS the runtime. This
+# kernel runs the identical recurrence as a fori_loop inside one Pallas
+# program per 1024-lane tile: states live in a VMEM scratch register tile
+# (8, 128), the per-symbol freq/cum values arrive pre-gathered (the table
+# lookup is hoisted to one big parallel XLA gather), and renormalization
+# bytes + emission masks stream to HBM blocks. Grid = (lane tiles,
+# T chunks); TPU grids iterate the last dimension sequentially, so the
+# scratch carries states across chunks. Bit-exact with the lax.scan path
+# (pinned by tests).
+
+RANS_LANE_TILE = 1024  # 8 sublanes x 128 lanes
+RANS_CHUNK_T = 256
+_RANS_R = 3            # MAX_RENORM_PER_SYMBOL
+
+
+def _rans_scan_kernel(fs_ref, cs_ref, len_ref, byte_ref, mask_ref,
+                      state_out_ref, states_ref, *, precision: int,
+                      chunk_t: int):
+    j = pl.program_id(1)
+    l_base = jnp.uint32((1 << precision) << 2)
+    base_sh = jnp.uint32(((1 << precision) << 2) >> precision)
+
+    @pl.when(j == 0)
+    def _():
+        states_ref[...] = jnp.full((8, LANES), l_base, jnp.uint32)
+
+    lengths = len_ref[0]  # (8, 128) int32
+
+    def body(t, states):
+        f = fs_ref[0, t]
+        c = cs_ref[0, t]
+        active = (j * chunk_t + t) < lengths
+        limit = (base_sh * f) << jnp.uint32(8)
+        for r in range(_RANS_R):
+            do = active & (states >= limit)
+            byte_ref[0, t, r] = jnp.where(
+                do, states & jnp.uint32(0xFF), 0).astype(jnp.uint8)
+            mask_ref[0, t, r] = do.astype(jnp.uint8)
+            states = jnp.where(do, states >> jnp.uint32(8), states)
+        new_states = ((states // f) << jnp.uint32(precision)) \
+            + states % f + c
+        return jnp.where(active, new_states, states)
+
+    states = jax.lax.fori_loop(0, chunk_t, body, states_ref[...])
+    states_ref[...] = states
+    state_out_ref[0] = states
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def rans_scan_pallas(fs: jnp.ndarray, cs: jnp.ndarray,
+                     lengths: jnp.ndarray, precision: int = 12):
+    """Run the rANS recurrence over L lanes with pre-gathered per-symbol
+    (freq, cum) pairs. fs/cs: (L, T) uint32; lengths: (L,) int32.
+    Returns (bytes (L, T*R) uint8, is_byte (L, T*R) bool, states (L,)
+    uint32) in emission order per lane."""
+    L, T = fs.shape
+    tile = RANS_LANE_TILE
+    chunk = RANS_CHUNK_T
+    L_pad = _round_up(max(L, tile), tile)
+    T_pad = _round_up(max(T, chunk), chunk)
+    nb, nt = L_pad // tile, T_pad // chunk
+
+    def lanes_tiled(a, fill):
+        a = jnp.pad(a, ((0, L_pad - L), (0, T_pad - T)),
+                    constant_values=fill)
+        # (L_pad, T_pad) -> (nb, T_pad, 8, 128): lane tile in the minor dims
+        return a.reshape(nb, 8, LANES, T_pad).transpose(0, 3, 1, 2)
+
+    fsx = lanes_tiled(fs.astype(jnp.uint32), 1)  # freq 0 would divide by 0
+    csx = lanes_tiled(cs.astype(jnp.uint32), 0)
+    lenx = jnp.pad(lengths.astype(jnp.int32), (0, L_pad - L)) \
+        .reshape(nb, 8, LANES)
+
+    bytes_out, mask_out, states_out = pl.pallas_call(
+        functools.partial(_rans_scan_kernel, precision=precision,
+                          chunk_t=chunk),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk, _RANS_R, 8, LANES),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, _RANS_R, 8, LANES),
+                         lambda b, j: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T_pad, _RANS_R, 8, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, T_pad, _RANS_R, 8, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 8, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.uint32)],
+        interpret=_interpret(),
+    )(fsx, csx, lenx)
+
+    # back to (L, T*R) emission-major layout
+    def untile(a):
+        a = a.transpose(0, 3, 4, 1, 2)           # (nb, 8, 128, T_pad, R)
+        return a.reshape(L_pad, T_pad * _RANS_R)[:L, :T * _RANS_R]
+
+    emitted = untile(bytes_out)
+    is_byte = untile(mask_out).astype(jnp.bool_)
+    states = states_out.reshape(L_pad)[:L]
+    return emitted, is_byte, states
+
+
+def rans_scan_pallas_viable(L: int, T: int) -> bool:
+    """Opt-in via TPUDRACO_PALLAS_RANS=1: on this environment's tunneled
+    chip the XLA-scan path measures slightly faster in context (the link
+    and the layout shuffles around the kernel dominate, see BASELINE.md);
+    on directly-attached chips the kernel removes the ~30 us/iteration
+    loop overhead and is the intended production path. Bit-exactness is
+    pinned either way (tests/test_pallas_kernels.py)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and bool(os.environ.get("TPUDRACO_PALLAS_RANS"))
+            and L * T >= (1 << 16))
+
+
 def predict_matmul_viable(T: int, V: int, B: int, C: int,
                           hbm_budget: int = 256 * 2 ** 20) -> bool:
     """The kernel tiles all three dims through VMEM, so viability is only

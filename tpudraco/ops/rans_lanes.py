@@ -46,39 +46,55 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     if T_pad != T:  # padding symbols land beyond every lane's length
         symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
 
-    def table_at(table, sym):
-        idx = jnp.clip(sym, 0, S - 1)
-        if table.ndim == 2:
-            return table[lane_ids, idx].astype(jnp.uint32)
-        return table[idx].astype(jnp.uint32)
+    # hoist ALL table lookups out of the sequential loop: one big parallel
+    # gather over (L, T) lowers far better on TPU than a per-step vector
+    # gather inside the scan body
+    idx = jnp.clip(symbols, 0, S - 1)
+    if freqs.ndim == 2:
+        fs = jnp.take_along_axis(freqs, idx, axis=1).astype(jnp.uint32)
+        cs = jnp.take_along_axis(cums, idx, axis=1).astype(jnp.uint32)
+    else:
+        fs = freqs[idx].astype(jnp.uint32)
+        cs = cums[idx].astype(jnp.uint32)
 
-    def one_symbol(states, sym, active):
-        f = table_at(freqs, sym)
-        cum = table_at(cums, sym)
-        limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
-        emitted = []
-        for _ in range(MAX_RENORM_PER_SYMBOL):
-            do = active & (states >= limit)
-            byte = (states & jnp.uint32(0xFF)).astype(jnp.int16)
-            emitted.append(jnp.where(do, byte, jnp.int16(256)))
-            states = jnp.where(do, states >> jnp.uint32(8), states)
-        new_states = ((states // f) << jnp.uint32(precision)) \
-            + states % f + cum
-        states = jnp.where(active, new_states, states)
-        return states, emitted
+    from .pallas_kernels import rans_scan_pallas, rans_scan_pallas_viable
 
-    def step(states, s):
-        emitted = []
-        for k in range(K):
-            i = s * K + k
-            states, e = one_symbol(states, symbols[:, i], i < lengths)
-            emitted.extend(e)
-        return states, jnp.stack(emitted)  # (K*R, L)
+    if rans_scan_pallas_viable(L, T):
+        # Pallas kernel: the whole recurrence in one program per lane tile
+        # (~30 us/iteration XLA loop overhead -> ~none)
+        emitted, is_byte, states = rans_scan_pallas(
+            fs[:, :T], cs[:, :T], lengths, precision=precision)
+    else:
+        def one_symbol(states, f, cum, active):
+            limit = (jnp.uint32(base_sh) * f) << jnp.uint32(8)
+            emitted = []
+            for _ in range(MAX_RENORM_PER_SYMBOL):
+                do = active & (states >= limit)
+                byte = (states & jnp.uint32(0xFF)).astype(jnp.int16)
+                emitted.append(jnp.where(do, byte, jnp.int16(256)))
+                states = jnp.where(do, states >> jnp.uint32(8), states)
+            new_states = ((states // f) << jnp.uint32(precision)) \
+                + states % f + cum
+            states = jnp.where(active, new_states, states)
+            return states, emitted
 
-    states0 = jnp.full((L,), l_base, dtype=jnp.uint32)
-    states, emits = jax.lax.scan(step, states0, jnp.arange(T_pad // K))
-    # restore the (T, R, L) layout the compaction below expects
-    emits = emits.reshape(T_pad, MAX_RENORM_PER_SYMBOL, L)[:T]
+        def step(states, s):
+            emitted = []
+            for k in range(K):
+                i = s * K + k
+                states, e = one_symbol(states, fs[:, i], cs[:, i],
+                                       i < lengths)
+                emitted.extend(e)
+            return states, jnp.stack(emitted)  # (K*R, L)
+
+        states0 = jnp.full((L,), l_base, dtype=jnp.uint32)
+        states, emits = jax.lax.scan(step, states0, jnp.arange(T_pad // K))
+        # (steps, K*R, L) -> per-lane t-major emission layout (L, T*R)
+        emits = emits.reshape(T_pad, MAX_RENORM_PER_SYMBOL, L)[:T]
+        flat = emits.transpose(2, 0, 1).reshape(
+            L, T * MAX_RENORM_PER_SYMBOL)
+        emitted = flat.astype(jnp.uint8)
+        is_byte = flat != 256
 
     # flush framing: final state with 2-bit size flag (rans.rs:48-68)
     st = states - jnp.uint32(l_base)
@@ -91,14 +107,13 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                             * (nbytes_state - 1).astype(jnp.uint32)))
 
     # on-device compaction: stable-partition real bytes to the front so
-    # the host transfer is (L, 2T+8) uint8 instead of (T, R, L) int32
-    flat = emits.transpose(2, 0, 1).reshape(L, T * MAX_RENORM_PER_SYMBOL)
-    not_byte = flat == 256
+    # the host transfer is the occupied prefix, not (T, R, L) int32
+    not_byte = ~is_byte
     order = jnp.argsort(not_byte, axis=1, stable=True)
-    compacted = jnp.take_along_axis(flat, order, axis=1)
+    compacted = jnp.take_along_axis(emitted, order, axis=1)
     cap = 2 * T + 8
-    compacted = compacted[:, :cap].astype(jnp.uint8)
-    counts = (~not_byte).sum(axis=1).astype(jnp.int32)
+    compacted = compacted[:, :cap]
+    counts = is_byte.sum(axis=1).astype(jnp.int32)
     return compacted, counts, packed, nbytes_state.astype(jnp.int32)
 
 
