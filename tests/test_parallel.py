@@ -138,6 +138,42 @@ def test_batch_decoder_corpus(tmp_path):
     assert back.num_faces == meshes[0].num_faces
 
 
+def test_shared_topology_batch_decode_device_entropy():
+    """Device-entropy batch decode (rANS lanes) must produce meshes
+    identical to per-blob host decode() — including mixed topologies and
+    garbage blobs in the batch, and multi-attribute streams."""
+    from tpudraco.decode import decode
+    from tpudraco.io import load_gltf
+    from tpudraco.parallel import BatchDecoder
+
+    meshes = [_grid_mesh(8, s) for s in range(4)]
+    blobs = [encode(m) for m in meshes]
+    blobs.append(encode(_grid_mesh(6, 9)))   # different topology
+    blobs.append(b"garbage")                 # error isolation
+    out = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      entropy="device")
+    assert out[-1] is None
+    for blob, got in zip(blobs[:-1], out[:-1]):
+        ref = decode(blob)
+        assert np.array_equal(got.faces, ref.faces)
+        for a, b in zip(got.attributes, ref.attributes):
+            assert np.array_equal(np.asarray(a.values), np.asarray(b.values))
+
+    # multi-attribute (position+normal+uv) streams through the lane decoder
+    duck_path = os.path.join(REF_DATA, "Duck", "Duck.glb")
+    if os.path.isfile(duck_path):
+        duck = load_gltf(duck_path)
+        dblob = encode(duck)
+        got = BatchDecoder().decode_blobs_shared_topology(
+            [dblob, dblob], entropy="device")
+        ref = decode(dblob)
+        for g in got:
+            assert np.array_equal(g.faces, ref.faces)
+            for a, b in zip(g.attributes, ref.attributes):
+                assert np.array_equal(np.asarray(a.values),
+                                      np.asarray(b.values))
+
+
 def test_multihost_helpers_single_process(tmp_path):
     import os
     from tpudraco.parallel import encode_corpus_multihost, shard_corpus

@@ -127,7 +127,16 @@ class DecodedAttribute:
 
 
 def decode_attributes(reader: ByteReader,
-                      conn: ConnectivityDecodeResult) -> list[DecodedAttribute]:
+                      conn: ConnectivityDecodeResult,
+                      symbol_source=None,
+                      collect_only: bool = False) -> list:
+    """``symbol_source(att_idx, num_symbols, num_components, reader)``
+    optionally replaces the host symbol decoder per attribute — it must
+    CONSUME the symbol stream from ``reader`` and return the (num_values,
+    n) symbol array (device batch path) or, with ``collect_only``, may
+    return None after recording the stream: the reconstruction chains are
+    then skipped and the entry in the result list is None (the stream-
+    collection phase of BatchDecoder's device path)."""
     num_atts = reader.read_u8()
     headers = []
     for _ in range(num_atts):
@@ -165,15 +174,19 @@ def decode_attributes(reader: ByteReader,
                 ct, seam, is_v_seam)
             view = _DecView(ct, actv, alm, seam, nav)
 
-        da = _decode_one(reader, h, view, conn, decoded)
+        da = _decode_one(reader, h, view, conn, decoded,
+                         att_idx=i, symbol_source=symbol_source,
+                         collect_only=collect_only)
         decoded.append(da)
-        parent_candidates[h["att_type"]] = da
+        if da is not None:
+            parent_candidates[h["att_type"]] = da
     return decoded
 
 
 def _decode_one(reader: ByteReader, h: dict, view: _DecView,
                 conn: ConnectivityDecodeResult,
-                decoded_so_far: list[DecodedAttribute]) -> DecodedAttribute:
+                decoded_so_far: list, att_idx: int = 0,
+                symbol_source=None, collect_only: bool = False):
     scheme_id = reader.read_u8()
     xform_id = reader.read_u8()
 
@@ -186,7 +199,13 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
 
     # number of components *of the portabilized attribute*
     n = 2 if h["port_type"] == PORT_OCTAHEDRAL else h["num_components"]
-    symbols = decode_symbols(num_values * n, n, reader).reshape(num_values, n)
+    if symbol_source is not None:
+        symbols = symbol_source(att_idx, num_values * n, n, reader)
+        if symbols is not None:
+            symbols = np.asarray(symbols).reshape(num_values, n)
+    else:
+        symbols = decode_symbols(num_values * n, n,
+                                 reader).reshape(num_values, n)
 
     # --- metadata (ordering depends on prediction scheme,
     #     attribute_encoder.rs:362-382) ---
@@ -202,6 +221,11 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
         _read_transform_meta(reader, xform_id, xmeta)
 
     port_meta = _read_port_meta(reader, h["port_type"], n)
+
+    if collect_only and symbols is None:
+        # stream-collection phase: the reader is positioned past this
+        # attribute's full section; reconstruction happens in a later pass
+        return None
 
     # --- reconstruct portabilized values along the traversal ---
     # parents are referenced through the decoded position attribute

@@ -110,6 +110,27 @@ def _decode_length_coded(num_symbols: int, num_components: int,
     return out
 
 
+def parse_direct_coded_stream(reader: ByteReader):
+    """Parse a DIRECT_CODED symbol stream's header and CONSUME its payload
+    without decoding: returns (dist, precision, payload bytes) for batched
+    device decoding (ops/rans_lanes.rans_decode_lanes). Raises ValueError
+    on any other method — callers fall back to the host decoder."""
+    from ..wire.varint import leb128_read
+    from .rans import parse_rans_table
+
+    method = reader.read_u8()
+    if method != DIRECT_CODED:
+        raise ValueError(f"not a direct-coded stream (method {method})")
+    bit_length = reader.read_u8()
+    if not 1 <= bit_length <= 18:
+        raise ValueError(f"invalid direct-coded bit length {bit_length}")
+    precision = rans_precision_for_bit_length(bit_length)
+    dist = parse_rans_table(reader)
+    nbytes = leb128_read(reader)
+    payload = bytes(reader.read_bytes(nbytes))
+    return dist, precision, payload
+
+
 def _decode_direct_coded(num_symbols: int, reader: ByteReader) -> np.ndarray:
     bit_length = reader.read_u8()
     if not 1 <= bit_length <= 18:

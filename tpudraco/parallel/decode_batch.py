@@ -14,7 +14,61 @@ import json
 import os
 import time
 
+import numpy as np
+
 from ..decode import decode
+
+# per-call budget for the (lanes, 1<<precision) slot tables the device
+# decoder gathers from; high-precision streams decode in smaller lane groups
+_SLOT_BUDGET_BYTES = 64 << 20
+
+
+def _device_decode_streams(streams: dict) -> dict:
+    """rANS-decode many independent DirectCoded streams as device lanes.
+    ``streams``: key -> (dist, precision, payload bytes, n_sym). Returns
+    key -> (n_sym,) symbol array (forward order, matching the host
+    decoder). Lanes group by precision; each group is chunked so the
+    per-lane slot tables fit the budget."""
+    import jax.numpy as jnp
+
+    from ..ops.rans_lanes import rans_decode_lanes
+
+    out: dict = {}
+    by_prec: dict = {}
+    for key, (dist, prec, payload, n_sym) in streams.items():
+        by_prec.setdefault(int(prec), []).append(key)
+
+    for prec, keys in by_prec.items():
+        lanes_per_call = max(
+            1, _SLOT_BUDGET_BYTES // ((1 << prec) * 4))
+        for c0 in range(0, len(keys), lanes_per_call):
+            chunk = keys[c0:c0 + lanes_per_call]
+            L = len(chunk)
+            S = max(len(streams[k][0]) for k in chunk)
+            maxlen = max(len(streams[k][2]) for k in chunk)
+            T = max(int(streams[k][3]) for k in chunk)
+            buffers = np.zeros((L, maxlen), np.uint8)
+            nbytes = np.zeros(L, np.int32)
+            freqs = np.zeros((L, S), np.uint32)
+            cums = np.zeros((L, S), np.uint32)
+            slots = np.zeros((L, 1 << prec), np.int32)
+            counts = np.zeros(L, np.int64)
+            for j, k in enumerate(chunk):
+                dist, _, payload, n_sym = streams[k]
+                buffers[j, :len(payload)] = np.frombuffer(payload, np.uint8)
+                nbytes[j] = len(payload)
+                freqs[j, :len(dist)] = dist
+                cums[j, 1:len(dist)] = np.cumsum(dist)[:-1]
+                slots[j, :int(dist.sum())] = np.repeat(
+                    np.arange(len(dist)), dist)
+                counts[j] = n_sym
+            got = np.asarray(rans_decode_lanes(
+                jnp.asarray(buffers), jnp.asarray(nbytes),
+                jnp.asarray(freqs), jnp.asarray(cums), jnp.asarray(slots),
+                counts, precision=prec))
+            for j, k in enumerate(chunk):
+                out[k] = got[j][:int(counts[j])]
+    return out
 
 
 class BatchDecoder:
@@ -30,13 +84,19 @@ class BatchDecoder:
                 out.append(None)
         return out
 
-    def decode_blobs_shared_topology(self, blobs: list[bytes]) -> list:
+    def decode_blobs_shared_topology(self, blobs: list[bytes],
+                                     entropy: str = "host") -> list:
         """Batch decode for blobs produced from one topology group (the
         output of BatchEncoder.encode_meshes_device): the connectivity
         section is parsed and Spirale-reconstructed ONCE and reused for
         every blob whose connectivity bytes match byte-for-byte; blobs that
         diverge (or fail) fall back to the full per-blob decoder. Output
-        meshes are identical to per-blob decode() (pinned by tests)."""
+        meshes are identical to per-blob decode() (pinned by tests).
+
+        ``entropy="device"`` rANS-decodes every attribute symbol stream of
+        the group as batched lanes on the accelerator (the decoder-side
+        mirror of encode_meshes_device(entropy="device")); the
+        prediction/dequantization chains stay on host."""
         from ..decode import _assemble_mesh, decode_header
         from ..decode.attribute import decode_attributes
         from ..decode.connectivity import decode_connectivity
@@ -57,6 +117,9 @@ class BatchDecoder:
         except Exception:
             return self.decode_blobs(blobs)
 
+        if entropy == "device":
+            return self._decode_shared_device(blobs, conn, conn_end, prefix)
+
         for i, blob in enumerate(blobs):
             try:
                 if bytes(blob[:conn_end]) != prefix:
@@ -64,6 +127,57 @@ class BatchDecoder:
                     continue
                 r = ByteReader(blob, pos=conn_end)
                 atts = decode_attributes(r, conn)
+                out[i] = _assemble_mesh(conn, atts)
+            except Exception:
+                out[i] = None
+        return out
+
+    def _decode_shared_device(self, blobs, conn, conn_end, prefix) -> list:
+        """Three-phase device entropy decode: (A) one structural pass per
+        blob collects every DirectCoded stream (table + payload bytes)
+        without decoding, (B) all streams rANS-decode as device lanes
+        grouped by precision, (C) a second pass injects the decoded
+        symbols into the reconstruction chains."""
+        from ..decode import _assemble_mesh
+        from ..decode.attribute import decode_attributes
+        from ..entropy.symbol_coding import parse_direct_coded_stream
+        from ..wire.byte_io import ByteReader
+
+        out: list = [None] * len(blobs)
+        streams: dict = {}   # (blob idx, att idx) -> (dist, prec, payload, n)
+        matching = []
+        for i, blob in enumerate(blobs):
+            try:
+                if bytes(blob[:conn_end]) != prefix:
+                    out[i] = decode(blob)
+                    continue
+
+                def collect(att_idx, n_sym, n, reader, _i=i):
+                    dist, prec, payload = parse_direct_coded_stream(reader)
+                    streams[(_i, att_idx)] = (dist, prec, payload, n_sym)
+                    return None
+
+                r = ByteReader(blob, pos=conn_end)
+                decode_attributes(r, conn, symbol_source=collect,
+                                  collect_only=True)
+                matching.append(i)
+            except Exception:
+                try:  # e.g. LengthCoded streams: full host path
+                    out[i] = decode(blob)
+                except Exception:
+                    out[i] = None
+
+        decoded_syms = _device_decode_streams(streams)
+
+        for i in matching:
+            try:
+                def inject(att_idx, n_sym, n, reader, _i=i):
+                    parse_direct_coded_stream(reader)  # advance the reader
+                    return decoded_syms[(_i, att_idx)][:n_sym].astype(
+                        np.uint64)
+
+                r = ByteReader(blobs[i], pos=conn_end)
+                atts = decode_attributes(r, conn, symbol_source=inject)
                 out[i] = _assemble_mesh(conn, atts)
             except Exception:
                 out[i] = None
