@@ -138,6 +138,42 @@ def test_batch_decoder_corpus(tmp_path):
     assert back.num_faces == meshes[0].num_faces
 
 
+def test_encode_with_topology_honors_prediction_config():
+    """Regression (self-review r2): encode_with_topology must forward
+    Config.prediction so topology-cached output equals sequential
+    encode() for every Config knob."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+    from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    mesh = _grid_mesh(8, 0)
+    topo = PreparedTopology(mesh)
+    cfg = Config(prediction={
+        AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM})
+    assert encode_with_topology(mesh, topo, cfg=cfg) == encode(mesh, cfg=cfg)
+    assert encode_with_topology(mesh, topo, cfg=cfg) != encode(mesh)
+
+
+def test_device_decode_failure_falls_back_per_blob(monkeypatch):
+    """A device-stage failure in the entropy decode must not lose the
+    batch: every blob falls back to the host path individually."""
+    import tpudraco.parallel.decode_batch as db
+    from tpudraco.decode import decode
+    from tpudraco.parallel import BatchDecoder
+
+    meshes = [_grid_mesh(7, s) for s in range(3)]
+    blobs = [encode(m) for m in meshes]
+
+    def boom(streams):
+        raise RuntimeError("device decode broke")
+    monkeypatch.setattr(db, "_device_decode_streams", boom)
+    out = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      entropy="device")
+    for blob, got in zip(blobs, out):
+        ref = decode(blob)
+        assert np.array_equal(got.faces, ref.faces)
+
+
 def test_shared_topology_batch_decode_device_entropy():
     """Device-entropy batch decode (rANS lanes) must produce meshes
     identical to per-blob host decode() — including mixed topologies and

@@ -142,6 +142,76 @@ def test_ply_cli_roundtrip(tmp_path):
     assert back.num_faces == mesh.num_faces
 
 
+def test_ply_binary_ragged_faces(tmp_path):
+    """Mixed quad/tri binary face lists (ragged, widest row first) must
+    take the scalar walk, not crash the bulk fast-path (self-review r2)."""
+    import struct as _s
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [2, 0, 0]], np.float32)
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              "element vertex 5\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "element face 2\n"
+              "property list uchar int vertex_indices\nend_header\n")
+    body = pos.tobytes()
+    body += _s.pack("<B4i", 4, 0, 1, 2, 3)   # quad first (widest)
+    body += _s.pack("<B3i", 3, 1, 4, 2)      # then a triangle
+    p = str(tmp_path / "ragged.ply")
+    with open(p, "wb") as f:
+        f.write(header.encode() + body)
+    m = load_ply(p)
+    assert m.num_faces == 3  # 2 (quad fan) + 1
+
+
+def test_ply_ascii_second_list_rejected(tmp_path):
+    """A second list property per element must raise PlyError instead of
+    silently corrupting connectivity (self-review r2)."""
+    p = str(tmp_path / "twolists.ply")
+    with open(p, "w") as f:
+        f.write("""ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+property list uchar float texcoord
+end_header
+0 0 0
+1 0 0
+0 1 0
+3 0 1 2
+6 0.0 0.0 1.0 0.0 0.0 1.0
+""")
+    with pytest.raises(PlyError):
+        load_ply(p)
+
+
+def test_ply_point_cloud_keeps_uv_alpha(tmp_path):
+    """Face-less PLY keeps UVs and 4-channel color exactly like the mesh
+    path (self-review r2: these were silently dropped)."""
+    p = str(tmp_path / "pc2.ply")
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\nelement vertex 3\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property float s\nproperty float t\n"
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\nproperty uchar alpha\n"
+                "end_header\n"
+                "0 0 0 0.1 0.2 10 20 30 40\n"
+                "1 0 0 0.3 0.4 50 60 70 80\n"
+                "0 1 0 0.5 0.6 90 100 110 120\n")
+    pc = load_ply(p)
+    assert pc.num_faces == 0
+    types = {a.att_type: a for a in pc.attributes}
+    assert AttributeType.TEX_COORD in types
+    col = types[AttributeType.COLOR]
+    assert col.num_components == 4
+    assert col.values[1].tolist() == [50, 60, 70, 80]
+
+
 def test_ply_errors(tmp_path):
     p = str(tmp_path / "bad.ply")
     with open(p, "w") as f:

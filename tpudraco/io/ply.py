@@ -71,6 +71,11 @@ def _read_elements(data: bytes, fmt: str, elements, body_off: int):
         tokens = data[body_off:].split()
         ti = 0
         for name, count, props in elements:
+            n_lists = sum(1 for p in props if p[0] == "__list__")
+            if n_lists and len(props) != 1:
+                # same constraint as the binary path: a second list (e.g.
+                # per-face texcoords) would silently corrupt connectivity
+                raise PlyError("mixed list/scalar elements not supported")
             cols = {p[0]: [] for p in props}
             faces = []
             for _ in range(count):
@@ -112,16 +117,22 @@ def _read_elements(data: bytes, fmt: str, elements, body_off: int):
                 if count:
                     n0 = int(np.frombuffer(data, cnt_dt, 1, off)[0])
                     row = cnt_dt.itemsize + n0 * idx_dt.itemsize
-                    blk = np.frombuffer(data, np.uint8, row * count, off)
-                    # verify every row has the same count
-                    cnts = blk.reshape(count, row)[:, :cnt_dt.itemsize]\
-                        .copy().view(cnt_dt).ravel()
-                    if (cnts == n0).all():
+                    bulk_ok = off + row * count <= len(data)
+                    if bulk_ok:
+                        blk = np.frombuffer(data, np.uint8, row * count,
+                                            off)
+                        # verify every row really has the same count —
+                        # ragged lists (mixed tri/quad) take the scalar
+                        # walk below instead
+                        cnts = blk.reshape(count, row)[:, :cnt_dt.itemsize]\
+                            .copy().view(cnt_dt).ravel()
+                        bulk_ok = bool((cnts == n0).all())
+                    if bulk_ok:
                         idx = blk.reshape(count, row)[:, cnt_dt.itemsize:]\
                             .copy().view(idx_dt).reshape(count, n0)
                         faces = idx.astype(np.int64).tolist()
                         off += row * count
-                    else:  # ragged: scalar walk
+                    else:  # ragged or short buffer: scalar walk
                         for _ in range(count):
                             n = int(np.frombuffer(data, cnt_dt, 1, off)[0])
                             off += cnt_dt.itemsize
@@ -157,31 +168,22 @@ def load_ply(path: str) -> Mesh:
     faces = (np.asarray(faces, dtype=np.int64) if faces
              else np.zeros((0, 3), dtype=np.int64))
 
-    builder = MeshBuilder()
-    builder.set_connectivity_attribute(faces)
-    pid = builder.add_attribute(pos, AttributeType.POSITION,
-                                AttributeDomain.POSITION, name="POSITION")
+    # shared per-point attribute extraction (mesh and point-cloud paths)
+    extra: list[tuple[np.ndarray, AttributeType, str]] = []
     if all(c in v for c in ("nx", "ny", "nz")):
         nrm = np.stack([v["nx"], v["ny"], v["nz"]], 1).astype(np.float32)
-        builder.add_attribute(nrm, AttributeType.NORMAL,
-                              AttributeDomain.CORNER, parents=[pid],
-                              name="NORMAL")
-    for ua, va in (("s", "t"), ("u", "v"),
-                   ("texture_u", "texture_v")):
+        extra.append((nrm, AttributeType.NORMAL, "NORMAL"))
+    for ua, va in (("s", "t"), ("u", "v"), ("texture_u", "texture_v")):
         if ua in v and va in v:
             uv = np.stack([v[ua], v[va]], 1).astype(np.float32)
-            builder.add_attribute(uv, AttributeType.TEX_COORD,
-                                  AttributeDomain.CORNER, parents=[pid],
-                                  name="TEXCOORD_0")
+            extra.append((uv, AttributeType.TEX_COORD, "TEXCOORD_0"))
             break
     if all(c in v for c in ("red", "green", "blue")):
         chans = [v["red"], v["green"], v["blue"]]
         if "alpha" in v:
             chans.append(v["alpha"])
-        col = np.stack(chans, 1)
-        builder.add_attribute(col, AttributeType.COLOR,
-                              AttributeDomain.CORNER, parents=[pid],
-                              name="COLOR_0")
+        extra.append((np.stack(chans, 1), AttributeType.COLOR, "COLOR_0"))
+
     if len(faces) == 0:
         # point cloud: builder-based dedup/reorder is face-driven; keep
         # the raw per-point attributes instead
@@ -189,20 +191,22 @@ def load_ply(path: str) -> Mesh:
         atts = [Attribute(pos, AttributeType.POSITION,
                           AttributeDomain.POSITION, name="POSITION")]
         atts[0].att_id = 0
-        extra = [
-            (("nx", "ny", "nz"), AttributeType.NORMAL, np.float32, "NORMAL"),
-            (("red", "green", "blue"), AttributeType.COLOR, None, "COLOR_0"),
-        ]
-        for cols, ty, cast, nm in extra:
-            if all(c in v for c in cols):
-                vals = np.stack([v[c] for c in cols], 1)
-                if cast is not None:
-                    vals = vals.astype(cast)
-                a = Attribute(vals, ty, AttributeDomain.CORNER,
-                              parents=[0], name=nm)
-                a.att_id = len(atts)
-                atts.append(a)
+        for vals, ty, nm in extra:
+            a = Attribute(vals, ty, AttributeDomain.CORNER,
+                          parents=[0], name=nm)
+            a.att_id = len(atts)
+            atts.append(a)
         return Mesh(faces=faces, attributes=atts)
+
+    builder = MeshBuilder()
+    builder.set_connectivity_attribute(faces)
+    pid = builder.add_attribute(pos, AttributeType.POSITION,
+                                AttributeDomain.POSITION, name="POSITION")
+    for vals, ty, nm in extra:
+        parents = ([pid] if ty in (AttributeType.NORMAL,
+                                   AttributeType.TEX_COORD) else [])
+        builder.add_attribute(vals, ty, AttributeDomain.CORNER,
+                              parents=parents, name=nm)
     return builder.build()
 
 

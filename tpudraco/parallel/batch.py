@@ -79,7 +79,8 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
     encode_attributes(mesh.attributes, writer, topo.conn_out,
                       sequences=topo.sequences, precomputed=precomputed,
                       quant_bits=cfg.quant_bits,
-                      symbol_coding=cfg.symbol_coding)
+                      symbol_coding=cfg.symbol_coding,
+                      prediction=cfg.prediction)
     return writer.getvalue()
 
 
@@ -152,8 +153,14 @@ class BatchEncoder:
                 batch = np.stack([a.values.astype(np.float32)
                                   for a in pos_atts])
                 # pad to a whole number of fixed-width chunks so the jitted
-                # step compiles once per topology, not once per corpus size
+                # step compiles once per topology, not once per corpus
+                # size; under a data-parallel mesh the chunk must also
+                # divide by the axis size (lcm covers non-power-of-2 axes)
                 chunk = self.DEVICE_CHUNK
+                if self.mesh_axis is not None:
+                    import math
+                    dp = int(np.prod(self.mesh_axis.devices.shape))
+                    chunk = math.lcm(chunk, dp)
                 n = len(idxs)
                 n_pad = -(-n // chunk) * chunk
                 if n_pad != n:

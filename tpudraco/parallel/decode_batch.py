@@ -38,26 +38,42 @@ def _device_decode_streams(streams: dict) -> dict:
     for key, (dist, prec, payload, n_sym) in streams.items():
         by_prec.setdefault(int(prec), []).append(key)
 
+    def _pow2_at_least(x: int, floor: int) -> int:
+        n = floor
+        while n < x:
+            n *= 2
+        return n
+
     for prec, keys in by_prec.items():
         lanes_per_call = max(
             1, _SLOT_BUDGET_BYTES // ((1 << prec) * 4))
         for c0 in range(0, len(keys), lanes_per_call):
             chunk = keys[c0:c0 + lanes_per_call]
-            L = len(chunk)
-            S = max(len(streams[k][0]) for k in chunk)
-            maxlen = max(len(streams[k][2]) for k in chunk)
-            T = max(int(streams[k][3]) for k in chunk)
+            # bucket every data-dependent dimension so the jitted scan
+            # compiles once per (precision, bucket) — remote XLA compiles
+            # cost ~20-70 s through the tunnel (CLAUDE.md quirks)
+            L = _pow2_at_least(len(chunk) + 1, 16)  # >=1 padding lane
+            S = _pow2_at_least(max(len(streams[k][0]) for k in chunk), 16)
+            maxlen = _pow2_at_least(
+                max(len(streams[k][2]) for k in chunk) + 1, 256)
+            max_T = _pow2_at_least(
+                max(int(streams[k][3]) for k in chunk), 128)
             buffers = np.zeros((L, maxlen), np.uint8)
-            nbytes = np.zeros(L, np.int32)
+            nbytes = np.ones(L, np.int32)   # padding lanes: 1 zero byte
             freqs = np.zeros((L, S), np.uint32)
             cums = np.zeros((L, S), np.uint32)
             slots = np.zeros((L, 1 << prec), np.int32)
             counts = np.zeros(L, np.int64)
+            freqs[:, 0] = 1 << prec  # valid table for padding lanes
+            # the last (always-padding) lane pins the scan length to the
+            # bucket so the jit key is (precision, buckets), not data
+            counts[-1] = max_T
             for j, k in enumerate(chunk):
                 dist, _, payload, n_sym = streams[k]
                 buffers[j, :len(payload)] = np.frombuffer(payload, np.uint8)
                 nbytes[j] = len(payload)
                 freqs[j, :len(dist)] = dist
+                freqs[j, len(dist):] = 0
                 cums[j, 1:len(dist)] = np.cumsum(dist)[:-1]
                 slots[j, :int(dist.sum())] = np.repeat(
                     np.arange(len(dist)), dist)
@@ -67,7 +83,7 @@ def _device_decode_streams(streams: dict) -> dict:
                 jnp.asarray(freqs), jnp.asarray(cums), jnp.asarray(slots),
                 counts, precision=prec))
             for j, k in enumerate(chunk):
-                out[k] = got[j][:int(counts[j])]
+                out[k] = got[j][:int(streams[k][3])]
     return out
 
 
@@ -154,6 +170,10 @@ class BatchDecoder:
 
                 def collect(att_idx, n_sym, n, reader, _i=i):
                     dist, prec, payload = parse_direct_coded_stream(reader)
+                    if int(dist.sum()) != 1 << prec:
+                        # corrupt/foreign table: isolate this blob to the
+                        # host path instead of poisoning the device batch
+                        raise ValueError("non-normalized rANS table")
                     streams[(_i, att_idx)] = (dist, prec, payload, n_sym)
                     return None
 
@@ -166,8 +186,18 @@ class BatchDecoder:
                     out[i] = decode(blob)
                 except Exception:
                     out[i] = None
+                streams = {k: s for k, s in streams.items() if k[0] != i}
 
-        decoded_syms = _device_decode_streams(streams)
+        try:
+            decoded_syms = _device_decode_streams(streams)
+        except Exception:
+            # device failure: per-blob host fallback keeps isolation
+            for i in matching:
+                try:
+                    out[i] = decode(blobs[i])
+                except Exception:
+                    out[i] = None
+            return out
 
         for i in matching:
             try:

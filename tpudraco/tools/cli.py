@@ -99,9 +99,8 @@ def main(argv=None) -> int:
                      encoder_method=METHOD_SEQUENTIAL
                      if args.method == "sequential" else METHOD_EDGEBREAKER,
                      quant_bits=quant_bits, prediction=prediction)
-        if mesh.num_faces == 0:  # point cloud (e.g. face-less PLY)
-            from ..encode import GEOMETRY_POINT_CLOUD
-            cfg.geometry_type = GEOMETRY_POINT_CLOUD
+        # face-less inputs (e.g. point-cloud PLY): encode() itself flips
+        # the config to geometry type 0
         rec = EvalRecorder() if args.eval_json else None
         blob = encode(mesh, cfg=cfg, recorder=rec)
         with open(args.output, "wb") as f:
