@@ -111,3 +111,28 @@ def test_graft_entry_and_multichip():
     if len(jax.devices()) >= 8:
         g.dryrun_multichip(8)
     g.dryrun_multichip(1)
+
+
+def test_f32_div_exact_bitwise():
+    """f32_div_exact must be bit-identical to IEEE round-to-nearest-even
+    (numpy) division across random, tie-boundary, and degenerate inputs."""
+    from tpudraco.ops import f32_div_exact
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 1e6, size=200_000).astype(np.float32)
+    b = rng.uniform(1e-3, 1e6, size=200_000).astype(np.float32)
+    # adversarial: quotients landing exactly on representable values and
+    # near .5 ulp ties (integer ratios, power-of-two scales)
+    ints = rng.integers(1, 1 << 24, size=50_000)
+    a2 = (ints.astype(np.float32) * 3.0).astype(np.float32)
+    b2 = np.full(50_000, 3.0, np.float32)
+    a3 = rng.integers(1, 4000, size=50_000).astype(np.float32)
+    b3 = np.full(50_000, 1023.0, np.float32)  # the quantize denominator
+    a = np.concatenate([a, a2, a3, [0.0, 1.0, 3.2484121]]).astype(np.float32)
+    b = np.concatenate([b, b2, b3, [5.0, 3.0, 1023.0]]).astype(np.float32)
+
+    got = np.asarray(f32_div_exact(jnp.asarray(a), jnp.asarray(b)))
+    want = (a / b).astype(np.float32)
+    mism = got.view(np.int32) != want.view(np.int32)
+    assert not mism.any(), (a[mism][:5], b[mism][:5], got[mism][:5],
+                            want[mism][:5])

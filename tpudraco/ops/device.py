@@ -24,6 +24,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IEEE-754 round-to-nearest-even float32 division of a >= 0 by b > 0,
+    bit-identical to numpy/Rust on every backend.
+
+    TPU hardware divides via reciprocal refinement and is off by 1 ulp on
+    ~1e-6 of inputs — enough to flip quantized values sitting on .5
+    boundaries (observed at 1-in-3M on real meshes). This computes the
+    quotient mantissa by 32-bit integer long division (4 x 7-bit steps,
+    no int64 needed without jax_enable_x64) and rounds exactly."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    ma, ea = jnp.frexp(a)   # a = ma * 2^ea, ma in [0.5, 1)
+    mb, eb = jnp.frexp(b)
+    ia = (ma * jnp.float32(1 << 24)).astype(jnp.int32)  # [2^23, 2^24)
+    ib = (mb * jnp.float32(1 << 24)).astype(jnp.int32)
+    ib = jnp.maximum(ib, 1)  # only reachable where a == 0 masks the result
+
+    # qhat = floor(ia * 2^28 / ib) in (2^27, 2^29); 7 bits per step keeps
+    # every intermediate inside int32
+    qhat = jnp.zeros_like(ia)
+    rem = ia
+    for _ in range(4):
+        rem = rem << 7
+        d = rem // ib
+        rem = rem - d * ib
+        qhat = (qhat << 7) | d
+    sticky = rem != 0
+
+    ge1 = qhat >= (1 << 28)         # quotient ratio >= 1
+    k = jnp.where(ge1, 5, 4)        # discarded low bits
+    r = qhat >> k
+    disc = qhat & ((1 << k) - 1)
+    half = jnp.int32(1) << (k - 1)
+    round_up = (disc > half) | ((disc == half) & (sticky | ((r & 1) == 1)))
+    r = r + round_up.astype(jnp.int32)
+    # mantissa overflow after rounding: 2^24 -> renormalize
+    ovf = r == (1 << 24)
+    r = jnp.where(ovf, r >> 1, r)
+    e = ea - eb + jnp.where(ge1, 0, -1) + ovf.astype(jnp.int32)
+
+    out = jnp.ldexp(r.astype(jnp.float32), e - 23)
+    return jnp.where(a == 0, jnp.float32(0.0), out).astype(jnp.float32)
+
+
 def quantize_kernel(values: jnp.ndarray, bits: int):
     """Coordinate-wise quantization of (..., V, N) float32 values.
 
@@ -36,9 +80,16 @@ def quantize_kernel(values: jnp.ndarray, bits: int):
     diff = v - mins[..., None, :]
     safe = jnp.where(delta_max == 0, jnp.float32(1.0), delta_max)
     normalized = jnp.where((delta_max == 0)[..., None, None], diff,
-                           diff / safe[..., None, None])
+                           f32_div_exact(diff, jnp.broadcast_to(
+                               safe[..., None, None], diff.shape)))
     scale = jnp.float32((1 << bits) - 1)
-    q = (normalized * scale + jnp.float32(0.5)).astype(jnp.int32)
+    # the barrier stops XLA fusing mul+add into an FMA: the host reference
+    # rounds the float32 product BEFORE adding 0.5, and the fused form
+    # flips values on .5 boundaries; f32_div_exact likewise replaces the
+    # 1-ulp-off TPU hardware division (both seen at ~1 in 3M values on
+    # real meshes at 11 bits)
+    prod = jax.lax.optimization_barrier(normalized * scale)
+    q = (prod + jnp.float32(0.5)).astype(jnp.int32)
     return q, mins, delta_max
 
 
@@ -193,9 +244,13 @@ def quantize_rows_kernel(rows: jnp.ndarray, mins: jnp.ndarray,
     v = rows.astype(jnp.float32)
     diff = v - mins
     safe = jnp.where(delta_max == 0, jnp.float32(1.0), delta_max)
-    normalized = jnp.where(delta_max == 0, diff, diff / safe)
+    normalized = jnp.where(delta_max == 0, diff,
+                           f32_div_exact(diff, jnp.broadcast_to(safe,
+                                                                diff.shape)))
     scale = jnp.float32((1 << bits) - 1)
-    return (normalized * scale + jnp.float32(0.5)).astype(jnp.int32)
+    # anti-FMA barrier + exact division — see quantize_kernel
+    prod = jax.lax.optimization_barrier(normalized * scale)
+    return (prod + jnp.float32(0.5)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("bits",))
