@@ -136,3 +136,22 @@ def test_f32_div_exact_bitwise():
     mism = got.view(np.int32) != want.view(np.int32)
     assert not mism.any(), (a[mism][:5], b[mism][:5], got[mism][:5],
                             want[mism][:5])
+
+
+def test_f32_sqrt_exact_bitwise():
+    """f32_sqrt_exact must be bit-identical to IEEE round-to-nearest
+    (numpy) sqrt across random scales and exact squares."""
+    from tpudraco.ops import f32_sqrt_exact
+
+    rng = np.random.default_rng(12)
+    a = (np.abs(rng.standard_normal(300_000)).astype(np.float32)
+         * rng.choice([1e-6, 1e-2, 1.0, 1e3, 1e8],
+                      300_000).astype(np.float32))
+    sq = rng.integers(0, 1 << 12, size=50_000).astype(np.float32) ** 2
+    ints = rng.integers(0, 1 << 24, size=50_000).astype(np.float32)
+    a = np.concatenate([a, sq, ints, [0.0, 1.0, 2.0, 4.0, 0.25,
+                                      3.0, 1e30, 1e-30]]).astype(np.float32)
+    got = np.asarray(f32_sqrt_exact(jnp.asarray(a)))
+    want = np.sqrt(a)
+    mism = got.view(np.int32) != want.view(np.int32)
+    assert not mism.any(), (a[mism][:5], got[mism][:5], want[mism][:5])

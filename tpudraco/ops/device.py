@@ -68,6 +68,60 @@ def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a == 0, jnp.float32(0.0), out).astype(jnp.float32)
 
 
+def f32_sqrt_exact(a: jnp.ndarray) -> jnp.ndarray:
+    """IEEE-754 round-to-nearest float32 sqrt of a >= 0, bit-identical to
+    numpy on every backend (TPU hardware sqrt is 1 ulp off on ~40% of
+    inputs). Works entirely in int32: the 24-bit result mantissa R is the
+    nearest integer to sqrt(T) for an exact 48-bit target T (held as a
+    base-2^24 digit pair); integer targets can never tie at .5, so
+    R = floor(sqrt(T)) + [T > R_f^2 + R_f]. floor(sqrt) comes from the
+    (approximate) hardware seed refined over +-3 candidates with exact
+    integer squaring via 12-bit splits."""
+    a = a.astype(jnp.float32)
+    ma, ea = jnp.frexp(a)                   # a = ma * 2^ea, ma in [0.5, 1)
+    im = (ma * jnp.float32(1 << 24)).astype(jnp.int32)  # [2^23, 2^24)
+    e2 = ea - 24
+    parity = e2 & 1                          # two's-complement parity
+    p = (e2 - parity) >> 1
+    # target T = im << 24 (even e2) or im << 23 (odd): base-2^24 pair
+    t_hi = jnp.where(parity == 0, im, im >> 1)
+    t_lo = jnp.where(parity == 0, 0, (im & 1) << 23)
+
+    # hardware seed for floor(sqrt(T)), then exact refinement
+    shift = jnp.where(parity == 0, jnp.float32(1 << 24),
+                      jnp.float32(1 << 23))
+    seed = jnp.sqrt(im.astype(jnp.float32) * shift)
+    r0 = jnp.clip(seed.astype(jnp.int32), 1 << 23, (1 << 24) - 1)
+
+    def sq_le_t(c):
+        # exact c^2 (c < 2^24) as base-2^24 pair via 12-bit split
+        c = jnp.maximum(c, 0)
+        c1, c0 = c >> 12, c & 0xFFF
+        mid = 2 * c1 * c0                   # <= 2^25
+        low_sum = ((mid & 0xFFF) << 12) + c0 * c0
+        h2 = c1 * c1 + (mid >> 12) + (low_sum >> 24)
+        l2 = low_sum & 0xFFFFFF
+        return (h2 < t_hi) | ((h2 == t_hi) & (l2 <= t_lo))
+
+    floor_r = jnp.full_like(r0, 1 << 23)    # true floor is >= 2^23
+    for d in range(-8, 9):                  # largest c with c^2 <= T
+        c = r0 + d
+        floor_r = jnp.where(sq_le_t(c), jnp.maximum(floor_r, c), floor_r)
+    # round: T > R^2 + R  <=>  sqrt(T) > R + 0.5 (never exactly equal)
+    c1, c0 = floor_r >> 12, floor_r & 0xFFF
+    mid = 2 * c1 * c0
+    low_sum = ((mid & 0xFFF) << 12) + c0 * c0 + floor_r
+    h2 = c1 * c1 + (mid >> 12) + (low_sum >> 24)
+    l2 = low_sum & 0xFFFFFF
+    up = (h2 < t_hi) | ((h2 == t_hi) & (l2 < t_lo))
+    r = floor_r + up.astype(jnp.int32)
+    ovf = r == (1 << 24)                    # rounding crossed a binade
+    r = jnp.where(ovf, r >> 1, r)
+    out = jnp.ldexp(r.astype(jnp.float32),
+                    p - 12 + parity + ovf.astype(jnp.int32))
+    return jnp.where(a == 0, jnp.float32(0.0), out).astype(jnp.float32)
+
+
 def quantize_kernel(values: jnp.ndarray, bits: int):
     """Coordinate-wise quantization of (..., V, N) float32 values.
 
