@@ -131,6 +131,11 @@ def test_f32_div_exact_bitwise():
     a = np.concatenate([a, a2, a3, [0.0, 1.0, 3.2484121]]).astype(np.float32)
     b = np.concatenate([b, b2, b3, [5.0, 3.0, 1023.0]]).astype(np.float32)
 
+    # signed operands (rounding is sign-symmetric)
+    sa = rng.choice([-1.0, 1.0], size=len(a)).astype(np.float32)
+    sb = rng.choice([-1.0, 1.0], size=len(b)).astype(np.float32)
+    a = a * sa
+    b = b * sb
     got = np.asarray(f32_div_exact(jnp.asarray(a), jnp.asarray(b)))
     want = (a / b).astype(np.float32)
     mism = got.view(np.int32) != want.view(np.int32)

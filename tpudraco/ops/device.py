@@ -25,16 +25,20 @@ import numpy as np
 
 
 def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """IEEE-754 round-to-nearest-even float32 division of a >= 0 by b > 0,
+    """IEEE-754 round-to-nearest-even float32 division (finite a, b != 0),
     bit-identical to numpy/Rust on every backend.
 
     TPU hardware divides via reciprocal refinement and is off by 1 ulp on
-    ~1e-6 of inputs — enough to flip quantized values sitting on .5
-    boundaries (observed at 1-in-3M on real meshes). This computes the
-    quotient mantissa by 32-bit integer long division (4 x 7-bit steps,
-    no int64 needed without jax_enable_x64) and rounds exactly."""
+    a large fraction of inputs — enough to flip quantized values sitting
+    on .5 boundaries. This computes the quotient mantissa by 32-bit
+    integer long division (4 x 7-bit steps, no int64 needed without
+    jax_enable_x64) and rounds exactly; signs factor out (rounding is
+    sign-symmetric)."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    sign = jnp.sign(a) * jnp.sign(b)
+    a = jnp.abs(a)
+    b = jnp.abs(b)
     ma, ea = jnp.frexp(a)   # a = ma * 2^ea, ma in [0.5, 1)
     mb, eb = jnp.frexp(b)
     ia = (ma * jnp.float32(1 << 24)).astype(jnp.int32)  # [2^23, 2^24)
@@ -65,7 +69,8 @@ def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     e = ea - eb + jnp.where(ge1, 0, -1) + ovf.astype(jnp.int32)
 
     out = jnp.ldexp(r.astype(jnp.float32), e - 23)
-    return jnp.where(a == 0, jnp.float32(0.0), out).astype(jnp.float32)
+    out = jnp.where(a == 0, jnp.float32(0.0), out)
+    return (sign * out).astype(jnp.float32)
 
 
 def f32_sqrt_exact(a: jnp.ndarray) -> jnp.ndarray:

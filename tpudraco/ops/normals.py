@@ -1,0 +1,248 @@
+"""Device (JAX) normal-attribute encode chain.
+
+Mirrors the host pipeline bit-for-bit for NORMAL attributes:
+octahedral quantization (shared/octahedral.py), ring-sum normal
+prediction (shared/prediction.py NormalPrediction), flip selection, and
+the OctahedralOrthogonal residual transform (encode/transforms.py) —
+batched over meshes sharing one topology. The float steps ride
+f32_div_exact / f32_sqrt_exact (TPU hardware div and sqrt are not
+correctly rounded), integer steps use int32 (wrapping matches the host's
+explicit wrap32), so symbols equal the host encoder's exactly (pinned by
+tests).
+
+Reference semantics: mesh_normal_prediction.rs (ring cross-product sums,
+clamp at 2^29, flips), octahedral_quantization.rs + geom.rs (transform +
+faithful fixups), oct_orthogonal.rs via the involutive InvertDiamond.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device import f32_div_exact, f32_sqrt_exact
+
+
+# ---------------------------------------------------------------- host prep
+
+def collect_normal_rings(view, sequence):
+    """Per-topology ring precompute (the swing walk of
+    NormalPrediction.predict_sequence, factored for device reuse).
+
+    Returns dict of numpy arrays:
+      tip_pt   (T,)   point index of the target corner
+      next_pt  (T,R)  point index of next(ring corner)
+      prev_pt  (T,R)  point index of prev(ring corner)
+      mask     (T,R)  ring-slot validity
+    """
+    from ..models.corner_table import NONE, next_corners, prev_corners
+
+    seq = np.asarray(sequence, dtype=np.int64)
+    T = len(seq)
+    eff_opp, ctv, _lm = view.as_arrays()
+    eff_opp = np.asarray(eff_opp, dtype=np.int64)
+    if hasattr(view, "u"):
+        points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+    else:
+        points = np.arange(view.num_corners, dtype=np.int64)
+
+    def swing(c, left):
+        base = np.where(c >= 0, c, 0)
+        step = next_corners(base) if left else prev_corners(base)
+        o = eff_opp[step]
+        ob = np.where(o >= 0, o, 0)
+        res = next_corners(ob) if left else prev_corners(ob)
+        return np.where((c >= 0) & (o >= 0), res, NONE)
+
+    counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
+    maxv = int(np.max(counts))
+
+    # leftmost walk, then collect by swinging right (predict_sequence)
+    cur = seq.copy()
+    frozen = np.zeros(T, dtype=bool)
+    for _ in range(maxv + 1):
+        nl = swing(cur, left=True)
+        can = ~frozen & (nl != NONE)
+        cur = np.where(can, nl, cur)
+        frozen |= ~can | (can & (nl == seq))
+        if frozen.all():
+            break
+    rings = np.full((T, maxv), NONE, dtype=np.int64)
+    rings[:, 0] = cur
+    active = np.ones(T, dtype=bool)
+    prev_cur = cur
+    for i in range(1, maxv):
+        nxt = swing(prev_cur, left=False)
+        ok = active & (nxt != NONE) & (nxt != rings[:, 0])
+        rings[:, i] = np.where(ok, nxt, NONE)
+        active = ok
+        prev_cur = np.where(ok, nxt, prev_cur)
+
+    rbase = np.where(rings >= 0, rings, 0)
+    return {
+        "tip_pt": points[seq].astype(np.int32),
+        "next_pt": points[next_corners(rbase)].astype(np.int32),
+        "prev_pt": points[prev_corners(rbase)].astype(np.int32),
+        "mask": rings >= 0,
+    }
+
+
+# -------------------------------------------------------------- device ops
+
+def oct_transform_device(v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) -> (..., 2) float32 octahedral coords; integer inputs are
+    normalized first with exact sqrt/div (shared/octahedral.py float
+    semantics, geom.rs:40-91)."""
+    if not jnp.issubdtype(v.dtype, jnp.floating):
+        f = v.astype(jnp.float32)
+        x, y, z = f[..., 0], f[..., 1], f[..., 2]
+        # explicit left-fold sum matches numpy's small-axis reduction
+        nsq = (x * x + y * y) + z * z
+        norm = f32_sqrt_exact(nsq)
+        f = f32_div_exact(f, jnp.broadcast_to(norm[..., None], f.shape))
+        v = f
+    v = v.astype(jnp.float32)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    abs_sum = (jnp.abs(x) + jnp.abs(y)) + jnp.abs(z)
+    u = f32_div_exact(y, abs_sum)
+    w = f32_div_exact(z, abs_sum)
+    one = jnp.float32(1.0)
+    u_out = jnp.where(u < 0, jnp.abs(w) - one, one - jnp.abs(w))
+    v_out = jnp.where(w < 0, jnp.abs(u) - one, one - jnp.abs(u))
+    neg = x < 0
+    return jnp.stack([jnp.where(neg, u_out, u),
+                      jnp.where(neg, v_out, w)], axis=-1)
+
+
+def into_faithful_device(q: jnp.ndarray) -> jnp.ndarray:
+    """Edge fixups on quantized (..., 2) int oct coords (geom.rs:139-157,
+    hardcoded 8-bit max=255 as in the reference)."""
+    q = q.astype(jnp.int32)
+    u, v = q[..., 0], q[..., 1]
+    mx, half = 255, 127
+    x, y = u, v
+    corner = (((u == 0) & (v == 0)) | ((u == mx) & (v == 0))
+              | ((u == 0) & (v == mx)))
+    cond1 = (~corner) & (u == 0) & (v > half)
+    y = jnp.where(cond1, half - (v - half), y)
+    cond2 = (~corner) & (~cond1) & (u == mx) & (v < half)
+    y = jnp.where(cond2, half + (half - v), y)
+    cond3 = (~corner) & (~cond1) & (~cond2) & (v == mx) & (u < half)
+    x = jnp.where(cond3, half + (half - u), x)
+    cond4 = (~corner) & (~cond1) & (~cond2) & (~cond3) & (v == 0) & (u > half)
+    x = jnp.where(cond4, half - (u - half), x)
+    x = jnp.where(corner, mx, x)
+    y = jnp.where(corner, mx, y)
+    return jnp.stack([x, y], axis=-1)
+
+
+def oct_quantize_device(vals: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
+    """(..., 3) float normals -> (..., 2) int32 oct coords
+    (octahedral_quantization.rs:49-65)."""
+    oct = oct_transform_device(vals) + jnp.float32(1.0)
+    scale = jnp.float32((1 << (bits - 1)) - 1)
+    # mul is exactly rounded; truncation toward zero matches the host
+    return (oct * scale).astype(jnp.int32)
+
+
+def invert_diamond_device(v: jnp.ndarray, center: int = 127) -> jnp.ndarray:
+    """Involutive diamond inversion on centered int coords
+    (shared/octahedral.py invert_diamond)."""
+    v = v.astype(jnp.int32)
+    s, t = v[..., 0], v[..., 1]
+    both_nonneg = (s >= 0) & (t >= 0)
+    both_nonpos = (s <= 0) & (t <= 0)
+    sign_s = jnp.where(both_nonneg, 1, jnp.where(both_nonpos, -1,
+                                                 jnp.where(s > 0, 1, -1)))
+    sign_t = jnp.where(both_nonneg, 1, jnp.where(both_nonpos, -1,
+                                                 jnp.where(t > 0, 1, -1)))
+    cs = sign_s * center
+    ct = sign_t * center
+    s2 = 2 * s - cs
+    t2 = 2 * t - ct
+    rotate = (sign_s * sign_t) >= 0
+    ns = jnp.where(rotate, -t2, t2)
+    nt = jnp.where(rotate, -s2, s2)
+    # sums are even; arithmetic shift == floor division by 2 here because
+    # (ns+cs) and (nt+ct) are even, so >>1 is exact for both signs
+    return jnp.stack([(ns + cs) >> 1, (nt + ct) >> 1], axis=-1)
+
+
+def _trunc_div(a, b):
+    return jnp.sign(a) * (jnp.abs(a) // jnp.maximum(jnp.abs(b), 1))
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
+                        uo_point_pos, uo_point_nrm, bits: int = 8):
+    """Batched device encode of a NORMAL attribute.
+
+    q_pos:    (B, Vp, 3) int32 quantized positions (unique values)
+    normals:  (B, Vn, 3) float32 normal values (unique values)
+    tip_pt/next_pt/prev_pt/mask: ring precompute (collect_normal_rings)
+    uo_point_pos / uo_point_nrm: (P,) point -> unique-value index maps
+
+    Returns (symbols (B, T, 2) int32, flips (B, T) bool).
+    """
+    # per-point gathers resolved to unique-value rows
+    tip_i = uo_point_pos[tip_pt]           # (T,)
+    next_i = uo_point_pos[next_pt]         # (T, R)
+    prev_i = uo_point_pos[prev_pt]
+    pos_tip = q_pos[:, tip_i, :]           # (B, T, 3)
+    pn = q_pos[:, next_i, :] - pos_tip[:, :, None, :]   # (B, T, R, 3)
+    pp = q_pos[:, prev_i, :] - pos_tip[:, :, None, :]
+    # int32 products wrap mod 2^32 == the host's explicit wrap32
+    cr = jnp.stack([
+        pn[..., 1] * pp[..., 2] - pn[..., 2] * pp[..., 1],
+        pn[..., 2] * pp[..., 0] - pn[..., 0] * pp[..., 2],
+        pn[..., 0] * pp[..., 1] - pn[..., 1] * pp[..., 0],
+    ], axis=-1)
+    cr = jnp.where(mask[None, :, :, None], cr, 0)
+    total = cr.sum(axis=2).astype(jnp.int32)            # (B, T, 3)
+
+    upper = 1 << 29
+    abs_sum = jnp.abs(total).sum(axis=-1)               # (B, T)
+    big = abs_sum > upper
+    qd = jnp.where(big, abs_sum // upper, 1)
+    total = jnp.where(big[..., None], _trunc_div(total, qd[..., None]),
+                      total)
+
+    nonzero = (total != 0).any(axis=-1)
+    safe_total = jnp.where(nonzero[..., None], total,
+                           jnp.array([1, 0, 0], jnp.int32))
+    oct = oct_transform_device(safe_total) + jnp.float32(1.0)
+    quant = (oct * jnp.float32((1 << 7) - 1)).astype(jnp.int32)
+    pred = into_faithful_device(quant)
+    pred = jnp.where(nonzero[..., None], pred, 0)       # (B, T, 2)
+
+    # orig values: oct-quantize the normals, faithful fixups, traversal
+    # gather (portabilization + per_point[pts] in the host path)
+    q_n = into_faithful_device(oct_quantize_device(normals, bits))
+    orig = q_n[:, uo_point_nrm[tip_pt], :]              # (B, T, 2)
+
+    # flip selection (mesh_normal_prediction.rs:133-143)
+    d1 = pred - orig
+    d2 = -pred - orig
+    flips = (d1 * d1).sum(-1) > (d2 * d2).sum(-1)
+    pred = jnp.where(flips[..., None], -pred, pred)
+
+    # OctahedralOrthogonal squeeze (encode/transforms.py)
+    one = 255 // 2
+    o = orig - one
+    p = pred - one
+    flip = jnp.abs(p).sum(-1) > one
+    p = jnp.where(flip[..., None], invert_diamond_device(p), p)
+    o = jnp.where(flip[..., None], invert_diamond_device(o), o)
+    nonzero_p = (p != 0).any(-1)
+    for _ in range(4):
+        todo = nonzero_p & ((p[..., 0] >= 0) | (p[..., 1] > 0))
+        rp = jnp.stack([-p[..., 1], p[..., 0]], axis=-1)
+        ro = jnp.stack([-o[..., 1], o[..., 0]], axis=-1)
+        p = jnp.where(todo[..., None], rp, p)
+        o = jnp.where(todo[..., None], ro, o)
+    corr = o - p
+    corr = jnp.where(corr < 0, corr + 255, corr)
+    return corr.astype(jnp.int32), flips

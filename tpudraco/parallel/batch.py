@@ -41,6 +41,7 @@ class PreparedTopology:
         self.conn_out = eb.encode(w)
         self.conn_bytes = w.getvalue()
         self.sequences: dict[int, list[int]] = {}
+        self.normal_rings: dict[int, dict] = {}  # lazy (ops/normals.py)
         aict = self.conn_out.corner_table
         for i in range(len(mesh.attributes)):
             att_table = None
@@ -49,6 +50,20 @@ class PreparedTopology:
             view = TableView(aict.corner_table, att_table)
             self.sequences[i] = compute_sequence(
                 view, list(self.conn_out.corners_of_edgebreaker))
+
+    def view_for(self, i: int) -> TableView:
+        aict = self.conn_out.corner_table
+        att_table = None
+        if 0 < i <= len(aict.attribute_tables):
+            att_table = aict.attribute_tables[i - 1]
+        return TableView(aict.corner_table, att_table)
+
+    def rings_for(self, i: int) -> dict:
+        from ..ops.normals import collect_normal_rings
+        if i not in self.normal_rings:
+            self.normal_rings[i] = collect_normal_rings(
+                self.view_for(i), self.sequences[i])
+        return self.normal_rings[i]
 
 
 def topology_signature(mesh: Mesh) -> str:
@@ -194,6 +209,10 @@ class BatchEncoder:
                 dev = {"vmin": np.concatenate(vmins)[:n],
                        "vmax": np.concatenate(vmaxs)[:n]}
                 payloads = payloads[:n]
+                # NORMAL attributes ride the device too (ring-sum
+                # prediction + octahedral chain, ops/normals.py)
+                normal_pre = _device_normal_entries(
+                    meshes, idxs, topo, bits=bits, chunk=chunk)
                 # keep the host-side portabilization metadata at the same
                 # bit depth the device quantized with
                 cfg = (Config(quant_bits={AttributeType.POSITION: bits})
@@ -207,6 +226,7 @@ class BatchEncoder:
                         if a.att_type == AttributeType.POSITION)
                     pre = {pos_idx: {"payload": payloads[k],
                                      "xform_meta": bytes(w.getvalue())}}
+                    pre.update(normal_pre.get(k, {}))
                     out[i] = encode_with_topology(meshes[i], topo, cfg=cfg,
                                                   precomputed=pre)
             except Exception:
@@ -463,6 +483,87 @@ class BatchEncoder:
         with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
             json.dump(report, f, indent=1)
         return report
+
+
+@functools.partial(jax.jit, static_argnames=("bits_pos",))
+def _jit_normal_chain(pos, nrm, tip, nxt, prv, mask, uo_pos, uo_nrm,
+                      bits_pos):
+    from ..ops import quantize_kernel
+    from ..ops.normals import normal_encode_chain
+    q, _, _ = quantize_kernel(pos, bits_pos)
+    return normal_encode_chain(q, nrm, tip, nxt, prv, mask, uo_pos, uo_nrm)
+
+
+def _device_normal_entries(meshes, idxs, topo: PreparedTopology,
+                           bits: int, chunk: int) -> dict:
+    """Device-encode every NORMAL attribute of a topology group. Returns
+    {position-in-idxs: {att_idx: {"payload", "xform_meta"}}}; empty when
+    no normal qualifies (non-float values, or a ring/bit-depth combination
+    whose host path uses >int32 intermediates)."""
+    import jax.numpy as jnp
+
+    from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from ..shared.prediction import write_normal_flips
+
+    mesh0 = meshes[idxs[0]]
+    out: dict = {}
+    normal_idxs = [j for j, a in enumerate(mesh0.attributes)
+                   if a.att_type == AttributeType.NORMAL]
+    if not normal_idxs:
+        return out
+    pos_att0 = mesh0.position_attribute()
+
+    for ni in normal_idxs:
+        nrm0 = mesh0.attributes[ni]
+        if nrm0.values.dtype != np.float32 or nrm0.num_components != 3:
+            continue
+        rings = topo.rings_for(ni)
+        R = max(int(rings["next_pt"].shape[1]), 1)
+        # the host clamp/sum runs in int64; the device chain is int32, so
+        # only run it where no intermediate can leave int32
+        if 3 * R * (1 << (2 * bits + 1)) >= (1 << 31):
+            continue
+        uo_pos = jnp.asarray(pos_att0.unique_indices().astype(np.int32))
+        uo_nrm = jnp.asarray(nrm0.unique_indices().astype(np.int32))
+        tip = jnp.asarray(rings["tip_pt"])
+        nxt = jnp.asarray(rings["next_pt"])
+        prv = jnp.asarray(rings["prev_pt"])
+        mask = jnp.asarray(rings["mask"])
+
+        pos_batch = np.stack([meshes[i].position_attribute()
+                              .values.astype(np.float32) for i in idxs])
+        nrm_batch = np.stack([meshes[i].attributes[ni]
+                              .values.astype(np.float32) for i in idxs])
+        n = len(idxs)
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            pos_batch = np.concatenate(
+                [pos_batch, np.repeat(pos_batch[:1], n_pad - n, axis=0)])
+            nrm_batch = np.concatenate(
+                [nrm_batch, np.repeat(nrm_batch[:1], n_pad - n, axis=0)])
+        syms_parts, flips_parts = [], []
+        for c0 in range(0, n_pad, chunk):
+            s, f = _jit_normal_chain(
+                jnp.asarray(pos_batch[c0:c0 + chunk]),
+                jnp.asarray(nrm_batch[c0:c0 + chunk]),
+                tip, nxt, prv, mask, uo_pos, uo_nrm, bits_pos=bits)
+            syms_parts.append(np.asarray(s))
+            flips_parts.append(np.asarray(f))
+        syms = np.concatenate(syms_parts)[:n]
+        flips = np.concatenate(flips_parts)[:n]
+
+        for k in range(n):
+            w = ByteWriter()
+            encode_symbols(syms[k].astype(np.uint64).ravel(), 2,
+                           DIRECT_CODED, w)
+            xw = ByteWriter()
+            xw.write_u32(255)
+            xw.write_u32(255 // 2)
+            write_normal_flips(flips[k].tolist(), xw)
+            out.setdefault(k, {})[ni] = {
+                "payload": w.getvalue(),
+                "xform_meta": bytes(xw.getvalue())}
+    return out
 
 
 def topology_gathers_np(topo: PreparedTopology, pos_att) -> dict:

@@ -414,21 +414,27 @@ class NormalPrediction(BasePrediction):
         return np.where(nonzero[:, None], out, 0)
 
     def metadata_bytes(self, writer) -> None:
-        """Flip bits RAbS-coded, written in forward order
-        (mesh_normal_prediction.rs:147-164)."""
-        from ..entropy.rans import RabsEncoder
-        from ..wire.varint import leb128_write
-        n0 = sum(1 for f in self.flips if not f)
-        zp = int(np.float32(n0) / np.float32(len(self.flips)) * np.float32(256.0)
-                 + np.float32(0.5))
-        zero_prob = max(1, min(255, zp))
-        writer.write_u8(zero_prob)
-        enc = RabsEncoder(zero_prob)
-        for f in self.flips:
-            enc.write(1 if f else 0)
-        blob = enc.flush()
-        leb128_write(len(blob), writer)
-        writer.write_bytes(blob)
+        write_normal_flips(self.flips, writer)
+
+
+def write_normal_flips(flips, writer) -> None:
+    """Flip bits RAbS-coded, written in forward order
+    (mesh_normal_prediction.rs:147-164). Shared by the host predictor and
+    the device normal chain's metadata assembly."""
+    from ..entropy.rans import RabsEncoder
+    from ..wire.varint import leb128_write
+    flips = [bool(f) for f in flips]
+    n0 = sum(1 for f in flips if not f)
+    zp = int(np.float32(n0) / np.float32(len(flips)) * np.float32(256.0)
+             + np.float32(0.5))
+    zero_prob = max(1, min(255, zp))
+    writer.write_u8(zero_prob)
+    enc = RabsEncoder(zero_prob)
+    for f in flips:
+        enc.write(1 if f else 0)
+    blob = enc.flush()
+    leb128_write(len(blob), writer)
+    writer.write_bytes(blob)
 
 
 class TexCoordPrediction(BasePrediction):
