@@ -572,6 +572,26 @@ def test_device_batch_encode_normals_bit_exact(monkeypatch):
     assert entries and 1 in entries[0]  # normal attribute index 1
 
 
+@needs_ref
+def test_device_batch_encode_fixtures_bit_exact(monkeypatch):
+    """Device batch over the reference OBJ fixtures — boundaries
+    (punctured sphere), handles (torus), seams + normals + UVs
+    (tetrahedron) — must stay byte-identical to host encode()."""
+    from tpudraco.io import load_obj
+
+    names = ["tetrahedron.obj", "sphere.obj", "torus.obj",
+             "punctured_sphere.obj"]
+    meshes = [load_obj(os.path.join(REF_DATA, n)) for n in names]
+    be = BatchEncoder(strict_device=True)
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes)
+    for name, m, blob in zip(names, meshes, got):
+        assert blob == encode(m), name
+
+
 def test_device_batch_encode_custom_bits(monkeypatch):
     """Device batch at a non-default quantization depth must match the
     sequential encoder at the same depth (metadata/payload consistency)."""
