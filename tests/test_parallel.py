@@ -564,12 +564,15 @@ def test_device_batch_encode_normals_bit_exact(monkeypatch):
         assert blob == encode(m)
         assert decode(blob).num_faces == m.num_faces
 
-    # and the device path really ran for normals (entries produced)
+    # and the device paths really ran (entries produced, not fallbacks)
     import tpudraco.parallel.batch as bm
     topo = be._topo_cache[topology_signature(meshes[0])]
     entries = bm._device_normal_entries(meshes, [0, 1, 2], topo,
                                         bits=11, chunk=4)
     assert entries and 1 in entries[0]  # normal attribute index 1
+    uv_entries = bm._device_uv_entries(meshes, [0, 1, 2], topo,
+                                       bits=11, chunk=4)
+    assert uv_entries and 2 in uv_entries[0]  # texcoord attribute index 2
 
 
 @needs_ref

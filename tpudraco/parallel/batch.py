@@ -209,10 +209,14 @@ class BatchEncoder:
                 dev = {"vmin": np.concatenate(vmins)[:n],
                        "vmax": np.concatenate(vmaxs)[:n]}
                 payloads = payloads[:n]
-                # NORMAL attributes ride the device too (ring-sum
-                # prediction + octahedral chain, ops/normals.py)
+                # NORMAL and TEX_COORD attributes ride the device too
+                # (ops/normals.py ring chain, ops/texcoords.py UV chain)
                 normal_pre = _device_normal_entries(
                     meshes, idxs, topo, bits=bits, chunk=chunk)
+                for k, entries in _device_uv_entries(
+                        meshes, idxs, topo, bits=bits,
+                        chunk=chunk).items():
+                    normal_pre.setdefault(k, {}).update(entries)
                 # keep the host-side portabilization metadata at the same
                 # bit depth the device quantized with
                 cfg = (Config(quant_bits={AttributeType.POSITION: bits})
@@ -564,6 +568,82 @@ def _device_normal_entries(meshes, idxs, topo: PreparedTopology,
                 "payload": w.getvalue(),
                 "xform_meta": bytes(xw.getvalue())}
     return out
+
+
+def _device_uv_entries(meshes, idxs, topo: PreparedTopology,
+                       bits: int, chunk: int) -> dict:
+    """Device-encode TEX_COORD attributes of a topology group (UV
+    prediction chain, ops/texcoords.py). Returns
+    {position-in-idxs: {att_idx: {"payload", "xform_meta"}}}; meshes whose
+    geometry hits the int64-headroom guards ("risky") are left to the
+    host path per attribute."""
+    from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from ..ops.texcoords import collect_uv_gathers, uv_encode_chain
+    from ..shared.prediction import write_tex_orientations
+
+    mesh0 = meshes[idxs[0]]
+    out: dict = {}
+    uv_idxs = [j for j, a in enumerate(mesh0.attributes)
+               if a.att_type == AttributeType.TEX_COORD]
+    if not uv_idxs:
+        return out
+    pos_att0 = mesh0.position_attribute()
+    uo_pos = pos_att0.unique_indices().astype(np.int32)
+
+    # quantized inputs (bit-exact quantize kernels, batched per chunk)
+    def quantize_batch(values_list, qbits):
+        import jax.numpy as jnp
+
+        from ..ops import quantize_kernel
+        batch = np.stack(values_list)
+        n = len(values_list)
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[:1], n_pad - n, axis=0)])
+        qs = []
+        for c0 in range(0, n_pad, chunk):
+            q, _, _ = _jit_quantize(jnp.asarray(batch[c0:c0 + chunk]),
+                                    qbits)
+            qs.append(np.asarray(q))
+        return np.concatenate(qs)[:n]
+
+    q_pos = quantize_batch(
+        [meshes[i].position_attribute().values.astype(np.float32)
+         for i in idxs], bits)
+
+    for ui in uv_idxs:
+        uv0 = mesh0.attributes[ui]
+        if uv0.values.dtype != np.float32 or uv0.num_components != 2:
+            continue
+        g = collect_uv_gathers(topo.view_for(ui), topo.sequences[ui],
+                               pos_att0.num_points)
+        uo_uv = uv0.unique_indices().astype(np.int32)
+        q_uv = quantize_batch(
+            [meshes[i].attributes[ui].values.astype(np.float32)
+             for i in idxs], 10)
+        syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
+            q_pos, q_uv, g, uo_pos, uo_uv)
+        for k in range(len(idxs)):
+            if risky[k]:
+                continue  # host path handles this mesh's UVs exactly
+            w = ByteWriter()
+            encode_symbols(syms[k].astype(np.uint64).ravel(), 2,
+                           DIRECT_CODED, w)
+            xw = ByteWriter()
+            write_tex_orientations(ovals[k][oflags[k]].tolist(), xw)
+            xw.write_u32(int(vmin[k]) & 0xFFFFFFFF)
+            xw.write_u32(int(vmax[k]) & 0xFFFFFFFF)
+            out.setdefault(k, {})[ui] = {
+                "payload": w.getvalue(),
+                "xform_meta": bytes(xw.getvalue())}
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_quantize(pos, bits):
+    from ..ops import quantize_kernel
+    return quantize_kernel(pos, bits)
 
 
 def topology_gathers_np(topo: PreparedTopology, pos_att) -> dict:

@@ -695,38 +695,44 @@ class TexCoordPrediction(BasePrediction):
         self.orientations.append(o)
 
     def metadata_bytes(self, writer) -> None:
-        """u32 count, prob byte, RAbS-coded delta-orientation bits
-        (mesh_prediction_for_texture_coordinates.rs:221-260)."""
-        from ..entropy.rans import RabsEncoder
-        from ..wire.varint import leb128_write
-        # change count computed with a *forward* delta chain...
-        n0 = 0
-        last = True
-        for o in self.orientations:
-            if o != last:
-                last = o
-                n0 += 1
-        denom = np.float32(len(self.orientations)) + np.float32(0.001)
-        zp = int(np.float32(n0) / denom * np.float32(256.0) + np.float32(0.5))
-        zero_prob = max(1, min(255, zp))
-        writer.write_u32(len(self.orientations))
-        writer.write_u8(zero_prob)
-        # ...but the bits themselves use a reverse delta chain, re-reversed
-        # before coding (the reference's exact quirk)
-        last = True
-        rev_bits = []
-        for o in reversed(self.orientations):
-            if o == last:
-                rev_bits.append(1)
-            else:
-                last = o
-                rev_bits.append(0)
-        enc = RabsEncoder(zero_prob)
-        for bit in reversed(rev_bits):
-            enc.write(bit)
-        blob = enc.flush()
-        leb128_write(len(blob), writer)
-        writer.write_bytes(blob)
+        write_tex_orientations(self.orientations, writer)
+
+
+def write_tex_orientations(orientations, writer) -> None:
+    """u32 count, prob byte, RAbS-coded delta-orientation bits
+    (mesh_prediction_for_texture_coordinates.rs:221-260). Shared by the
+    host predictor and the device UV chain's metadata assembly."""
+    from ..entropy.rans import RabsEncoder
+    from ..wire.varint import leb128_write
+    orientations = [bool(o) for o in orientations]
+    # change count computed with a *forward* delta chain...
+    n0 = 0
+    last = True
+    for o in orientations:
+        if o != last:
+            last = o
+            n0 += 1
+    denom = np.float32(len(orientations)) + np.float32(0.001)
+    zp = int(np.float32(n0) / denom * np.float32(256.0) + np.float32(0.5))
+    zero_prob = max(1, min(255, zp))
+    writer.write_u32(len(orientations))
+    writer.write_u8(zero_prob)
+    # ...but the bits themselves use a reverse delta chain, re-reversed
+    # before coding (the reference's exact quirk)
+    last = True
+    rev_bits = []
+    for o in reversed(orientations):
+        if o == last:
+            rev_bits.append(1)
+        else:
+            last = o
+            rev_bits.append(0)
+    enc = RabsEncoder(zero_prob)
+    for bit in reversed(rev_bits):
+        enc.write(bit)
+    blob = enc.flush()
+    leb128_write(len(blob), writer)
+    writer.write_bytes(blob)
 
 
 def make_prediction(scheme_id: int, view: TableView, parents, n: int) -> BasePrediction:
