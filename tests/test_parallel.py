@@ -567,12 +567,11 @@ def test_device_batch_encode_normals_bit_exact(monkeypatch):
     # and the device paths really ran (entries produced, not fallbacks)
     import tpudraco.parallel.batch as bm
     topo = be._topo_cache[topology_signature(meshes[0])]
-    entries = bm._device_normal_entries(meshes, [0, 1, 2], topo,
-                                        bits=11, chunk=4)
-    assert entries and 1 in entries[0]  # normal attribute index 1
-    uv_entries = bm._device_uv_entries(meshes, [0, 1, 2], topo,
-                                       bits=11, chunk=4)
-    assert uv_entries and 2 in uv_entries[0]  # texcoord attribute index 2
+    entries = bm._device_extra_attribute_entries(meshes, [0, 1, 2], topo,
+                                                 bits=11, chunk=4)
+    assert entries
+    assert 1 in entries[0]  # normal attribute index 1
+    assert 2 in entries[0]  # texcoord attribute index 2
 
 
 @needs_ref
@@ -593,6 +592,33 @@ def test_device_batch_encode_fixtures_bit_exact(monkeypatch):
     got = be.encode_meshes_device(meshes)
     for name, m, blob in zip(names, meshes, got):
         assert blob == encode(m), name
+
+
+def test_device_batch_normal_guards(monkeypatch):
+    """Self-review r2 regressions: (a) an integer-normal sibling in a
+    group whose signature matches a float-normal mesh must not be cast
+    through the wrong octahedral branch; (b) a degenerate (zero) normal
+    routes its mesh to the host path (device exact-div masks 0/0 where
+    the host NaN-propagates). Bytes must equal encode() either way."""
+    meshes = [_grid_mesh_with_normals(6, s) for s in range(3)]
+    # (b) degenerate normal in mesh 1
+    meshes[1].attributes[1].values[3] = 0.0
+    be = BatchEncoder(strict_device=True)
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to full host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes)
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m)
+
+    # (a) int-normal sibling: same faces + dedup maps, integer dtype
+    int_meshes = [_grid_mesh_with_normals(5, 7)]
+    vals = int_meshes[0].attributes[1].values
+    int_meshes[0].attributes[1].values = (
+        np.clip(vals * 100, -127, 127).astype(np.int32))
+    got2 = BatchEncoder(strict_device=True).encode_meshes_device(int_meshes)
+    assert got2[0] == encode(int_meshes[0])
 
 
 def test_device_batch_encode_custom_bits(monkeypatch):

@@ -33,7 +33,13 @@ def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     on .5 boundaries. This computes the quotient mantissa by 32-bit
     integer long division (4 x 7-bit steps, no int64 needed without
     jax_enable_x64) and rounds exactly; signs factor out (rounding is
-    sign-symmetric)."""
+    sign-symmetric).
+
+    Caveat: quotients in the SUBNORMAL range double-round (the 24-bit
+    mantissa rounds first, ldexp then re-rounds to subnormal precision)
+    and may differ from a single correctly-rounded step by 1 ulp of a
+    subnormal. Immaterial for every codec use: a subnormal quotient
+    (< 2^-126) always quantizes/scales to integer 0 on both sides."""
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     sign = jnp.sign(a) * jnp.sign(b)

@@ -28,66 +28,8 @@ from .device import f32_div_exact, f32_sqrt_exact
 
 # ---------------------------------------------------------------- host prep
 
-def collect_normal_rings(view, sequence):
-    """Per-topology ring precompute (the swing walk of
-    NormalPrediction.predict_sequence, factored for device reuse).
-
-    Returns dict of numpy arrays:
-      tip_pt   (T,)   point index of the target corner
-      next_pt  (T,R)  point index of next(ring corner)
-      prev_pt  (T,R)  point index of prev(ring corner)
-      mask     (T,R)  ring-slot validity
-    """
-    from ..models.corner_table import NONE, next_corners, prev_corners
-
-    seq = np.asarray(sequence, dtype=np.int64)
-    T = len(seq)
-    eff_opp, ctv, _lm = view.as_arrays()
-    eff_opp = np.asarray(eff_opp, dtype=np.int64)
-    if hasattr(view, "u"):
-        points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
-    else:
-        points = np.arange(view.num_corners, dtype=np.int64)
-
-    def swing(c, left):
-        base = np.where(c >= 0, c, 0)
-        step = next_corners(base) if left else prev_corners(base)
-        o = eff_opp[step]
-        ob = np.where(o >= 0, o, 0)
-        res = next_corners(ob) if left else prev_corners(ob)
-        return np.where((c >= 0) & (o >= 0), res, NONE)
-
-    counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
-    maxv = int(np.max(counts))
-
-    # leftmost walk, then collect by swinging right (predict_sequence)
-    cur = seq.copy()
-    frozen = np.zeros(T, dtype=bool)
-    for _ in range(maxv + 1):
-        nl = swing(cur, left=True)
-        can = ~frozen & (nl != NONE)
-        cur = np.where(can, nl, cur)
-        frozen |= ~can | (can & (nl == seq))
-        if frozen.all():
-            break
-    rings = np.full((T, maxv), NONE, dtype=np.int64)
-    rings[:, 0] = cur
-    active = np.ones(T, dtype=bool)
-    prev_cur = cur
-    for i in range(1, maxv):
-        nxt = swing(prev_cur, left=False)
-        ok = active & (nxt != NONE) & (nxt != rings[:, 0])
-        rings[:, i] = np.where(ok, nxt, NONE)
-        active = ok
-        prev_cur = np.where(ok, nxt, prev_cur)
-
-    rbase = np.where(rings >= 0, rings, 0)
-    return {
-        "tip_pt": points[seq].astype(np.int32),
-        "next_pt": points[next_corners(rbase)].astype(np.int32),
-        "prev_pt": points[prev_corners(rbase)].astype(np.int32),
-        "mask": rings >= 0,
-    }
+# single source of truth for the ring precompute lives with the host twin
+from ..shared.prediction import collect_normal_rings  # noqa: F401
 
 
 # -------------------------------------------------------------- device ops
@@ -99,8 +41,13 @@ def oct_transform_device(v: jnp.ndarray) -> jnp.ndarray:
     if not jnp.issubdtype(v.dtype, jnp.floating):
         f = v.astype(jnp.float32)
         x, y, z = f[..., 0], f[..., 1], f[..., 2]
-        # explicit left-fold sum matches numpy's small-axis reduction
-        nsq = (x * x + y * y) + z * z
+        # explicit left-fold sum matches numpy's small-axis reduction;
+        # barriers stop XLA fusing the muls into FMAs (the host rounds
+        # every product before adding — see quantize_kernel)
+        xx = jax.lax.optimization_barrier(x * x)
+        yy = jax.lax.optimization_barrier(y * y)
+        zz = jax.lax.optimization_barrier(z * z)
+        nsq = (xx + yy) + zz
         norm = f32_sqrt_exact(nsq)
         f = f32_div_exact(f, jnp.broadcast_to(norm[..., None], f.shape))
         v = f

@@ -73,10 +73,10 @@ def uv_encode_chain(q_pos, q_uv, g, uo_pos, uo_uv):
 
     with jax.enable_x64(True):
         out = _uv_chain_x64(
-            jnp.asarray(np.asarray(q_pos, dtype=np.int64)),
-            jnp.asarray(np.asarray(q_uv, dtype=np.int64)),
-            jnp.asarray(uo_pos.astype(np.int32)),
-            jnp.asarray(uo_uv.astype(np.int32)),
+            jnp.asarray(q_pos).astype(jnp.int64),
+            jnp.asarray(q_uv).astype(jnp.int64),
+            jnp.asarray(np.asarray(uo_pos).astype(np.int32)),
+            jnp.asarray(np.asarray(uo_uv).astype(np.int32)),
             jnp.asarray(g["cpt"]), jnp.asarray(g["npt"]),
             jnp.asarray(g["ppt"]), jnp.asarray(g["last_pt"]),
             jnp.asarray(g["vis_n"]), jnp.asarray(g["vis_p"]),

@@ -211,12 +211,8 @@ class BatchEncoder:
                 payloads = payloads[:n]
                 # NORMAL and TEX_COORD attributes ride the device too
                 # (ops/normals.py ring chain, ops/texcoords.py UV chain)
-                normal_pre = _device_normal_entries(
+                normal_pre = _device_extra_attribute_entries(
                     meshes, idxs, topo, bits=bits, chunk=chunk)
-                for k, entries in _device_uv_entries(
-                        meshes, idxs, topo, bits=bits,
-                        chunk=chunk).items():
-                    normal_pre.setdefault(k, {}).update(entries)
                 # keep the host-side portabilization metadata at the same
                 # bit depth the device quantized with
                 cfg = (Config(quant_bits={AttributeType.POSITION: bits})
@@ -489,37 +485,51 @@ class BatchEncoder:
         return report
 
 
-@functools.partial(jax.jit, static_argnames=("bits_pos",))
-def _jit_normal_chain(pos, nrm, tip, nxt, prv, mask, uo_pos, uo_nrm,
-                      bits_pos):
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_quantize(pos, bits):
     from ..ops import quantize_kernel
-    from ..ops.normals import normal_encode_chain
-    q, _, _ = quantize_kernel(pos, bits_pos)
-    return normal_encode_chain(q, nrm, tip, nxt, prv, mask, uo_pos, uo_nrm)
+    return quantize_kernel(pos, bits)
 
 
-def _device_normal_entries(meshes, idxs, topo: PreparedTopology,
-                           bits: int, chunk: int) -> dict:
-    """Device-encode every NORMAL attribute of a topology group. Returns
-    {position-in-idxs: {att_idx: {"payload", "xform_meta"}}}; empty when
-    no normal qualifies (non-float values, or a ring/bit-depth combination
-    whose host path uses >int32 intermediates)."""
+def _attribute_eligible(meshes, idxs, att_idx, pos_id, n_comp):
+    """Device-chain eligibility shared by the normal and UV entries: the
+    attribute must be float32 with the expected component count IN EVERY
+    mesh of the group (topology_signature does not hash dtype) and must be
+    parented to the group's position attribute (the device chains predict
+    from it, matching the host's parents[0])."""
+    a0 = meshes[idxs[0]].attributes[att_idx]
+    if a0.num_components != n_comp or a0.parents != [pos_id]:
+        return False
+    return all(meshes[i].attributes[att_idx].values.dtype == np.float32
+               for i in idxs)
+
+
+def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
+                                    bits: int, chunk: int) -> dict:
+    """Device-encode the NORMAL (ops/normals.py) and TEX_COORD
+    (ops/texcoords.py) attributes of a topology group. Positions quantize
+    ONCE per chunk and feed every chain. Returns
+    {position-in-idxs: {att_idx: {"payload", "xform_meta"}}}; ineligible
+    attributes (or individual "risky"/degenerate meshes) are simply
+    absent and take the host path."""
     import jax.numpy as jnp
 
     from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
-    from ..shared.prediction import write_normal_flips
+    from ..ops.normals import normal_encode_chain
+    from ..ops.texcoords import collect_uv_gathers, uv_encode_chain
+    from ..shared.prediction import (write_normal_flips,
+                                     write_tex_orientations)
 
     mesh0 = meshes[idxs[0]]
     out: dict = {}
-    normal_idxs = [j for j, a in enumerate(mesh0.attributes)
-                   if a.att_type == AttributeType.NORMAL]
-    if not normal_idxs:
-        return out
     pos_att0 = mesh0.position_attribute()
+    pos_id = pos_att0.att_id
 
-    for ni in normal_idxs:
-        nrm0 = mesh0.attributes[ni]
-        if nrm0.values.dtype != np.float32 or nrm0.num_components != 3:
+    normal_idxs = []
+    for ni, a in enumerate(mesh0.attributes):
+        if a.att_type != AttributeType.NORMAL:
+            continue
+        if not _attribute_eligible(meshes, idxs, ni, pos_id, 3):
             continue
         rings = topo.rings_for(ni)
         R = max(int(rings["next_pt"].shape[1]), 1)
@@ -527,36 +537,82 @@ def _device_normal_entries(meshes, idxs, topo: PreparedTopology,
         # only run it where no intermediate can leave int32
         if 3 * R * (1 << (2 * bits + 1)) >= (1 << 31):
             continue
-        uo_pos = jnp.asarray(pos_att0.unique_indices().astype(np.int32))
-        uo_nrm = jnp.asarray(nrm0.unique_indices().astype(np.int32))
-        tip = jnp.asarray(rings["tip_pt"])
-        nxt = jnp.asarray(rings["next_pt"])
-        prv = jnp.asarray(rings["prev_pt"])
-        mask = jnp.asarray(rings["mask"])
+        normal_idxs.append(ni)
+    uv_idxs = [ui for ui, a in enumerate(mesh0.attributes)
+               if a.att_type == AttributeType.TEX_COORD
+               and _attribute_eligible(meshes, idxs, ui, pos_id, 2)]
+    if not normal_idxs and not uv_idxs:
+        return out
 
-        pos_batch = np.stack([meshes[i].position_attribute()
-                              .values.astype(np.float32) for i in idxs])
-        nrm_batch = np.stack([meshes[i].attributes[ni]
-                              .values.astype(np.float32) for i in idxs])
-        n = len(idxs)
-        n_pad = -(-n // chunk) * chunk
+    # per-mesh degeneracy guard for normals: a zero/non-finite normal
+    # makes the host path NaN-propagate (0/0) where the device chain's
+    # exact division masks to 0 — route such meshes to the host
+    nrm_ok = {ni: np.array([
+        bool(np.isfinite(v).all() and not (v == 0).all(axis=1).any())
+        for v in (meshes[i].attributes[ni].values for i in idxs)])
+        for ni in normal_idxs}
+
+    uo_pos = jnp.asarray(pos_att0.unique_indices().astype(np.int32))
+    n = len(idxs)
+    n_pad = -(-n // chunk) * chunk
+
+    def padded(values_list):
+        batch = np.stack(values_list)
         if n_pad != n:
-            pos_batch = np.concatenate(
-                [pos_batch, np.repeat(pos_batch[:1], n_pad - n, axis=0)])
-            nrm_batch = np.concatenate(
-                [nrm_batch, np.repeat(nrm_batch[:1], n_pad - n, axis=0)])
-        syms_parts, flips_parts = [], []
-        for c0 in range(0, n_pad, chunk):
-            s, f = _jit_normal_chain(
-                jnp.asarray(pos_batch[c0:c0 + chunk]),
-                jnp.asarray(nrm_batch[c0:c0 + chunk]),
-                tip, nxt, prv, mask, uo_pos, uo_nrm, bits_pos=bits)
-            syms_parts.append(np.asarray(s))
-            flips_parts.append(np.asarray(f))
-        syms = np.concatenate(syms_parts)[:n]
-        flips = np.concatenate(flips_parts)[:n]
+            batch = np.concatenate(
+                [batch, np.repeat(batch[:1], n_pad - n, axis=0)])
+        return batch
 
+    pos_batch = padded([meshes[i].position_attribute()
+                        .values.astype(np.float32) for i in idxs])
+    nrm_batches = {ni: padded([meshes[i].attributes[ni]
+                               .values.astype(np.float32) for i in idxs])
+                   for ni in normal_idxs}
+    uv_batches = {ui: padded([meshes[i].attributes[ui]
+                              .values.astype(np.float32) for i in idxs])
+                  for ui in uv_idxs}
+    uv_gathers = {ui: collect_uv_gathers(topo.view_for(ui),
+                                         topo.sequences[ui],
+                                         pos_att0.num_points)
+                  for ui in uv_idxs}
+
+    results: dict = {}
+    for c0 in range(0, n_pad, chunk):
+        q_pos = _jit_quantize(jnp.asarray(pos_batch[c0:c0 + chunk]),
+                              bits)[0]
+        for ni in normal_idxs:
+            rings = topo.rings_for(ni)
+            a0 = mesh0.attributes[ni]
+            s, f = normal_encode_chain(
+                q_pos, jnp.asarray(nrm_batches[ni][c0:c0 + chunk]),
+                jnp.asarray(rings["tip_pt"]), jnp.asarray(rings["next_pt"]),
+                jnp.asarray(rings["prev_pt"]), jnp.asarray(rings["mask"]),
+                uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)))
+            syms, flips = np.asarray(s), np.asarray(f)
+            r = results.setdefault(ni, {"syms": [], "flips": []})
+            r["syms"].append(syms)
+            r["flips"].append(flips)
+        for ui in uv_idxs:
+            a0 = mesh0.attributes[ui]
+            q_uv = _jit_quantize(jnp.asarray(uv_batches[ui][c0:c0 + chunk]),
+                                 10)[0]
+            syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
+                q_pos, q_uv, uv_gathers[ui], pos_att0.unique_indices(),
+                a0.unique_indices())
+            r = results.setdefault(ui, {"syms": [], "vmin": [], "vmax": [],
+                                        "ovals": [], "oflags": [],
+                                        "risky": []})
+            for key, arr in (("syms", syms), ("vmin", vmin),
+                             ("vmax", vmax), ("ovals", ovals),
+                             ("oflags", oflags), ("risky", risky)):
+                r[key].append(np.asarray(arr))
+
+    for ni in normal_idxs:
+        syms = np.concatenate(results[ni]["syms"])[:n]
+        flips = np.concatenate(results[ni]["flips"])[:n]
         for k in range(n):
+            if not nrm_ok[ni][k]:
+                continue
             w = ByteWriter()
             encode_symbols(syms[k].astype(np.uint64).ravel(), 2,
                            DIRECT_CODED, w)
@@ -567,64 +623,15 @@ def _device_normal_entries(meshes, idxs, topo: PreparedTopology,
             out.setdefault(k, {})[ni] = {
                 "payload": w.getvalue(),
                 "xform_meta": bytes(xw.getvalue())}
-    return out
-
-
-def _device_uv_entries(meshes, idxs, topo: PreparedTopology,
-                       bits: int, chunk: int) -> dict:
-    """Device-encode TEX_COORD attributes of a topology group (UV
-    prediction chain, ops/texcoords.py). Returns
-    {position-in-idxs: {att_idx: {"payload", "xform_meta"}}}; meshes whose
-    geometry hits the int64-headroom guards ("risky") are left to the
-    host path per attribute."""
-    from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
-    from ..ops.texcoords import collect_uv_gathers, uv_encode_chain
-    from ..shared.prediction import write_tex_orientations
-
-    mesh0 = meshes[idxs[0]]
-    out: dict = {}
-    uv_idxs = [j for j, a in enumerate(mesh0.attributes)
-               if a.att_type == AttributeType.TEX_COORD]
-    if not uv_idxs:
-        return out
-    pos_att0 = mesh0.position_attribute()
-    uo_pos = pos_att0.unique_indices().astype(np.int32)
-
-    # quantized inputs (bit-exact quantize kernels, batched per chunk)
-    def quantize_batch(values_list, qbits):
-        import jax.numpy as jnp
-
-        from ..ops import quantize_kernel
-        batch = np.stack(values_list)
-        n = len(values_list)
-        n_pad = -(-n // chunk) * chunk
-        if n_pad != n:
-            batch = np.concatenate(
-                [batch, np.repeat(batch[:1], n_pad - n, axis=0)])
-        qs = []
-        for c0 in range(0, n_pad, chunk):
-            q, _, _ = _jit_quantize(jnp.asarray(batch[c0:c0 + chunk]),
-                                    qbits)
-            qs.append(np.asarray(q))
-        return np.concatenate(qs)[:n]
-
-    q_pos = quantize_batch(
-        [meshes[i].position_attribute().values.astype(np.float32)
-         for i in idxs], bits)
-
     for ui in uv_idxs:
-        uv0 = mesh0.attributes[ui]
-        if uv0.values.dtype != np.float32 or uv0.num_components != 2:
-            continue
-        g = collect_uv_gathers(topo.view_for(ui), topo.sequences[ui],
-                               pos_att0.num_points)
-        uo_uv = uv0.unique_indices().astype(np.int32)
-        q_uv = quantize_batch(
-            [meshes[i].attributes[ui].values.astype(np.float32)
-             for i in idxs], 10)
-        syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
-            q_pos, q_uv, g, uo_pos, uo_uv)
-        for k in range(len(idxs)):
+        r = results[ui]
+        syms = np.concatenate(r["syms"])[:n]
+        vmin = np.concatenate(r["vmin"])[:n]
+        vmax = np.concatenate(r["vmax"])[:n]
+        ovals = np.concatenate(r["ovals"])[:n]
+        oflags = np.concatenate(r["oflags"])[:n]
+        risky = np.concatenate(r["risky"])[:n]
+        for k in range(n):
             if risky[k]:
                 continue  # host path handles this mesh's UVs exactly
             w = ByteWriter()
@@ -638,12 +645,6 @@ def _device_uv_entries(meshes, idxs, topo: PreparedTopology,
                 "payload": w.getvalue(),
                 "xform_meta": bytes(xw.getvalue())}
     return out
-
-
-@functools.partial(jax.jit, static_argnames=("bits",))
-def _jit_quantize(pos, bits):
-    from ..ops import quantize_kernel
-    return quantize_kernel(pos, bits)
 
 
 def topology_gathers_np(topo: PreparedTopology, pos_att) -> dict:

@@ -80,6 +80,69 @@ class NoPrediction(BasePrediction):
         return np.zeros(self.n, dtype=np.int64)
 
 
+def collect_normal_rings(view: TableView, sequence) -> dict:
+    """Per-topology ring precompute for normal prediction: the masked
+    leftmost-then-swing-right walk of the scalar predict(), batched.
+    Shared by the host predict_sequence and the device normal chain
+    (ops/normals.py) — single source of truth for the walk.
+
+    Returns numpy arrays: tip_pt (T,) target-corner point index;
+    next_pt/prev_pt (T, R) ring-corner neighbor point indices;
+    mask (T, R) ring-slot validity."""
+    from ..models.corner_table import next_corners, prev_corners
+
+    seq = np.asarray(sequence, dtype=np.int64)
+    T = len(seq)
+    eff_opp, ctv, _lm = view.as_arrays()
+    eff_opp = np.asarray(eff_opp, dtype=np.int64)
+    if hasattr(view, "u"):  # encoder TableView: universal point map
+        points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+    else:  # decoder view: point(c) == c
+        points = np.arange(view.num_corners, dtype=np.int64)
+
+    def swing(c, left):
+        base = np.where(c >= 0, c, 0)
+        step = next_corners(base) if left else prev_corners(base)
+        o = eff_opp[step]
+        ob = np.where(o >= 0, o, 0)
+        res = next_corners(ob) if left else prev_corners(ob)
+        return np.where((c >= 0) & (o >= 0), res, NONE)
+
+    counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
+    maxv = int(np.max(counts))
+
+    # leftmost walk (swing left until boundary or full circle)
+    cur = seq.copy()
+    frozen = np.zeros(T, dtype=bool)
+    for _ in range(maxv + 1):
+        nl = swing(cur, left=True)
+        can = ~frozen & (nl != NONE)
+        cur = np.where(can, nl, cur)
+        frozen |= ~can | (can & (nl == seq))
+        if frozen.all():
+            break
+
+    # collect rings by swinging right from the start corner
+    rings = np.full((T, maxv), NONE, dtype=np.int64)
+    rings[:, 0] = cur
+    active = np.ones(T, dtype=bool)
+    prev_cur = cur
+    for i in range(1, maxv):
+        nxt = swing(prev_cur, left=False)
+        ok = active & (nxt != NONE) & (nxt != rings[:, 0])
+        rings[:, i] = np.where(ok, nxt, NONE)
+        active = ok
+        prev_cur = np.where(ok, nxt, prev_cur)
+
+    rbase = np.where(rings >= 0, rings, 0)
+    return {
+        "tip_pt": points[seq].astype(np.int32),
+        "next_pt": points[next_corners(rbase)].astype(np.int32),
+        "prev_pt": points[prev_corners(rbase)].astype(np.int32),
+        "mask": rings >= 0,
+    }
+
+
 def _last_value_fallback(view: TableView, state: PredictionState, att_get, n):
     last_v = state.last()
     if last_v is None:
@@ -321,23 +384,16 @@ class NormalPrediction(BasePrediction):
 
         The ring around each visited vertex is traversal-state-independent
         (the scalar predict() walks the static corner table only), so the
-        entire (T, 2) prediction array computes as batched numpy: a masked
-        swing walk collects per-vertex corner rings, face-normal cross
-        products accumulate with the reference's per-face i32 wraparound,
-        and the octahedral quantization pipeline runs batched. Bit-identical
-        to the scalar path (pinned by tests)."""
-        from ..models.corner_table import next_corners, prev_corners
-
+        entire (T, 2) prediction array computes as batched numpy: the
+        shared collect_normal_rings walk gathers per-vertex rings,
+        face-normal cross products accumulate with the reference's
+        per-face i32 wraparound, and the octahedral quantization pipeline
+        runs batched. Bit-identical to the scalar path (pinned by
+        tests)."""
         seq = np.asarray(sequence, dtype=np.int64)
         T = len(seq)
         if T == 0:
             return np.zeros((0, 2), dtype=np.int64)
-        eff_opp, ctv, _lm = view.as_arrays()
-        eff_opp = np.asarray(eff_opp, dtype=np.int64)
-        if hasattr(view, "u"):  # encoder TableView: universal point map
-            points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
-        else:  # decoder view: point(c) == c
-            points = np.arange(view.num_corners, dtype=np.int64)
         if hasattr(pos_parent, "unique_indices"):  # encoder Attribute
             posvals = pos_parent.values[pos_parent.unique_indices()].astype(
                 np.int64)
@@ -346,51 +402,19 @@ class NormalPrediction(BasePrediction):
             posvals = np.asarray(da.quantized_by_vertex, dtype=np.int64)[
                 np.asarray(da.vertex_of_corner, dtype=np.int64)]
 
-        def swing(c, left):
-            base = np.where(c >= 0, c, 0)
-            step = next_corners(base) if left else prev_corners(base)
-            o = eff_opp[step]
-            ob = np.where(o >= 0, o, 0)
-            res = next_corners(ob) if left else prev_corners(ob)
-            return np.where((c >= 0) & (o >= 0), res, NONE)
-
-        counts = np.bincount(ctv[ctv >= 0]) if (ctv >= 0).any() else [1]
-        maxv = int(np.max(counts))
-
-        # leftmost walk (swing left until boundary or full circle)
-        cur = seq.copy()
-        frozen = np.zeros(T, dtype=bool)
-        for _ in range(maxv + 1):
-            nl = swing(cur, left=True)
-            can = ~frozen & (nl != NONE)
-            cur = np.where(can, nl, cur)
-            frozen |= ~can | (can & (nl == seq))
-            if frozen.all():
-                break
-
-        # collect rings by swinging right from the start corner
-        rings = np.full((T, maxv), NONE, dtype=np.int64)
-        rings[:, 0] = cur
-        active = np.ones(T, dtype=bool)
-        prev_cur = cur
-        for i in range(1, maxv):
-            nxt = swing(prev_cur, left=False)
-            ok = active & (nxt != NONE) & (nxt != rings[:, 0])
-            rings[:, i] = np.where(ok, nxt, NONE)
-            active = ok
-            prev_cur = np.where(ok, nxt, prev_cur)
+        rings = collect_normal_rings(view, sequence)
+        mask = rings["mask"]
 
         wrap32 = lambda x: ((x + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)  # noqa: E731
-        rbase = np.where(rings >= 0, rings, 0)
-        pos_tip = posvals[points[seq]][:, None, :]          # (T, 1, 3)
-        pn = posvals[points[next_corners(rbase)]] - pos_tip  # (T, R, 3)
-        pp = posvals[points[prev_corners(rbase)]] - pos_tip
+        pos_tip = posvals[rings["tip_pt"]][:, None, :]       # (T, 1, 3)
+        pn = posvals[rings["next_pt"]] - pos_tip             # (T, R, 3)
+        pp = posvals[rings["prev_pt"]] - pos_tip
         cr = np.stack([
             wrap32(pn[..., 1] * pp[..., 2] - pn[..., 2] * pp[..., 1]),
             wrap32(pn[..., 2] * pp[..., 0] - pn[..., 0] * pp[..., 2]),
             wrap32(pn[..., 0] * pp[..., 1] - pn[..., 1] * pp[..., 0]),
         ], axis=-1)
-        cr = np.where((rings >= 0)[..., None], cr, 0)
+        cr = np.where(mask[..., None], cr, 0)
         total = cr.sum(axis=1)                               # (T, 3)
 
         upper = 1 << 29
