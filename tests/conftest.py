@@ -22,5 +22,10 @@ try:
     if not os.environ.get("TPUDRACO_TEST_TPU"):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # persistent compile cache: the suite is compile-heavy (x64 UV chain,
+    # shard_map oracles); warm runs skip all of it
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass

@@ -637,3 +637,40 @@ def test_device_batch_encode_custom_bits(monkeypatch):
     cfg = Config(quant_bits={AttributeType.POSITION: 13})
     for m, blob in zip(meshes, got):
         assert blob == encode(m, cfg=cfg)
+
+
+@needs_ref
+def test_transcode_corpus_device_matches_per_file(tmp_path):
+    """Device-batched corpus transcode must produce GLBs byte-identical
+    to per-file DracoTranscoder runs, with resume + error isolation."""
+    import shutil
+
+    from tpudraco.io import DracoTranscoder
+    from tpudraco.parallel import transcode_corpus
+
+    duck = os.path.join(REF_DATA, "Duck", "Duck.glb")
+    inputs = []
+    for i in range(3):
+        p = str(tmp_path / f"duck{i}.glb")
+        shutil.copy(duck, p)
+        inputs.append(p)
+    bad = str(tmp_path / "broken.glb")
+    with open(bad, "wb") as f:
+        f.write(b"not a glb at all")
+    inputs.append(bad)
+
+    out = str(tmp_path / "out")
+    rep = transcode_corpus(inputs, out, use_device=True)
+    assert rep["transcoded"] == 3
+    assert len(rep["failed"]) == 1 and "broken" in rep["failed"][0]["path"]
+
+    ref_out = str(tmp_path / "ref.glb")
+    DracoTranscoder().transcode_file(inputs[0], ref_out)
+    want = open(ref_out, "rb").read()
+    for i in range(3):
+        got = open(os.path.join(out, f"duck{i}.glb"), "rb").read()
+        assert got == want
+
+    # resume skips everything
+    rep2 = transcode_corpus(inputs, out, use_device=True)
+    assert rep2["skipped"] == 3 and rep2["transcoded"] == 0

@@ -601,11 +601,14 @@ class GlbWriter:
     consumers tuned to its output."""
 
     def __init__(self, compress: bool = True,
-                 khr_ids: str = "unique") -> None:
+                 khr_ids: str = "unique", encoder=None) -> None:
         if khr_ids not in ("unique", "reference"):
             raise ValueError(f"unknown khr_ids mode {khr_ids!r}")
         self.compress = compress
         self.khr_ids = khr_ids
+        # optional mesh -> draco bytes hook (the corpus transcoder injects
+        # device-batched blobs here); None falls back to encode()
+        self.encoder = encoder
         self.bin = bytearray()
         self.buffer_views: list[dict] = []
         self.accessors: list[dict] = []
@@ -641,7 +644,8 @@ class GlbWriter:
             prim["material"] = material_index
         semantics = assign_semantics(mesh.attributes)
         if self.compress:
-            blob = draco_encode(mesh)
+            blob = (self.encoder(mesh) if self.encoder is not None
+                    else None) or draco_encode(mesh)
             bv = self._add_buffer_view(blob)
             prim["indices"] = self._add_accessor(
                 componentType=5125, count=int(mesh.faces.size),
@@ -1051,8 +1055,9 @@ def _write_glb(gltf: dict, bin_data: bytes, path: str) -> None:
 
 
 def save_scene_glb(scene: Scene, path: str, compress: bool = True,
-                   khr_ids: str = "unique") -> None:
-    GlbWriter(compress=compress, khr_ids=khr_ids).write_scene(scene, path)
+                   khr_ids: str = "unique", encoder=None) -> None:
+    GlbWriter(compress=compress, khr_ids=khr_ids,
+              encoder=encoder).write_scene(scene, path)
 
 
 class DracoTranscoder:
