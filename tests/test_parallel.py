@@ -674,3 +674,44 @@ def test_transcode_corpus_device_matches_per_file(tmp_path):
     # resume skips everything
     rep2 = transcode_corpus(inputs, out, use_device=True)
     assert rep2["skipped"] == 3 and rep2["transcoded"] == 0
+
+
+def test_device_batch_random_topology_fuzz(monkeypatch):
+    """Randomized meshes (Delaunay triangulations with punched holes,
+    random normals/UVs) through the full device batch — bytes must equal
+    host encode() for every seed. Catches corner cases the grid fixtures
+    miss (irregular valences, boundary rings, fallback-heavy
+    traversals)."""
+    from scipy.spatial import Delaunay
+
+    def random_mesh(seed):
+        rng = np.random.RandomState(seed)
+        pts = rng.rand(60, 2).astype(np.float32) * 4
+        tri = Delaunay(pts)
+        faces = tri.simplices.astype(np.int64)
+        keep = rng.rand(len(faces)) > 0.15   # punch holes
+        faces = faces[keep]
+        z = rng.rand(len(pts)).astype(np.float32)
+        pos = np.concatenate([pts, z[:, None]], axis=1)
+        nrm = rng.randn(len(pts), 3).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        uv = (pts / 4).astype(np.float32)
+        b = MeshBuilder()
+        b.set_connectivity_attribute(faces)
+        pid = b.add_attribute(pos, AttributeType.POSITION,
+                              AttributeDomain.POSITION)
+        b.add_attribute(nrm, AttributeType.NORMAL, AttributeDomain.CORNER,
+                        parents=[pid])
+        b.add_attribute(uv, AttributeType.TEX_COORD,
+                        AttributeDomain.CORNER, parents=[pid])
+        return b.build()
+
+    meshes = [random_mesh(s) for s in range(6)]
+    be = BatchEncoder(strict_device=True)
+
+    def no_fallback(self, mesh):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes)
+    for s, (m, blob) in enumerate(zip(meshes, got)):
+        assert blob == encode(m), f"seed {s}"
