@@ -59,3 +59,61 @@ def test_analyzer_report(tmp_path):
     stats = json.load(open(os.path.join(sub, "stats.json")))
     assert stats["num_faces"] == 4
     assert stats["diff_l2_norm"] < 1e-2
+
+
+def test_corpus_cli(tmp_path):
+    """tpudraco.tools.corpus drives encode/decode/transcode over
+    directories with resume."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    from tpudraco.io.obj import save_obj
+    from tpudraco.models import (AttributeDomain, AttributeType,
+                                 MeshBuilder)
+    from tpudraco.tools.corpus import main as corpus_main
+
+    n = 6
+    rng = np.random.RandomState(0)
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32)], 1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces))
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = b.build()
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        save_obj(mesh, str(src / f"m{i}.obj"))
+
+    enc_out = str(tmp_path / "enc")
+    assert corpus_main(["encode", "-i", str(src), "-o", enc_out]) == 0
+    assert sorted(os.listdir(enc_out))[:3] == ["corpus_report.json",
+                                               "m0.drc", "m1.drc"]
+
+    dec_out = str(tmp_path / "dec")
+    assert corpus_main(["decode", "-i", enc_out, "-o", dec_out,
+                        "--fmt", "ply"]) == 0
+    from tpudraco.io import load_ply
+    back = load_ply(os.path.join(dec_out, "m0.ply"))
+    assert back.num_faces == mesh.num_faces
+
+    duck = "/root/reference/draco-oxide/tests/data/Duck/Duck.glb"
+    if os.path.isfile(duck):
+        gsrc = tmp_path / "glbs"
+        gsrc.mkdir()
+        shutil.copy(duck, str(gsrc / "duck.glb"))
+        t_out = str(tmp_path / "t")
+        assert corpus_main(["transcode", "-i", str(gsrc), "-o", t_out,
+                            "--host-only"]) == 0
+        with open(os.path.join(t_out, "transcode_report.json")) as f:
+            assert json.load(f)["transcoded"] == 1

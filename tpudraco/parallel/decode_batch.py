@@ -216,10 +216,13 @@ class BatchDecoder:
     def decode_corpus(self, inputs: list[str], out_dir: str,
                       resume: bool = True, fmt: str = "obj",
                       workers: int = 1) -> dict:
-        """Decode .drc files to meshes on disk. Skips outputs that already
-        exist (resume); a bad blob is reported, not fatal. ``workers`` > 1
-        decodes on a thread pool (the C++ chains release the GIL)."""
-        from ..io.obj import save_obj
+        """Decode .drc files to meshes on disk (``fmt``: obj or ply).
+        Skips outputs that already exist (resume); a bad blob is reported,
+        not fatal. ``workers`` > 1 decodes on a thread pool (the C++
+        chains release the GIL)."""
+        from ..io.obj import save_obj as _save_obj
+        from ..io.ply import save_ply as _save_ply
+        save_mesh = _save_ply if fmt == "ply" else _save_obj
 
         os.makedirs(out_dir, exist_ok=True)
         report = {"decoded": 0, "skipped": 0, "failed": [],
@@ -236,7 +239,7 @@ class BatchDecoder:
                     blob = f.read()
                 mesh = decode(blob)
                 tmp = out_path + f".tmp{os.getpid()}"
-                save_obj(mesh, tmp)
+                save_mesh(mesh, tmp)
                 os.replace(tmp, out_path)
                 return ("decoded", path, len(blob))
             except Exception as e:  # per-item isolation

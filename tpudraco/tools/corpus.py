@@ -1,0 +1,90 @@
+"""Corpus-scale CLI: encode, decode, or transcode whole directories with
+the batch drivers (resume + per-file error isolation; optional device
+batching; multi-host aware for encode).
+
+Usage:
+  python -m tpudraco.tools.corpus encode    -i meshes/ -o out/ [--device]
+  python -m tpudraco.tools.corpus decode    -i drcs/   -o out/ [--fmt ply]
+  python -m tpudraco.tools.corpus transcode -i glbs/   -o out/ [--host-only]
+
+Inputs may be directories (scanned non-recursively for known extensions)
+or explicit file lists. Under a multi-host launcher
+(JAX_COORDINATOR_ADDRESS set), `encode` shards the corpus across hosts
+(parallel/multihost.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+ENCODE_EXTS = (".obj", ".ply", ".gltf", ".glb")
+DECODE_EXTS = (".drc",)
+TRANSCODE_EXTS = (".gltf", ".glb")
+
+
+def _expand(inputs: list[str], exts) -> list[str]:
+    out = []
+    for p in inputs:
+        if os.path.isdir(p):
+            for e in exts:
+                out.extend(sorted(glob.glob(os.path.join(p, "*" + e))))
+        else:
+            out.append(p)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpudraco-corpus")
+    ap.add_argument("command", choices=("encode", "decode", "transcode"))
+    ap.add_argument("-i", "--input", nargs="+", required=True,
+                    help="input files or directories")
+    ap.add_argument("-o", "--output", required=True, help="output directory")
+    ap.add_argument("--device", action="store_true",
+                    help="encode: batch same-topology meshes on the "
+                         "accelerator")
+    ap.add_argument("--host-only", action="store_true",
+                    help="transcode: skip the device batch")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="re-process inputs whose outputs already exist")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="host thread workers (encode/decode)")
+    ap.add_argument("--fmt", default="obj", choices=("obj", "ply"),
+                    help="decode output format")
+    args = ap.parse_args(argv)
+    resume = not args.no_resume
+
+    if args.command == "encode":
+        inputs = _expand(args.input, ENCODE_EXTS)
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from ..parallel import encode_corpus_multihost, init_distributed
+            init_distributed()
+            report = encode_corpus_multihost(inputs, args.output,
+                                             resume=resume)
+        else:
+            from ..parallel import BatchEncoder
+            report = BatchEncoder(use_device=args.device).encode_corpus(
+                inputs, args.output, resume=resume, workers=args.workers)
+    elif args.command == "decode":
+        from ..parallel import BatchDecoder
+        inputs = _expand(args.input, DECODE_EXTS)
+        report = BatchDecoder().decode_corpus(
+            inputs, args.output, resume=resume, fmt=args.fmt,
+            workers=args.workers)
+    else:
+        from ..parallel import transcode_corpus
+        inputs = _expand(args.input, TRANSCODE_EXTS)
+        report = transcode_corpus(inputs, args.output,
+                                  use_device=not args.host_only,
+                                  resume=resume)
+
+    json.dump(report, sys.stdout, indent=1)
+    sys.stdout.write("\n")
+    return 0 if not report.get("failed") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
