@@ -117,3 +117,40 @@ def test_corpus_cli(tmp_path):
                             "--host-only"]) == 0
         with open(os.path.join(t_out, "transcode_report.json")) as f:
             assert json.load(f)["transcoded"] == 1
+
+
+def test_corpus_cli_ply_and_collisions(tmp_path):
+    """Self-review r3 regressions: .ply inputs encode via the dispatched
+    loader; duplicate output names are reported, not silently clobbered."""
+    import numpy as np
+
+    from tpudraco.io import save_ply
+    from tpudraco.models import (AttributeDomain, AttributeType,
+                                 MeshBuilder)
+    from tpudraco.parallel import BatchEncoder
+    from tpudraco.tools.corpus import main as corpus_main
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                   np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+    b = MeshBuilder()
+    b.set_connectivity_attribute(faces)
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = b.build()
+
+    src = tmp_path / "in"
+    src.mkdir()
+    save_ply(mesh, str(src / "quad.ply"))
+    out = str(tmp_path / "enc")
+    assert corpus_main(["encode", "-i", str(src), "-o", out]) == 0
+    assert os.path.isfile(os.path.join(out, "quad.drc"))
+
+    # same basename in two dirs -> second reported as collision
+    d2 = tmp_path / "in2"
+    d2.mkdir()
+    save_ply(mesh, str(d2 / "quad.ply"))
+    rep = BatchEncoder().encode_corpus(
+        [str(src / "quad.ply"), str(d2 / "quad.ply")],
+        str(tmp_path / "enc2"))
+    assert rep["encoded"] == 1
+    assert rep["failed"][0]["error"] == "output name collision"

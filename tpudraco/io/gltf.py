@@ -557,6 +557,21 @@ def split_mesh_by_materials(mesh: Mesh) -> list[tuple[int, Mesh]]:
     return out
 
 
+def iter_scene_primitives(scene: Scene):
+    """The canonical primitive enumeration: yields (group index, instance,
+    material id, sub-mesh) in the exact order GlbWriter.write_scene encodes
+    them. The corpus transcoder iterates the SAME generator to precompute
+    device-batched blobs, so the two can never drift (reference
+    add_draco_mesh_as_primitive:919-929 per-material split)."""
+    for gi, group in enumerate(scene.mesh_groups):
+        for inst in group.instances:
+            mesh = scene.meshes[inst.mesh_index]
+            if mesh.num_faces == 0:
+                continue
+            for mat_id, sub in split_mesh_by_materials(mesh):
+                yield gi, inst, mat_id, sub
+
+
 def _merge_meshes(meshes: list[Mesh]) -> Mesh:
     """Concatenate meshes that share an attribute layout. Keyed by
     (type, name, components) so multiple same-type attributes (TEXCOORD_0
@@ -736,36 +751,28 @@ class GlbWriter:
 
         materials_json = [_material_to_json(m) for m in lib.materials]
 
-        for group in scene.mesh_groups:
-            prims = []
-            for inst in group.instances:
-                mesh = scene.meshes[inst.mesh_index]
-                if mesh.num_faces == 0:
-                    continue
-                # Material-attributed meshes split into one primitive per
-                # material (reference add_draco_mesh_as_primitive:919-929)
-                for mat_id, sub in split_mesh_by_materials(mesh):
-                    prim = self.add_mesh_primitive(
-                        sub, inst.material_index if mat_id < 0 else mat_id)
-                    if inst.mesh_features:
-                        prim.setdefault("extensions", {})[
-                            "EXT_mesh_features"] = {
-                                "featureIds": inst.mesh_features}
-                        self.extensions_optional.add("EXT_mesh_features")
-                    if inst.structural_metadata:
-                        prim.setdefault("extensions", {})[
-                            "EXT_structural_metadata"] = \
-                            inst.structural_metadata
-                        self.extensions_optional.add(
-                            "EXT_structural_metadata")
-                    if inst.materials_variants:
-                        prim.setdefault("extensions", {})[
-                            "KHR_materials_variants"] = {
-                                "mappings": inst.materials_variants}
-                        self.extensions_optional.add(
-                            "KHR_materials_variants")
-                    prims.append(prim)
-            gm = {"primitives": prims}
+        prims_by_group: dict[int, list] = {
+            gi: [] for gi in range(len(scene.mesh_groups))}
+        for gi, inst, mat_id, sub in iter_scene_primitives(scene):
+            prim = self.add_mesh_primitive(
+                sub, inst.material_index if mat_id < 0 else mat_id)
+            if inst.mesh_features:
+                prim.setdefault("extensions", {})[
+                    "EXT_mesh_features"] = {
+                        "featureIds": inst.mesh_features}
+                self.extensions_optional.add("EXT_mesh_features")
+            if inst.structural_metadata:
+                prim.setdefault("extensions", {})[
+                    "EXT_structural_metadata"] = inst.structural_metadata
+                self.extensions_optional.add("EXT_structural_metadata")
+            if inst.materials_variants:
+                prim.setdefault("extensions", {})[
+                    "KHR_materials_variants"] = {
+                        "mappings": inst.materials_variants}
+                self.extensions_optional.add("KHR_materials_variants")
+            prims_by_group[gi].append(prim)
+        for gi, group in enumerate(scene.mesh_groups):
+            gm = {"primitives": prims_by_group[gi]}
             if group.name:
                 gm["name"] = group.name
             self.gltf_meshes.append(gm)

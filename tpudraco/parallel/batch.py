@@ -66,6 +66,23 @@ class PreparedTopology:
         return self.normal_rings[i]
 
 
+def _drop_output_collisions(inputs, out_path_for):
+    """Split ``inputs`` into (kept, collided): inputs whose output path
+    was already claimed by an earlier input (duplicate basenames across
+    directories, duplicate paths) are reported instead of silently
+    overwriting the earlier result."""
+    seen: dict = {}
+    kept, collided = [], []
+    for p in inputs:
+        o = out_path_for(p)
+        if o in seen:
+            collided.append(p)
+        else:
+            seen[o] = p
+            kept.append(p)
+    return kept, collided
+
+
 def topology_signature(mesh: Mesh) -> str:
     """Meshes share a PreparedTopology iff faces and all per-attribute
     value-dedup maps coincide."""
@@ -409,7 +426,7 @@ class BatchEncoder:
         per-mesh error isolation. ``workers`` > 1 encodes files on a thread
         pool — the C++ topology/entropy passes release the GIL, so this
         scales across host cores. Returns a report dict."""
-        from ..io import load_gltf, load_obj
+        from ..io import load_mesh
 
         os.makedirs(out_dir, exist_ok=True)
         report = {"encoded": 0, "skipped": 0, "failed": [],
@@ -419,6 +436,15 @@ class BatchEncoder:
         def out_path_for(path):
             name = os.path.splitext(os.path.basename(path))[0] + ".drc"
             return os.path.join(out_dir, name)
+
+        # output names key on the basename: a second input mapping to the
+        # same name would silently overwrite the first and corrupt resume
+        # accounting — report it instead
+        inputs, name_collisions = _drop_output_collisions(inputs,
+                                                          out_path_for)
+        for path in name_collisions:
+            report["failed"].append(
+                {"path": path, "error": "output name collision"})
 
         device_blobs: dict[str, bytes | None] = {}
         if self.use_device:
@@ -430,9 +456,7 @@ class BatchEncoder:
                 if resume and os.path.isfile(out_path_for(path)):
                     continue
                 try:
-                    ext = os.path.splitext(path)[1].lower()
-                    load_meshes.append(load_obj(path) if ext == ".obj"
-                                       else load_gltf(path))
+                    load_meshes.append(load_mesh(path))
                     loadable.append(path)
                 except Exception:
                     pass  # per-file isolation below re-reports the error
@@ -446,10 +470,7 @@ class BatchEncoder:
             try:
                 blob = device_blobs.get(path)
                 if blob is None:
-                    ext = os.path.splitext(path)[1].lower()
-                    mesh = (load_obj(path) if ext == ".obj"
-                            else load_gltf(path))
-                    blob = self.encode_mesh(mesh)
+                    blob = self.encode_mesh(load_mesh(path))
                 tmp = out_path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(blob)

@@ -229,9 +229,18 @@ class BatchDecoder:
                   "total_in_bytes": 0}
         t0 = time.perf_counter()
 
-        def one(path):
+        def out_path_for(path):
             name = os.path.splitext(os.path.basename(path))[0] + "." + fmt
-            out_path = os.path.join(out_dir, name)
+            return os.path.join(out_dir, name)
+
+        from .batch import _drop_output_collisions
+        inputs, collided = _drop_output_collisions(inputs, out_path_for)
+        for path in collided:
+            report["failed"].append(
+                {"path": path, "error": "output name collision"})
+
+        def one(path):
+            out_path = out_path_for(path)
             if resume and os.path.isfile(out_path):
                 return ("skipped", path, 0)
             try:

@@ -39,7 +39,9 @@ def shard_corpus(inputs: list[str], process_id: int,
 
 
 def encode_corpus_multihost(inputs: list[str], out_dir: str,
-                            resume: bool = True) -> dict:
+                            resume: bool = True,
+                            use_device: bool = False,
+                            workers: int = 1) -> dict:
     """Encode a corpus across all participating hosts. Every host writes
     its own outputs (shared filesystem or per-host dirs both work); the
     merged report is returned on every host, with cross-host totals
@@ -52,7 +54,8 @@ def encode_corpus_multihost(inputs: list[str], out_dir: str,
 
     pid, nproc = jax.process_index(), jax.process_count()
     mine = shard_corpus(inputs, pid, nproc)
-    report = BatchEncoder().encode_corpus(mine, out_dir, resume=resume)
+    report = BatchEncoder(use_device=use_device).encode_corpus(
+        mine, out_dir, resume=resume, workers=workers)
 
     if nproc > 1:
         # aggregate counters over DCN (one all-gather of a 4-vector);

@@ -4,11 +4,14 @@ per-file DracoTranscoder.
 The reference's transcoder is the natural batch driver (SURVEY.md §3.2:
 the per-primitive encode() call inside GltfAsset::add_scene is the shard
 axis). This driver collects every primitive sub-mesh across the corpus
-first, device-encodes them grouped by topology (BatchEncoder, including
-the NORMAL/TEX_COORD device chains), and then writes each GLB with the
-precomputed blobs injected through the GlbWriter encoder hook. Output
-files are byte-identical to per-file DracoTranscoder runs (pinned by
-tests); per-file error isolation and resume mirror encode_corpus.
+(through the SAME iter_scene_primitives generator the writer encodes
+from, so the two cannot drift), device-encodes the unique ones grouped
+by topology (BatchEncoder, including the NORMAL/TEX_COORD device
+chains), and then writes each GLB with the precomputed blobs injected
+through the GlbWriter encoder hook. Output files are byte-identical to
+per-file DracoTranscoder runs (pinned by tests); per-file error
+isolation, resume, collision detection, and device-fallback counters
+mirror encode_corpus.
 """
 
 from __future__ import annotations
@@ -22,31 +25,21 @@ import numpy as np
 
 
 def mesh_content_key(mesh) -> str:
-    """Full content hash (topology + every attribute's values), keying
-    the precomputed-blob map across the writer's re-split meshes."""
+    """Full content hash keying the precomputed-blob map across the
+    writer's re-split meshes. Covers every wire-relevant attribute field
+    (type/domain/components/dtype/ids/parents/shapes, delimited) — two
+    meshes share a key iff encode() would emit identical bytes."""
     h = hashlib.sha256()
+    h.update(repr(mesh.faces.shape).encode())
     h.update(np.ascontiguousarray(mesh.faces).tobytes())
     for a in mesh.attributes:
-        h.update(bytes([a.att_type, a.domain, a.num_components]))
+        h.update(repr((int(a.att_type), int(a.domain),
+                       int(a.num_components), a.att_id, a.unique_id,
+                       tuple(a.parents), a.values.dtype.str,
+                       a.values.shape)).encode())
         h.update(np.ascontiguousarray(a.unique_indices()).tobytes())
         h.update(np.ascontiguousarray(a.values).tobytes())
     return h.hexdigest()
-
-
-def _scene_submeshes(scene):
-    """The exact sub-mesh sequence GlbWriter.write_scene will encode
-    (per-material primitive split, empty meshes skipped)."""
-    from ..io.gltf import split_mesh_by_materials
-
-    subs = []
-    for group in scene.mesh_groups:
-        for inst in group.instances:
-            mesh = scene.meshes[inst.mesh_index]
-            if mesh.num_faces == 0:
-                continue
-            for _mat_id, sub in split_mesh_by_materials(mesh):
-                subs.append(sub)
-    return subs
 
 
 def transcode_corpus(inputs: list[str], out_dir: str,
@@ -54,9 +47,11 @@ def transcode_corpus(inputs: list[str], out_dir: str,
                      khr_ids: str = "unique") -> dict:
     """Transcode a corpus of glTF/GLB files to draco-compressed GLBs with
     the primitive encodes batched on the accelerator across ALL files
-    (topology groups span the corpus). Returns a report dict."""
-    from ..io.gltf import load_gltf_to_scene, save_scene_glb
-    from .batch import BatchEncoder
+    (topology groups span the corpus; duplicate assets encode once).
+    Returns a report dict."""
+    from ..io.gltf import (iter_scene_primitives, load_gltf_to_scene,
+                           save_scene_glb)
+    from .batch import BatchEncoder, _drop_output_collisions
 
     os.makedirs(out_dir, exist_ok=True)
     report = {"transcoded": 0, "skipped": 0, "failed": [],
@@ -67,30 +62,46 @@ def transcode_corpus(inputs: list[str], out_dir: str,
         return os.path.join(
             out_dir, os.path.splitext(os.path.basename(path))[0] + ".glb")
 
-    # phase 1: load scenes, collect every primitive sub-mesh
+    # drop exact duplicate inputs, then output-name collisions
+    deduped = list(dict.fromkeys(inputs))
+    inputs, collided = _drop_output_collisions(deduped, out_path_for)
+    for path in collided:
+        report["failed"].append(
+            {"path": path, "error": "output name collision"})
+
+    # phase 1: load scenes, collect unique primitive sub-meshes (the same
+    # enumeration the writer will encode)
     scenes: dict[str, object] = {}
-    all_subs: list = []
+    unique_subs: dict[str, object] = {}
     for path in inputs:
         if resume and os.path.isfile(out_path_for(path)):
             continue
         try:
             scene = load_gltf_to_scene(path)
             scenes[path] = scene
-            all_subs.extend(_scene_submeshes(scene))
+            for _gi, _inst, _mat, sub in iter_scene_primitives(scene):
+                unique_subs.setdefault(mesh_content_key(sub), sub)
         except Exception as e:
             report["failed"].append({"path": path, "error": repr(e)})
 
-    # phase 2: device-batch encode across the whole corpus
+    # phase 2: device-batch encode the unique sub-meshes corpus-wide
     blob_map: dict[str, bytes] = {}
-    if use_device and all_subs:
-        be = BatchEncoder()
-        blobs = be.encode_meshes_device(all_subs)
-        for sub, blob in zip(all_subs, blobs):
+    be = BatchEncoder(use_device=use_device)
+    if use_device and unique_subs:
+        keys = list(unique_subs)
+        blobs = be.encode_meshes_device([unique_subs[k] for k in keys])
+        for k, blob in zip(keys, blobs):
             if blob is not None:
-                blob_map[mesh_content_key(sub)] = blob
+                blob_map[k] = blob
+
+    misses = 0
 
     def encoder(mesh):
-        return blob_map.get(mesh_content_key(mesh))
+        nonlocal misses
+        blob = blob_map.get(mesh_content_key(mesh))
+        if blob is None:
+            misses += 1
+        return blob
 
     # phase 3: write each scene with the precomputed blobs injected
     for path in inputs:
@@ -113,6 +124,13 @@ def transcode_corpus(inputs: list[str], out_dir: str,
             report["failed"].append({"path": path, "error": repr(e)})
 
     report["seconds"] = round(time.perf_counter() - t0, 3)
+    if use_device:
+        # surface silent degradations, mirroring encode_corpus: groups
+        # that fell back to host inside encode_meshes_device, and writer
+        # encoder-hook misses that re-encoded on host
+        report["device_fallback_groups"] = be.fallback_groups
+        report["device_fallback_meshes"] = be.fallback_meshes
+        report["encoder_hook_misses"] = misses
     with open(os.path.join(out_dir, "transcode_report.json"), "w") as f:
         json.dump(report, f, indent=1)
     return report

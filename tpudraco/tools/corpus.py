@@ -63,7 +63,9 @@ def main(argv=None) -> int:
             from ..parallel import encode_corpus_multihost, init_distributed
             init_distributed()
             report = encode_corpus_multihost(inputs, args.output,
-                                             resume=resume)
+                                             resume=resume,
+                                             use_device=args.device,
+                                             workers=args.workers)
         else:
             from ..parallel import BatchEncoder
             report = BatchEncoder(use_device=args.device).encode_corpus(
