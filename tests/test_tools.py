@@ -154,3 +154,34 @@ def test_corpus_cli_ply_and_collisions(tmp_path):
         str(tmp_path / "enc2"))
     assert rep["encoded"] == 1
     assert rep["failed"][0]["error"] == "output name collision"
+
+
+def test_cli_compression_levels_and_glb_out(tmp_path):
+    """-cl presets are monotone-ish in size and all round-trip; .drc
+    decodes to .glb too."""
+    from tpudraco.decode import decode
+    from tpudraco.io import load_gltf
+    from tpudraco.tools.cli import main as cli
+
+    src = "/root/reference/draco-oxide/tests/data/torus.obj"
+    if not os.path.isfile(src):
+        import pytest
+        pytest.skip("fixtures not mounted")
+
+    sizes = {}
+    for cl in (0, 5, 8, 10):
+        out = str(tmp_path / f"cl{cl}.drc")
+        assert cli(["-i", src, "-o", out, "-cl", str(cl), "-q"]) == 0
+        sizes[cl] = os.path.getsize(out)
+        m = decode(open(out, "rb").read())
+        assert m.num_faces == 4095
+    # higher levels never larger on this regular mesh; 10 strictly wins
+    assert sizes[5] <= sizes[0]
+    assert sizes[8] <= sizes[5]
+    assert sizes[10] < sizes[8]
+
+    # decode to GLB container
+    glb = str(tmp_path / "torus.glb")
+    assert cli(["-i", str(tmp_path / "cl5.drc"), "-o", glb, "-q"]) == 0
+    back = load_gltf(glb)
+    assert back.num_faces == 4095

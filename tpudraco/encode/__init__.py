@@ -46,6 +46,37 @@ class Config:
     prediction: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
 
+    @classmethod
+    def from_level(cls, level: int) -> "Config":
+        """draco_encoder's -cl compression-level knob (0 = fastest,
+        10 = smallest), mapped onto this framework's knobs. The reference
+        declares no such mapping (its Config fields are mostly unwired);
+        this one is documented and pinned by tests:
+          0-2: sequential connectivity (raw indices, no traversal)
+          3-6: edgebreaker Standard, reference-faithful DirectCoded
+          7-8: edgebreaker Standard + table-aware auto symbol coding
+          9-10: valence traversal + auto symbol coding + (10) averaged
+                multi-parallelogram positions — tpudraco-dialect streams,
+                smallest output, decodable by this framework
+        """
+        if not 0 <= level <= 10:
+            raise ValueError(f"compression level {level} not in 0..10")
+        from ..shared.clers import EB_STANDARD, EB_VALENCE
+        if level <= 2:
+            return cls(encoder_method=METHOD_SEQUENTIAL)
+        if level <= 6:
+            return cls()
+        if level <= 8:
+            return cls(symbol_coding="auto")
+        cfg = cls(traversal=EB_VALENCE if level >= 9 else EB_STANDARD,
+                  symbol_coding="auto")
+        if level == 10:
+            from ..models.attribute import AttributeType
+            from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
+            cfg.prediction = {
+                AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
+        return cfg
+
 
 def encode_header(writer: ByteWriter, cfg: Config) -> None:
     """"DRACO", version 2.2, geometry type, method, u16 flags

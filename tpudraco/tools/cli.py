@@ -52,6 +52,12 @@ def main(argv=None) -> int:
                         "averaged multi-parallelogram (wire id 2; the "
                         "reference stubs it) — usually smaller on regular "
                         "meshes, decodable by this tool")
+    p.add_argument("-cl", "--compression-level", type=int, default=None,
+                   metavar="N",
+                   help="compression level 0 (fastest) .. 10 (smallest); "
+                        "a preset over --method/--traversal/--prediction "
+                        "(explicit flags win). Levels >= 9 use the "
+                        "tpudraco valence dialect")
     p.add_argument("-qp", type=int, default=None, metavar="BITS",
                    help="position quantization bits (default 11)")
     p.add_argument("-qt", type=int, default=None, metavar="BITS",
@@ -94,11 +100,23 @@ def main(argv=None) -> int:
         if args.prediction == "multi":
             from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
             prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
-        cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
-                     else EB_STANDARD,
-                     encoder_method=METHOD_SEQUENTIAL
-                     if args.method == "sequential" else METHOD_EDGEBREAKER,
-                     quant_bits=quant_bits, prediction=prediction)
+        if args.compression_level is not None:
+            cfg = Config.from_level(args.compression_level)
+            cfg.quant_bits = quant_bits
+            # explicit flags override the preset
+            if args.traversal == "valence":
+                cfg.traversal = EB_VALENCE
+            if args.method == "sequential":
+                cfg.encoder_method = METHOD_SEQUENTIAL
+            if prediction:
+                cfg.prediction = prediction
+        else:
+            cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
+                         else EB_STANDARD,
+                         encoder_method=METHOD_SEQUENTIAL
+                         if args.method == "sequential"
+                         else METHOD_EDGEBREAKER,
+                         quant_bits=quant_bits, prediction=prediction)
         # face-less inputs (e.g. point-cloud PLY): encode() itself flips
         # the config to geometry type 0
         rec = EvalRecorder() if args.eval_json else None
@@ -117,6 +135,12 @@ def main(argv=None) -> int:
         elif out_ext == ".ply":
             from ..io import save_ply
             save_ply(mesh, args.output)
+        elif out_ext == ".glb":
+            from ..io import save_scene_glb
+            from ..models.scene import Scene
+            scene = Scene()
+            scene.add_mesh(mesh)
+            save_scene_glb(scene, args.output, compress=False)
         else:
             print(f"unsupported output format {out_ext}", file=sys.stderr)
             return 2
