@@ -19,7 +19,13 @@ needs_ref = pytest.mark.skipif(
 FIXTURES = ["tetrahedron.obj", "sphere.obj", "torus.obj", "cube_quads.obj",
             "punctured_sphere.obj"]
 CONFIGS = {"standard": {}, "valence": {"traversal": 2},
-           "sequential": {"encoder_method": 0}}
+           "sequential": {"encoder_method": 0},
+           # round-2 modes: table-aware auto symbol coding, and the full
+           # -cl 10 preset (valence + auto + multi-parallelogram positions;
+           # AttributeType.POSITION == 0 as a plain dict key)
+           "auto": {"symbol_coding": "auto"},
+           "cl10": {"traversal": 2, "symbol_coding": "auto",
+                    "prediction": {0: 2}}}
 
 
 def _digest(name: str, cfg_kwargs: dict) -> tuple[str, int]:
