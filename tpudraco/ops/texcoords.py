@@ -18,43 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 
-
-def collect_uv_gathers(view, sequence, num_pos_points: int) -> dict:
-    """Topology-static precompute for the UV chain: point indices and
-    first-occurrence visited masks per traversal step."""
-    from ..models.corner_table import next_corners, prev_corners
-
-    seq = np.asarray(sequence, dtype=np.int64)
-    T = len(seq)
-    _eff_opp, ctv, lm = view.as_arrays()
-    if hasattr(view, "u"):
-        points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
-    else:
-        points = np.arange(view.num_corners, dtype=np.int64)
-
-    nc, pc = next_corners(seq), prev_corners(seq)
-    vn, vp = ctv[nc], ctv[pc]
-    ks = np.arange(T)
-    pos_in_seq = np.full(view.num_vertices, T, dtype=np.int64)
-    pos_in_seq[ctv[seq]] = ks
-    vis_n = pos_in_seq[np.clip(vn, 0, view.num_vertices - 1)] < ks
-    vis_p = pos_in_seq[np.clip(vp, 0, view.num_vertices - 1)] < ks
-    vis_n &= vn >= 0
-    vis_p &= vp >= 0
-
-    npt, ppt, cpt = points[nc], points[pc], points[seq]
-    last_pt = np.zeros(T, dtype=np.int64)
-    if T > 1:
-        last_pt[1:] = points[lm[ctv[seq[:-1]]]]
-
-    return {
-        "cpt": cpt.astype(np.int32), "npt": npt.astype(np.int32),
-        "ppt": ppt.astype(np.int32), "last_pt": last_pt.astype(np.int32),
-        "vis_n": vis_n, "vis_p": vis_p,
-        "pos_ok_n": (npt < num_pos_points),
-        "pos_ok_p": (ppt < num_pos_points),
-        "pos_ok_c": (cpt < num_pos_points),
-    }
+# single source of truth for the topology-static UV gathers lives with
+# the host twin
+from ..shared.prediction import collect_uv_gathers  # noqa: F401
 
 
 def uv_encode_chain(q_pos, q_uv, g, uo_pos, uo_uv):

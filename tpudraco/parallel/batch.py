@@ -501,8 +501,10 @@ class BatchEncoder:
             # not hide behind correct-but-slow host re-encodes)
             report["device_fallback_groups"] = self.fallback_groups
             report["device_fallback_meshes"] = self.fallback_meshes
-        with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
+        tmp_rep = os.path.join(out_dir, f"corpus_report.json.tmp{os.getpid()}")
+        with open(tmp_rep, "w") as f:
             json.dump(report, f, indent=1)
+        os.replace(tmp_rep, os.path.join(out_dir, "corpus_report.json"))
         return report
 
 

@@ -270,6 +270,8 @@ class BatchDecoder:
             else:
                 report["failed"].append({"path": path, "error": x})
         report["seconds"] = round(time.perf_counter() - t0, 3)
-        with open(os.path.join(out_dir, "decode_report.json"), "w") as f:
+        tmp_rep = os.path.join(out_dir, f"decode_report.json.tmp{os.getpid()}")
+        with open(tmp_rep, "w") as f:
             json.dump(report, f, indent=1)
+        os.replace(tmp_rep, os.path.join(out_dir, "decode_report.json"))
         return report

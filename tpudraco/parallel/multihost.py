@@ -74,6 +74,8 @@ def encode_corpus_multihost(inputs: list[str], out_dir: str,
         report["total_out_bytes"] = int(agg[3])
         report["num_hosts"] = int(nproc)
     if pid == 0:
-        with open(os.path.join(out_dir, "corpus_report.json"), "w") as f:
+        tmp_rep = os.path.join(out_dir, f"corpus_report.json.tmp{os.getpid()}")
+        with open(tmp_rep, "w") as f:
             json.dump(report, f, indent=1)
+        os.replace(tmp_rep, os.path.join(out_dir, "corpus_report.json"))
     return report

@@ -131,6 +131,8 @@ def transcode_corpus(inputs: list[str], out_dir: str,
         report["device_fallback_groups"] = be.fallback_groups
         report["device_fallback_meshes"] = be.fallback_meshes
         report["encoder_hook_misses"] = misses
-    with open(os.path.join(out_dir, "transcode_report.json"), "w") as f:
+    tmp_rep = os.path.join(out_dir, f"transcode_report.json.tmp{os.getpid()}")
+    with open(tmp_rep, "w") as f:
         json.dump(report, f, indent=1)
+    os.replace(tmp_rep, os.path.join(out_dir, "transcode_report.json"))
     return report

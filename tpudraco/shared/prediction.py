@@ -143,6 +143,45 @@ def collect_normal_rings(view: TableView, sequence) -> dict:
     }
 
 
+def collect_uv_gathers(view, sequence, num_pos_points: int) -> dict:
+    """Topology-static precompute for the UV chain: point indices and
+    first-occurrence visited masks per traversal step."""
+    from ..models.corner_table import next_corners, prev_corners
+
+    seq = np.asarray(sequence, dtype=np.int64)
+    T = len(seq)
+    _eff_opp, ctv, lm = view.as_arrays()
+    if hasattr(view, "u"):
+        points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
+    else:
+        points = np.arange(view.num_corners, dtype=np.int64)
+
+    nc, pc = next_corners(seq), prev_corners(seq)
+    vn, vp = ctv[nc], ctv[pc]
+    ks = np.arange(T)
+    pos_in_seq = np.full(view.num_vertices, T, dtype=np.int64)
+    pos_in_seq[ctv[seq]] = ks
+    vis_n = pos_in_seq[np.clip(vn, 0, view.num_vertices - 1)] < ks
+    vis_p = pos_in_seq[np.clip(vp, 0, view.num_vertices - 1)] < ks
+    vis_n &= vn >= 0
+    vis_p &= vp >= 0
+
+    npt, ppt, cpt = points[nc], points[pc], points[seq]
+    last_pt = np.zeros(T, dtype=np.int64)
+    if T > 1:
+        last_pt[1:] = points[lm[ctv[seq[:-1]]]]
+
+    return {
+        "cpt": cpt.astype(np.int32), "npt": npt.astype(np.int32),
+        "ppt": ppt.astype(np.int32), "last_pt": last_pt.astype(np.int32),
+        "vis_n": vis_n, "vis_p": vis_p,
+        "pos_ok_n": (npt < num_pos_points),
+        "pos_ok_p": (ppt < num_pos_points),
+        "pos_ok_c": (cpt < num_pos_points),
+    }
+
+
+
 def _last_value_fallback(view: TableView, state: PredictionState, att_get, n):
     last_v = state.last()
     if last_v is None:
@@ -598,13 +637,11 @@ class TexCoordPrediction(BasePrediction):
         scalar predict row-by-row. Returns (preds (T,2) int64,
         orientations bool (G,) in geometric-branch order) — bit-identical
         to the scalar loop (pinned by tests)."""
-        from ..models.corner_table import next_corners, prev_corners
-
         seq = np.asarray(sequence, dtype=np.int64)
         T = len(seq)
         if T == 0:
             return np.zeros((0, 2), dtype=np.int64), np.zeros(0, dtype=bool)
-        eff_opp, ctv, lm = view.as_arrays()
+        _eff_opp, ctv, lm = view.as_arrays()
         if hasattr(view, "u"):
             points = np.asarray(view.u.faces_points, dtype=np.int64).ravel()
         else:
@@ -620,24 +657,23 @@ class TexCoordPrediction(BasePrediction):
             pvals = np.asarray(da.quantized_by_vertex, dtype=np.int64)[
                 np.asarray(da.vertex_of_corner, dtype=np.int64)]
 
-        def pos_at(pts):
-            ok = pts < num_pp
+        # topology-static gathers/masks shared with the device UV chain
+        # (single source of truth, like collect_normal_rings)
+        g = collect_uv_gathers(view, sequence, num_pp)
+        vis_n = g["vis_n"]
+        vis_p = g["vis_p"]
+        npt = g["npt"].astype(np.int64)
+        ppt = g["ppt"].astype(np.int64)
+        cpt = g["cpt"].astype(np.int64)
+
+        def pos_at(pts, ok):
             base = np.where(ok, pts, 0)
             return np.where(ok[:, None], pvals[base], 0)
 
-        nc, pc = next_corners(seq), prev_corners(seq)
-        vn, vp = ctv[nc], ctv[pc]
-        ks = np.arange(T)
-        pos_in_seq = np.full(view.num_vertices, T, dtype=np.int64)
-        pos_in_seq[ctv[seq]] = ks
-        vis_n = pos_in_seq[np.clip(vn, 0, view.num_vertices - 1)] < ks
-        vis_p = pos_in_seq[np.clip(vp, 0, view.num_vertices - 1)] < ks
-        vis_n &= vn >= 0
-        vis_p &= vp >= 0
-
-        npt, ppt, cpt = points[nc], points[pc], points[seq]
         next_uv, prev_uv, curr_uv = uvals[npt], uvals[ppt], uvals[cpt]
-        cpos, npos, ppos = pos_at(cpt), pos_at(npt), pos_at(ppt)
+        cpos = pos_at(cpt, g["pos_ok_c"])
+        npos = pos_at(npt, g["pos_ok_n"])
+        ppos = pos_at(ppt, g["pos_ok_p"])
 
         geo_try = vis_n & vis_p
         eq = (next_uv == prev_uv).all(axis=1)
