@@ -715,3 +715,32 @@ def test_device_batch_random_topology_fuzz(monkeypatch):
     got = be.encode_meshes_device(meshes)
     for s, (m, blob) in enumerate(zip(meshes, got)):
         assert blob == encode(m), f"seed {s}"
+
+
+def test_decode_corpus_use_device(tmp_path):
+    """decode_corpus(use_device=True) groups by connectivity prefix and
+    lane-decodes; outputs identical to the host driver."""
+    meshes = [_grid_mesh(7, s) for s in range(4)] + [_grid_mesh(5, 9)]
+    enc = os.path.join(tmp_path, "enc")
+    os.makedirs(enc)
+    paths = []
+    for i, m in enumerate(meshes):
+        p2 = os.path.join(enc, f"m{i}.drc")
+        with open(p2, "wb") as f:
+            f.write(encode(m))
+        paths.append(p2)
+    with open(os.path.join(enc, "bad.drc"), "wb") as f:
+        f.write(b"NOTDRACO")
+    paths.append(os.path.join(enc, "bad.drc"))
+
+    from tpudraco.parallel import BatchDecoder
+    dev_out = os.path.join(tmp_path, "dev")
+    rep = BatchDecoder().decode_corpus(paths, dev_out, use_device=True,
+                                       fmt="ply")
+    assert rep["decoded"] == 5 and len(rep["failed"]) == 1
+    host_out = os.path.join(tmp_path, "host")
+    BatchDecoder().decode_corpus(paths, host_out, fmt="ply")
+    for i in range(5):
+        a = open(os.path.join(dev_out, f"m{i}.ply"), "rb").read()
+        b = open(os.path.join(host_out, f"m{i}.ply"), "rb").read()
+        assert a == b, i

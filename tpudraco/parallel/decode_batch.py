@@ -215,11 +215,14 @@ class BatchDecoder:
 
     def decode_corpus(self, inputs: list[str], out_dir: str,
                       resume: bool = True, fmt: str = "obj",
-                      workers: int = 1) -> dict:
+                      workers: int = 1, use_device: bool = False) -> dict:
         """Decode .drc files to meshes on disk (``fmt``: obj or ply).
         Skips outputs that already exist (resume); a bad blob is reported,
         not fatal. ``workers`` > 1 decodes on a thread pool (the C++
-        chains release the GIL)."""
+        chains release the GIL). ``use_device`` groups the corpus by
+        connectivity-section bytes and rANS-decodes each group's symbol
+        streams as batched device lanes (the decode mirror of
+        encode_corpus(use_device=True))."""
         from ..io.obj import save_obj as _save_obj
         from ..io.ply import save_ply as _save_ply
         save_mesh = _save_ply if fmt == "ply" else _save_obj
@@ -239,6 +242,30 @@ class BatchDecoder:
             report["failed"].append(
                 {"path": path, "error": "output name collision"})
 
+        device_meshes: dict[str, object] = {}
+        if use_device:
+            # read pending blobs, group by topology (header+connectivity
+            # prefix via the shared-topology decoder), batch per group
+            pending, blobs = [], []
+            for path in inputs:
+                if resume and os.path.isfile(out_path_for(path)):
+                    continue
+                try:
+                    with open(path, "rb") as f:
+                        blobs.append(f.read())
+                    pending.append(path)
+                except Exception:
+                    pass  # per-file isolation below re-reports
+            groups: dict[bytes, list[int]] = {}
+            for i, b in enumerate(blobs):
+                groups.setdefault(bytes(b[:64]), []).append(i)
+            for idxs in groups.values():
+                got = self.decode_blobs_shared_topology(
+                    [blobs[i] for i in idxs], entropy="device")
+                for i, mesh in zip(idxs, got):
+                    if mesh is not None:
+                        device_meshes[pending[i]] = mesh
+
         def one(path):
             out_path = out_path_for(path)
             if resume and os.path.isfile(out_path):
@@ -246,7 +273,9 @@ class BatchDecoder:
             try:
                 with open(path, "rb") as f:
                     blob = f.read()
-                mesh = decode(blob)
+                mesh = device_meshes.get(path)
+                if mesh is None:
+                    mesh = decode(blob)
                 tmp = out_path + f".tmp{os.getpid()}"
                 save_mesh(mesh, tmp)
                 os.replace(tmp, out_path)

@@ -75,7 +75,7 @@ def main(argv=None) -> int:
         inputs = _expand(args.input, DECODE_EXTS)
         report = BatchDecoder().decode_corpus(
             inputs, args.output, resume=resume, fmt=args.fmt,
-            workers=args.workers)
+            workers=args.workers, use_device=args.device)
     else:
         from ..parallel import transcode_corpus
         inputs = _expand(args.input, TRANSCODE_EXTS)
