@@ -185,3 +185,29 @@ def test_cli_compression_levels_and_glb_out(tmp_path):
     assert cli(["-i", str(tmp_path / "cl5.drc"), "-o", glb, "-q"]) == 0
     back = load_gltf(glb)
     assert back.num_faces == 4095
+
+
+def test_cli_explicit_flags_override_cl_preset(tmp_path):
+    """Self-review r4: explicit flags must override the -cl preset in
+    BOTH directions (e.g. -cl 1 --method edgebreaker must NOT stay
+    sequential; -cl 10 --traversal standard must leave the dialect)."""
+    src = "/root/reference/draco-oxide/tests/data/tetrahedron.obj"
+    if not os.path.isfile(src):
+        import pytest
+        pytest.skip("fixtures not mounted")
+    from tpudraco.tools.cli import main as cli
+
+    out = str(tmp_path / "a.drc")
+    assert cli(["-i", src, "-o", out, "-cl", "1",
+                "--method", "edgebreaker", "-q"]) == 0
+    blob = open(out, "rb").read()
+    assert blob[8] == 1  # method byte: edgebreaker, not sequential
+
+    out2 = str(tmp_path / "b.drc")
+    assert cli(["-i", src, "-o", out2, "-cl", "10",
+                "--traversal", "standard", "--prediction", "default",
+                "-q"]) == 0
+    out3 = str(tmp_path / "c.drc")
+    assert cli(["-i", src, "-o", out3, "-cl", "8", "-q"]) == 0
+    # standard traversal + default prediction + auto coding == -cl 8
+    assert open(out2, "rb").read() == open(out3, "rb").read()

@@ -61,15 +61,14 @@ class Config:
         """
         if not 0 <= level <= 10:
             raise ValueError(f"compression level {level} not in 0..10")
-        from ..shared.clers import EB_STANDARD, EB_VALENCE
+        from ..shared.clers import EB_VALENCE
         if level <= 2:
             return cls(encoder_method=METHOD_SEQUENTIAL)
         if level <= 6:
             return cls()
         if level <= 8:
             return cls(symbol_coding="auto")
-        cfg = cls(traversal=EB_VALENCE if level >= 9 else EB_STANDARD,
-                  symbol_coding="auto")
+        cfg = cls(traversal=EB_VALENCE, symbol_coding="auto")
         if level == 10:
             from ..models.attribute import AttributeType
             from ..shared.prediction import PRED_MULTI_PARALLELOGRAM

@@ -242,40 +242,53 @@ class BatchDecoder:
             report["failed"].append(
                 {"path": path, "error": "output name collision"})
 
-        device_meshes: dict[str, object] = {}
+        done: dict[str, tuple] = {}
         if use_device:
-            # read pending blobs, group by topology (header+connectivity
-            # prefix via the shared-topology decoder), batch per group
-            pending, blobs = [], []
+            # group pending files by a cheap connectivity-prefix key (the
+            # shared-topology decoder re-verifies the full prefix), then
+            # lane-decode AND write one group at a time so memory stays
+            # O(group), not O(corpus)
+            groups: dict[bytes, list[str]] = {}
             for path in inputs:
                 if resume and os.path.isfile(out_path_for(path)):
                     continue
                 try:
                     with open(path, "rb") as f:
-                        blobs.append(f.read())
-                    pending.append(path)
+                        head = f.read(64)
+                    groups.setdefault(bytes(head), []).append(path)
                 except Exception:
                     pass  # per-file isolation below re-reports
-            groups: dict[bytes, list[int]] = {}
-            for i, b in enumerate(blobs):
-                groups.setdefault(bytes(b[:64]), []).append(i)
-            for idxs in groups.values():
-                got = self.decode_blobs_shared_topology(
-                    [blobs[i] for i in idxs], entropy="device")
-                for i, mesh in zip(idxs, got):
-                    if mesh is not None:
-                        device_meshes[pending[i]] = mesh
+            for paths in groups.values():
+                blobs, sizes = [], []
+                for p in paths:
+                    with open(p, "rb") as f:
+                        b = f.read()
+                    blobs.append(b)
+                    sizes.append(len(b))
+                got = self.decode_blobs_shared_topology(blobs,
+                                                        entropy="device")
+                for p, mesh, nbytes in zip(paths, got, sizes):
+                    if mesh is None:
+                        continue  # host pass below reports the error
+                    try:
+                        out_path = out_path_for(p)
+                        tmp = out_path + f".tmp{os.getpid()}"
+                        save_mesh(mesh, tmp)
+                        os.replace(tmp, out_path)
+                        done[p] = ("decoded", p, nbytes)
+                    except Exception as e:
+                        done[p] = ("failed", p, repr(e))
 
         def one(path):
+            if path in done:
+                return done[path]
             out_path = out_path_for(path)
             if resume and os.path.isfile(out_path):
                 return ("skipped", path, 0)
             try:
                 with open(path, "rb") as f:
                     blob = f.read()
-                mesh = device_meshes.get(path)
-                if mesh is None:
-                    mesh = decode(blob)
+                mesh = decode(blob)
                 tmp = out_path + f".tmp{os.getpid()}"
                 save_mesh(mesh, tmp)
                 os.replace(tmp, out_path)

@@ -728,10 +728,10 @@ class TexCoordPrediction(BasePrediction):
         pred_geo = wrap32(np.where(orient[:, None], pred0, pred1))
 
         # fallback values: uv[next] when next visited, else the most recent
-        # visited vertex's value (zeros at the very first step)
-        last_pts = points[lm[ctv[seq[:-1]]]]
-        lastvals = np.zeros((T, 2), dtype=np.int64)
-        lastvals[1:] = uvals[last_pts]
+        # visited vertex's value (zeros at the very first step; g["last_pt"]
+        # already encodes the shifted gather with a zeroed row 0)
+        lastvals = uvals[g["last_pt"].astype(np.int64)]
+        lastvals[0] = 0
         fb = np.where(vis_n[:, None], next_uv, lastvals)
 
         preds = np.where(geo_v[:, None], pred_geo, fb)

@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     p.add_argument("--eval", dest="eval_json", default=None,
                    help="write per-stage metrics JSON to this path")
     p.add_argument("--traversal", choices=("standard", "valence"),
-                   default="standard",
+                   default=None,
                    help="edgebreaker symbol coding (valence wins on large "
                         "regular meshes). WARNING: 'valence' is a "
                         "tpudraco-specific dialect — the reference's "
@@ -43,17 +43,17 @@ def main(argv=None) -> int:
                         "encoder's Position->1/Normal->0 quirk "
                         "(encode.rs:1020-1025)")
     p.add_argument("--method", choices=("edgebreaker", "sequential"),
-                   default="edgebreaker",
+                   default=None,
                    help="connectivity method (sequential = raw indices, "
                         "no traversal)")
     p.add_argument("--prediction", choices=("default", "multi"),
-                   default="default",
+                   default=None,
                    help="position prediction scheme: 'multi' opts into "
                         "averaged multi-parallelogram (wire id 2; the "
                         "reference stubs it) — usually smaller on regular "
                         "meshes, decodable by this tool")
     p.add_argument("-cl", "--compression-level", type=int, default=None,
-                   metavar="N",
+                   choices=range(0, 11), metavar="N",
                    help="compression level 0 (fastest) .. 10 (smallest); "
                         "a preset over --method/--traversal/--prediction "
                         "(explicit flags win). Levels >= 9 use the "
@@ -96,21 +96,27 @@ def main(argv=None) -> int:
             quant_bits[AttributeType.POSITION] = args.qp
         if args.qt is not None:
             quant_bits[AttributeType.TEX_COORD] = args.qt
-        prediction = {}
-        if args.prediction == "multi":
-            from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
-            prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
+        from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
         if args.compression_level is not None:
             cfg = Config.from_level(args.compression_level)
             cfg.quant_bits = quant_bits
-            # explicit flags override the preset
-            if args.traversal == "valence":
-                cfg.traversal = EB_VALENCE
-            if args.method == "sequential":
-                cfg.encoder_method = METHOD_SEQUENTIAL
-            if prediction:
-                cfg.prediction = prediction
+            # explicit flags override the preset in BOTH directions
+            # (defaults are None, so "flag absent" is distinguishable)
+            if args.traversal is not None:
+                cfg.traversal = (EB_VALENCE if args.traversal == "valence"
+                                 else EB_STANDARD)
+            if args.method is not None:
+                cfg.encoder_method = (METHOD_SEQUENTIAL
+                                      if args.method == "sequential"
+                                      else METHOD_EDGEBREAKER)
+            if args.prediction is not None:
+                cfg.prediction = (
+                    {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
+                    if args.prediction == "multi" else {})
         else:
+            prediction = {}
+            if args.prediction == "multi":
+                prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
             cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
                          else EB_STANDARD,
                          encoder_method=METHOD_SEQUENTIAL

@@ -44,8 +44,8 @@ def main(argv=None) -> int:
                     help="input files or directories")
     ap.add_argument("-o", "--output", required=True, help="output directory")
     ap.add_argument("--device", action="store_true",
-                    help="encode: batch same-topology meshes on the "
-                         "accelerator")
+                    help="encode/decode: batch same-topology work on the "
+                         "accelerator (device compute + rANS lanes)")
     ap.add_argument("--host-only", action="store_true",
                     help="transcode: skip the device batch")
     ap.add_argument("--no-resume", action="store_true",
