@@ -394,7 +394,10 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     B, T, C = symbols_dev.shape
     n_sym = T * C
     # histogram entries are bounded by n_sym, so a u16 transfer halves the
-    # (B, bins) readback when it fits
+    # (B, bins) readback when it fits. (Trimming to the occupied bin
+    # prefix was tried and reverted: the scalar max-bin readback forces a
+    # mid-pipeline sync that costs more than the bytes it saves on this
+    # tunnel.)
     if n_sym < (1 << 16):
         counts = np.asarray(_cast_u16(jnp.asarray(counts_dev))).astype(
             np.int64)
