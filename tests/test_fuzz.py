@@ -36,7 +36,9 @@ def _random_mesh(rng, n=7):
 
 
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
-                                 Config(encoder_method=0)])
+                                 Config(encoder_method=0),
+                                 Config.from_level(8),
+                                 Config.from_level(10)])
 def test_roundtrip_torture_random_holed_grids(cfg):
     """Random holes produce boundary loops and non-manifold (bowtie)
     vertices; the corner table legitimately splits the latter, so the
@@ -52,7 +54,8 @@ def test_roundtrip_torture_random_holed_grids(cfg):
         assert_roundtrip(mesh, cfg=cfg)
 
 
-@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2)])
+@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
+                                 Config.from_level(10)])
 def test_decode_corruption_never_crashes(cfg):
     """Flip/zero bytes all over a valid stream: every corruption must
     either decode (harmless bit) or raise a typed error — including through
