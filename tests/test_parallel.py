@@ -259,6 +259,8 @@ def test_multihost_two_process(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = os.path.join(tmp_path, "mh_worker.py")
+    # each rank writes its summary to its own FILE: stdout is shared with
+    # stderr and jax log lines can interleave mid-JSON (observed flake)
     with open(script, "w") as f:
         f.write(f"""
 import json, sys
@@ -271,9 +273,9 @@ sys.path.insert(0, {repo!r})
 from tpudraco.parallel import encode_corpus_multihost
 inputs = {inputs!r}
 rep = encode_corpus_multihost(inputs, {out_dir!r})
-print("WORKER_REPORT " + json.dumps(
-    {{"pid": pid, "encoded": rep["encoded"],
-      "num_hosts": rep.get("num_hosts")}}), flush=True)
+with open({str(tmp_path)!r} + f"/worker{{pid}}.json", "w") as fh:
+    json.dump({{"pid": pid, "encoded": rep["encoded"],
+               "num_hosts": rep.get("num_hosts")}}, fh)
 """)
     procs = [subprocess.Popen([sys.executable, script, str(i)],
                               stdout=subprocess.PIPE,
@@ -285,10 +287,9 @@ print("WORKER_REPORT " + json.dumps(
 
     import json as _json
     reports = []
-    for o in outs:
-        line = next(ln for ln in o.splitlines()
-                    if ln.startswith("WORKER_REPORT "))
-        reports.append(_json.loads(line.split(" ", 1)[1]))
+    for i in range(2):
+        with open(os.path.join(tmp_path, f"worker{i}.json")) as f:
+            reports.append(_json.load(f))
     # merged totals identical on both hosts
     assert all(r["encoded"] == 4 for r in reports)
     assert all(r["num_hosts"] == 2 for r in reports)
