@@ -157,9 +157,9 @@ def main(argv=None) -> int:
 
     ext = os.path.splitext(args.input)[1].lower()
     name = os.path.basename(args.input)
-    if ext == ".obj":
-        from ..io import load_obj
-        meshes = [(name, load_obj(args.input))]
+    if ext in (".obj", ".ply"):
+        from ..io import load_mesh
+        meshes = [(name, load_mesh(args.input))]
     elif ext in (".gltf", ".glb"):
         from ..io import load_gltf_to_scene
         scene = load_gltf_to_scene(args.input)
