@@ -414,10 +414,82 @@ def load_gltf_to_scene(path: str) -> Scene:
     default_scene = gltf.get("scenes", [{}])[gltf.get("scene", 0)] \
         if gltf.get("scenes") else {}
     scene.root_nodes = list(default_scene.get("nodes", []))
-    scene.animations_json = gltf.get("animations", [])
-    scene.skins_json = gltf.get("skins", [])
+    _carry_animation_accessors(gltf, buffers, scene)
     _load_structural_metadata(gltf, buffers, scene)
     return scene
+
+
+def _carry_animation_accessors(gltf: dict, buffers: list[bytes],
+                               scene: Scene) -> None:
+    """Capture animations/skins with their accessor DATA so the writer can
+    re-emit valid indices into its rebuilt accessor/bufferView arrays.
+
+    The reference drops both sections entirely (decode.rs:1665-1672,
+    add_animations_to_scene/add_skins_to_scene commented out); passing the
+    raw JSON through instead would leave every samplers[].input/output and
+    inverseBindMatrices index dangling into the rebuilt arrays. Node
+    indices (channel targets, joints, skeleton) stay valid because the
+    writer emits scene.nodes 1:1 in input order."""
+    anims = gltf.get("animations", [])
+    skins = gltf.get("skins", [])
+    if not anims and not skins:
+        return
+    anims = json.loads(json.dumps(anims))
+    skins = json.loads(json.dumps(skins))
+    local: dict[int, int] = {}
+
+    def carry(ai: int) -> int:
+        if ai in local:
+            return local[ai]
+        acc = json.loads(json.dumps(gltf["accessors"][ai]))
+        entry: dict = {}
+        if "sparse" in acc:
+            # keep the sparse structure; carry each referenced range raw
+            sp = acc["sparse"]
+            cnt = sp.get("count", 0)
+            elem = (np.dtype(COMPONENT_DTYPES[acc["componentType"]]).itemsize
+                    * TYPE_COUNTS[acc["type"]])
+            if "bufferView" in acc:
+                bv = gltf["bufferViews"][acc["bufferView"]]
+                stride = bv.get("byteStride", 0) or elem
+                start = acc.pop("byteOffset", 0)
+                span = ((acc["count"] - 1) * stride + elem
+                        if acc["count"] else 0)
+                entry["data"] = bytes(_bufferview_bytes(
+                    gltf, buffers, acc["bufferView"])[start:start + span])
+                acc.pop("bufferView")
+            sizes = {"values": cnt * elem}
+            if "indices" in sp:
+                sizes["indices"] = cnt * np.dtype(COMPONENT_DTYPES[
+                    sp["indices"]["componentType"]]).itemsize
+            for part, size in sizes.items():
+                pj = sp.get(part)
+                if pj and "bufferView" in pj:
+                    off = pj.pop("byteOffset", 0)
+                    raw = _bufferview_bytes(gltf, buffers, pj["bufferView"])
+                    entry.setdefault("sparse_data", {})[part] = \
+                        bytes(raw[off:off + size])
+        elif "bufferView" in acc:
+            # re-pack tight: animation input/output and IBM accessors must
+            # not use strided bufferViews in the output (glTF 2.0 spec)
+            data = _read_accessor(gltf, buffers, ai)
+            entry["data"] = np.ascontiguousarray(data).tobytes()
+            acc.pop("bufferView")
+            acc.pop("byteOffset", None)
+        local[ai] = len(scene.carried_accessors)
+        entry["json"] = acc
+        scene.carried_accessors.append(entry)
+        return local[ai]
+
+    for an in anims:
+        for s in an.get("samplers", []):
+            s["input"] = carry(s["input"])
+            s["output"] = carry(s["output"])
+    for sk in skins:
+        if "inverseBindMatrices" in sk:
+            sk["inverseBindMatrices"] = carry(sk["inverseBindMatrices"])
+    scene.animations_json = anims
+    scene.skins_json = skins
 
 
 # keys inside EXT_structural_metadata property JSON that reference
@@ -799,6 +871,8 @@ class GlbWriter:
             if node.light_index is not None:
                 nd.setdefault("extensions", {})["KHR_lights_punctual"] = {
                     "light": node.light_index}
+            if node.skin_index is not None and scene.skins_json:
+                nd["skin"] = node.skin_index
             nodes_json.append(nd)
         if not nodes_json:
             nodes_json = [{"mesh": i} for i in range(len(self.gltf_meshes))]
@@ -807,6 +881,27 @@ class GlbWriter:
             roots = scene.root_nodes
 
         sm_ext = _structural_metadata_ext(scene, self._add_buffer_view)
+
+        # animation/skin accessors captured at load: re-emit their data as
+        # fresh bufferViews + accessors and remap the local ids the loader
+        # wrote into animations_json/skins_json (_carry_animation_accessors)
+        acc_map: list[int] = []
+        for entry in scene.carried_accessors:
+            acc = json.loads(json.dumps(entry["json"]))
+            if "data" in entry:
+                acc["bufferView"] = self._add_buffer_view(entry["data"])
+            for part, raw in entry.get("sparse_data", {}).items():
+                acc["sparse"][part]["bufferView"] = self._add_buffer_view(raw)
+            acc_map.append(self._add_accessor(**acc))
+        animations_json = json.loads(json.dumps(scene.animations_json))
+        skins_json = json.loads(json.dumps(scene.skins_json))
+        for an in animations_json:
+            for s in an.get("samplers", []):
+                s["input"] = acc_map[s["input"]]
+                s["output"] = acc_map[s["output"]]
+        for sk in skins_json:
+            if "inverseBindMatrices" in sk:
+                sk["inverseBindMatrices"] = acc_map[sk["inverseBindMatrices"]]
 
         gltf: dict = {
             "asset": {"version": "2.0", "generator": "tpudraco"},
@@ -826,10 +921,10 @@ class GlbWriter:
             gltf["textures"] = self.textures_json
         if self.samplers_json:
             gltf["samplers"] = self.samplers_json
-        if scene.animations_json:
-            gltf["animations"] = scene.animations_json
-        if scene.skins_json:
-            gltf["skins"] = scene.skins_json
+        if animations_json:
+            gltf["animations"] = animations_json
+        if skins_json:
+            gltf["skins"] = skins_json
         if sm_ext:
             gltf.setdefault("extensions", {})[
                 "EXT_structural_metadata"] = sm_ext

@@ -311,8 +311,16 @@ class Scene:
         # (reference add_materials_variants_names, encode.rs:1961)
         self.materials_variants_names: list[str] = []
         self.metadata: dict[str, str] = {}
-        self.animations_json: list = []  # passthrough (reference stubs these)
+        # animations/skins carry-through: the reference DROPS both
+        # (decode.rs:1665-1672, add_animations_to_scene commented out); we
+        # instead keep the JSON with accessor references rewritten to local
+        # ids into carried_accessors, which the writer re-emits with
+        # remapped indices (io/gltf.py _carry_animation_accessors)
+        self.animations_json: list = []
         self.skins_json: list = []
+        # [{"json": accessor-json (bufferView/byteOffset stripped),
+        #   "data": tightly packed bytes, "sparse_data": {...}}]
+        self.carried_accessors: list[dict] = []
 
     def num_meshes(self) -> int:
         return len(self.meshes)
