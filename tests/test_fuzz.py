@@ -37,6 +37,8 @@ def _random_mesh(rng, n=7):
 
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
                                  Config(encoder_method=0),
+                                 Config(encoder_method=0,
+                                        sequential_method="compressed"),
                                  Config.from_level(8),
                                  Config.from_level(10)])
 def test_roundtrip_torture_random_holed_grids(cfg):
@@ -55,6 +57,8 @@ def test_roundtrip_torture_random_holed_grids(cfg):
 
 
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
+                                 Config(encoder_method=0,
+                                        sequential_method="compressed"),
                                  Config.from_level(10)])
 def test_decode_corruption_never_crashes(cfg):
     """Flip/zero bytes all over a valid stream: every corruption must

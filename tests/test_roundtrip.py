@@ -586,3 +586,68 @@ def test_color_and_custom_attributes_roundtrip():
                   - np.sort(col.ravel())).max() < 1e-3  # 11-bit quantized
     assert np.array_equal(np.sort(np.asarray(got_cus.values).ravel()),
                           np.sort(custom.ravel()))  # ToBits is lossless
+
+
+def test_sequential_compressed_roundtrip():
+    """Compressed sequential indices (method id 0 — modeled but
+    unimplemented in the reference, shared/connectivity/sequential.rs:23-38):
+    delta-coded payload round-trips verbatim across index widths and is
+    smaller than DirectIndices on coherent index orders."""
+    for n_pts in (40, 300, 70000):
+        rng = np.random.RandomState(3)
+        pos = rng.rand(n_pts, 3).astype(np.float32)
+        faces = np.asarray(
+            [[i, i + 1, i + 2] for i in range(0, min(n_pts, 3000) - 2)],
+            dtype=np.int64)
+        att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+        mesh = Mesh(faces=faces, attributes=[att])
+        direct = encode(mesh, cfg=Config(encoder_method=0))
+        comp = encode(mesh, cfg=Config(encoder_method=0,
+                                       sequential_method="compressed"))
+        assert comp != direct
+        out = decode(comp)
+        assert np.array_equal(out.faces, faces), n_pts
+        got = np.asarray(out.attributes[0].values, dtype=np.float32)
+        ref = np.asarray(decode(direct).attributes[0].values,
+                         dtype=np.float32)
+        assert np.array_equal(got, ref)  # attributes identical either way
+    # coherent strip order: the delta stream wins
+    assert len(comp) < len(direct)
+
+
+def test_strict_draco_mode():
+    """Config(strict=True) rejects every tpudraco-only dialect surface and
+    accepts (byte-identically) the reference-shaped default config."""
+    import pytest
+
+    from tpudraco.shared.clers import EB_VALENCE
+    from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    rng = np.random.RandomState(4)
+    pos = rng.rand(30, 3).astype(np.float32)
+    faces = np.asarray([[i, (i + 1) % 30, (i + 9) % 30] for i in range(25)],
+                       dtype=np.int64)
+    att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = Mesh(faces=faces, attributes=[att])
+
+    # default config IS the reference surface: strict changes nothing
+    assert encode(mesh, cfg=Config(strict=True)) == encode(mesh)
+
+    bad = [
+        Config(strict=True, traversal=EB_VALENCE),
+        Config(strict=True, symbol_coding="auto"),
+        Config(strict=True, symbol_coding="length"),
+        Config(strict=True, prediction={
+            AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}),
+        Config(strict=True, encoder_method=0,
+               sequential_method="compressed"),
+    ]
+    for cfg in bad:
+        with pytest.raises(ValueError, match="strict Draco mode rejects"):
+            encode(mesh, cfg=cfg)
+
+    # point clouds (geometry type 0) are a tpudraco dialect: rejected too
+    pc = Mesh(faces=np.zeros((0, 3), dtype=np.int64), attributes=[
+        Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)])
+    with pytest.raises(ValueError, match="point-cloud"):
+        encode(pc, cfg=Config(strict=True))

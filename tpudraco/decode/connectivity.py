@@ -196,14 +196,32 @@ def _finish_connectivity(ct, active_stack, invalid_vertices,
 def decode_sequential_connectivity(reader: ByteReader,
                                    num_points: int) -> np.ndarray:
     """Mirror of encode.connectivity.encode_sequential: u64 face count,
-    u8 method (DirectIndices=1), indices at 8/16/32 bits or leb128 for the
+    u8 method, then the index payload.
+
+    Method 1 (DirectIndices): indices at 8/16/32 bits or leb128 for the
     21-bit range, switched on the point count (shared/connectivity/
-    sequential.rs index_size_from_vertex_count)."""
+    sequential.rs index_size_from_vertex_count). Method 0 (Compressed,
+    modeled-but-unimplemented in the reference, sequential.rs:23-38):
+    sign-folded consecutive deltas in one symbol_coding stream."""
     num_faces = reader.read_u64()
     method = reader.read_u8()
+    n = num_faces * 3
+    if method == 0:
+        from ..entropy.symbol_coding import decode_symbols
+        # corrupted counts must fail BEFORE the symbol decoder sizes its
+        # output: even at the flattest rANS table (precision 20) a symbol
+        # costs > 2^-20 bits... practically >= 1/2^15 bytes; 2^16 symbols
+        # per remaining byte is an unreachable upper bound
+        if n > max(reader.remaining(), 1) << 16:
+            raise DecodeError("sequential face count exceeds stream size")
+        syms = decode_symbols(n, 1, reader).ravel().astype(np.int64)
+        diffs = np.where(syms & 1, -(syms >> 1), syms >> 1)
+        flat = np.cumsum(diffs)
+        if len(flat) and (flat.min() < 0 or flat.max() >= num_points):
+            raise DecodeError("compressed sequential index out of range")
+        return flat.reshape(-1, 3)
     if method != 1:
         raise DecodeError(f"unsupported sequential method {method}")
-    n = num_faces * 3
     if num_points < 0x100:
         flat = np.frombuffer(reader.read_bytes(n), dtype=np.uint8)
     elif num_points < 0x10000:

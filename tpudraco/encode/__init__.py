@@ -44,7 +44,44 @@ class Config:
     # PRED_MULTI_PARALLELOGRAM} opts into the averaged multi-parallelogram
     # the reference only stubs; streams stay self-describing
     prediction: dict = field(default_factory=dict)
+    # sequential-connectivity index payload: "direct" (id 1, the only
+    # method the reference's encoder emits) or "compressed" (id 0, the
+    # delta-coded method the reference models but never implements —
+    # shared/connectivity/sequential.rs:23-38)
+    sequential_method: str = "direct"
+    # strict Draco conformance: reject every tpudraco-only dialect surface
+    # (valence traversal, multi-parallelogram, auto/length symbol coding,
+    # compressed sequential indices, point-cloud geometry) so the output
+    # is guaranteed to be shaped exactly like the reference encoder's
+    # emitted surface (Draco v2.2, edgebreaker Standard, DirectCoded)
+    strict: bool = False
     extra: dict = field(default_factory=dict)
+
+    def validate_strict(self, geometry_type: int | None = None) -> None:
+        """Raise if any knob selects a tpudraco-only stream surface the
+        reference encoder never emits (see ``strict``)."""
+        from ..shared.clers import EB_STANDARD
+        offending = []
+        if self.traversal != EB_STANDARD:
+            offending.append("valence traversal (tpudraco dialect)")
+        if self.symbol_coding != "direct":
+            offending.append(
+                f"symbol_coding={self.symbol_coding!r} (reference emits "
+                "DirectCoded for attribute residuals)")
+        if self.prediction:
+            offending.append("prediction overrides (the reference only "
+                             "emits single-parallelogram)")
+        if self.sequential_method != "direct":
+            offending.append("compressed sequential indices (the reference "
+                             "models but never emits method 0)")
+        gt = self.geometry_type if geometry_type is None else geometry_type
+        if gt == GEOMETRY_POINT_CLOUD:
+            offending.append("point-cloud geometry (tpudraco dialect inside "
+                             "geometry type 0; the reference's point-cloud "
+                             "path is a dead stub)")
+        if offending:
+            raise ValueError("strict Draco mode rejects: "
+                             + "; ".join(offending))
 
     @classmethod
     def from_level(cls, level: int) -> "Config":
@@ -119,6 +156,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         cfg = replace(cfg, metadata=True)
     if mesh.num_faces == 0 and mesh.attributes:
         cfg = replace(cfg, geometry_type=GEOMETRY_POINT_CLOUD)
+    if cfg.strict:
+        cfg.validate_strict()
     writer = writer if writer is not None else ByteWriter()
     rec.scope_begin("compression info", writer)
     rec.scope_begin("header", writer)
@@ -150,7 +189,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         num_points = (mesh.attributes[0].num_points if mesh.attributes
                       else int(mesh.faces.max()) + 1 if mesh.num_faces else 0)
         leb128_write(num_points, writer)
-        encode_sequential(mesh.faces, num_points, writer)
+        encode_sequential(mesh.faces, num_points, writer,
+                          method=cfg.sequential_method)
         rec.scope_end(writer)
         debug_write(writer, "connectivity done")
         rec.scope_begin("attributes", writer)

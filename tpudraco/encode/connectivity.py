@@ -402,13 +402,34 @@ class _ByteBuf:
         self.buf.append(v & 0xFF)
 
 
-def encode_sequential(faces: np.ndarray, num_points: int, writer) -> None:
-    """Sequential connectivity (sequential.rs): u64 face count, u8 method
-    (DirectIndices=1), indices at 8/16/32 bits or leb128 for the 21-bit
-    range, switched on the point count."""
+def encode_sequential(faces: np.ndarray, num_points: int, writer,
+                      method: str = "direct") -> None:
+    """Sequential connectivity (sequential.rs): u64 face count, u8 method,
+    then the index payload.
+
+    method "direct" (id 1, the only one the reference's encoder emits —
+    encode/connectivity/sequential.rs:97): indices at 8/16/32 bits or
+    leb128 for the 21-bit range, switched on the point count.
+
+    method "compressed" (id 0 — the reference MODELS it in its method enum,
+    shared/connectivity/sequential.rs:23-38, but never implements either
+    side): consecutive-index deltas with the sign folded into bit 0
+    (|d|<<1 | (d<0)), then one symbol_coding stream — the same
+    delta scheme Google Draco's sequential CompressAndEncodeIndices uses.
+    Wins on meshes with locally coherent index order."""
     writer.write_u64(len(faces))
-    writer.write_u8(1)  # DirectIndices
     flat = np.asarray(faces, dtype=np.int64).ravel()
+    if method == "compressed":
+        from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
+        writer.write_u8(0)  # Compressed
+        diffs = np.diff(flat, prepend=np.int64(0))
+        syms = np.where(diffs < 0, ((-diffs) << 1) | 1,
+                        diffs << 1).astype(np.uint64)
+        encode_symbols(syms, 1, DIRECT_CODED, writer)
+        return
+    if method != "direct":
+        raise ValueError(f"unknown sequential method {method!r}")
+    writer.write_u8(1)  # DirectIndices
     if num_points < 0x100:
         writer.write_bytes(flat.astype(np.uint8).tobytes())
     elif num_points < 0x10000:

@@ -46,6 +46,21 @@ def main(argv=None) -> int:
                    default=None,
                    help="connectivity method (sequential = raw indices, "
                         "no traversal)")
+    p.add_argument("--sequential-method", choices=("direct", "compressed"),
+                   default=None,
+                   help="index payload for --method sequential: 'direct' "
+                        "(raw width-switched indices, the only method the "
+                        "reference emits) or 'compressed' (delta-coded, "
+                        "method id 0 — modeled but unimplemented in the "
+                        "reference; smaller on coherent index orders, "
+                        "decodable by this tool)")
+    p.add_argument("--strict-draco", action="store_true",
+                   help="reject every tpudraco-only dialect surface "
+                        "(valence, multi-parallelogram, auto symbol "
+                        "coding, compressed indices, point clouds) so the "
+                        "output stream is shaped exactly like the "
+                        "reference encoder's; --transcode also switches "
+                        "KHR ids to the reference's quirk mapping")
     p.add_argument("--prediction", choices=("default", "multi"),
                    default=None,
                    help="position prediction scheme: 'multi' opts into "
@@ -71,7 +86,8 @@ def main(argv=None) -> int:
 
     if args.transcode or (in_ext in (".gltf", ".glb") and out_ext in (".gltf", ".glb")):
         from ..io import DracoTranscoder
-        DracoTranscoder(khr_ids=args.khr_ids).transcode_file(
+        khr_ids = "reference" if args.strict_draco else args.khr_ids
+        DracoTranscoder(khr_ids=khr_ids).transcode_file(
             args.input, args.output)
     elif out_ext == ".drc":
         from ..encode import encode
@@ -113,6 +129,8 @@ def main(argv=None) -> int:
                 cfg.prediction = (
                     {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
                     if args.prediction == "multi" else {})
+            if args.sequential_method is not None:
+                cfg.sequential_method = args.sequential_method
         else:
             prediction = {}
             if args.prediction == "multi":
@@ -122,7 +140,10 @@ def main(argv=None) -> int:
                          encoder_method=METHOD_SEQUENTIAL
                          if args.method == "sequential"
                          else METHOD_EDGEBREAKER,
-                         quant_bits=quant_bits, prediction=prediction)
+                         quant_bits=quant_bits, prediction=prediction,
+                         sequential_method=args.sequential_method
+                         or "direct")
+        cfg.strict = args.strict_draco
         # face-less inputs (e.g. point-cloud PLY): encode() itself flips
         # the config to geometry type 0
         rec = EvalRecorder() if args.eval_json else None
