@@ -153,3 +153,38 @@ def test_encode_symbols_with_zeros_and_runs():
         encode_symbols(symbols, 1, method, w)
         out = decode_symbols(len(symbols), 1, ByteReader(w.getvalue()))
         assert np.array_equal(out, symbols)
+
+
+def test_normalize_freq_counts_batch_matches_scalar():
+    """Vectorized multi-lane table normalization is bit-identical to the
+    per-lane reference loop across precisions, alphabet widths, and the
+    sum-fixup branches (both under- and over-shoot)."""
+    import numpy as np
+
+    from tpudraco.entropy.rans import (normalize_freq_counts,
+                                       normalize_freq_counts_batch)
+
+    rng = np.random.RandomState(9)
+    B, S = 64, 300
+    counts = np.zeros((B, S), np.int64)
+    precisions = np.zeros(B, np.int64)
+    for b in range(B):
+        width = rng.randint(1, S)
+        kind = b % 4
+        if kind == 0:   # smooth
+            counts[b, :width] = rng.poisson(40, width)
+        elif kind == 1:  # spiky (forces many 0->1 bumps -> overshoot)
+            counts[b, :width] = rng.randint(0, 2, width)
+            counts[b, rng.randint(width)] = 100000
+        elif kind == 2:  # tiny alphabet
+            counts[b, :min(width, 3)] = rng.randint(1, 50, min(width, 3))
+        else:            # undershoot-prone: equal heavy bins
+            counts[b, :width] = 1000
+        counts[b, width - 1] = max(counts[b, width - 1], 1)  # end nonzero
+        precisions[b] = rng.choice([12, 14, 15, 18, 20])
+    dist, num_symbols = normalize_freq_counts_batch(counts, precisions)
+    for b in range(B):
+        ref = normalize_freq_counts(counts[b], int(precisions[b]))
+        assert num_symbols[b] == len(ref), b
+        assert np.array_equal(dist[b, :len(ref)], ref), b
+        assert not dist[b, len(ref):].any(), b

@@ -745,3 +745,46 @@ def test_decode_corpus_use_device(tmp_path):
         a = open(os.path.join(dev_out, f"m{i}.ply"), "rb").read()
         b = open(os.path.join(host_out, f"m{i}.ply"), "rb").read()
         assert a == b, i
+
+
+def test_encode_corpus_device_windowed(tmp_path):
+    """Bounded-memory device corpus: with device_window=W the driver holds
+    at most W meshes at once (O(W) host RAM), and the output bytes are
+    identical to the all-at-once device path AND the host path. Mixed
+    topologies across window boundaries still group correctly within each
+    window."""
+    from tpudraco.io.obj import save_obj
+
+    corpus = os.path.join(tmp_path, "in")
+    os.makedirs(corpus)
+    inputs = []
+    for i in range(10):
+        # two topologies interleaved so windows see mixed groups
+        p = os.path.join(corpus, f"m{i}.obj")
+        save_obj(_grid_mesh(6 if i % 2 else 7, i), p)
+        inputs.append(p)
+
+    batch_sizes = []
+    orig = BatchEncoder.encode_meshes_device
+
+    def spy(self, meshes, **kw):
+        batch_sizes.append(len(meshes))
+        return orig(self, meshes, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(BatchEncoder, "encode_meshes_device", spy):
+        rep = BatchEncoder(use_device=True).encode_corpus(
+            inputs, os.path.join(tmp_path, "ow"), device_window=3)
+    assert rep["encoded"] == 10
+    assert batch_sizes == [3, 3, 3, 1]  # O(window) residency
+
+    rep_all = BatchEncoder(use_device=True).encode_corpus(
+        inputs, os.path.join(tmp_path, "oa"), device_window=100)
+    rep_host = BatchEncoder().encode_corpus(
+        inputs, os.path.join(tmp_path, "oh"))
+    assert rep_all["encoded"] == rep_host["encoded"] == 10
+    for i in range(10):
+        w = open(os.path.join(tmp_path, "ow", f"m{i}.drc"), "rb").read()
+        a = open(os.path.join(tmp_path, "oa", f"m{i}.drc"), "rb").read()
+        h = open(os.path.join(tmp_path, "oh", f"m{i}.drc"), "rb").read()
+        assert w == a == h, i

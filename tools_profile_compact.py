@@ -1,0 +1,133 @@
+"""Compaction variants for the rANS emission matrix (512, 36864):
+stable-partition set-bit bytes to the per-lane prefix."""
+import os
+import time
+import functools
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "tests/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+L, TR = 512, 36864
+CAP = 2 * 12288 + 8
+rng = np.random.RandomState(0)
+mask_np = rng.rand(L, TR) < 0.18  # ~0.65 bytes/symbol density
+em_np = rng.randint(0, 256, (L, TR)).astype(np.uint8)
+em = jnp.asarray(em_np)
+ib = jnp.asarray(mask_np)
+
+
+def ref_compact(e, m):
+    out = np.zeros((L, CAP), np.uint8)
+    for l in range(L):
+        b = e[l][m[l]]
+        out[l, :len(b)] = b[:CAP]
+    return out
+
+
+REF = ref_compact(em_np, mask_np)
+REF_COUNTS = mask_np.sum(axis=1)
+
+
+@jax.jit
+def v_argsort(emitted, is_byte):
+    order = jnp.argsort(~is_byte, axis=1, stable=True)
+    return jnp.take_along_axis(emitted, order, axis=1)[:, :CAP], \
+        is_byte.sum(axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def v_packed_sort(emitted, is_byte):
+    # single u32 key sort: (!b << 16) | idx; TR < 2^16
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (L, TR), 1)
+    key = ((~is_byte).astype(jnp.uint32) << 16) | iota
+    skey = jax.lax.sort(key, dimension=1)
+    order = (skey & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return jnp.take_along_axis(emitted, order, axis=1)[:, :CAP], \
+        is_byte.sum(axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def v_scatter_sorted(emitted, is_byte):
+    pos = jnp.cumsum(is_byte, axis=1) - 1
+    pos = jnp.where(is_byte, pos, CAP)
+
+    def one(e, p):
+        return jnp.zeros((CAP,), jnp.uint8).at[p].set(
+            e, mode="drop", unique_indices=True, indices_are_sorted=True)
+    return jax.vmap(one)(emitted, pos), is_byte.sum(axis=1).astype(jnp.int32)
+
+
+BLK = 288  # block-reshaped sort width
+
+
+@jax.jit
+def v_block_sort(emitted, is_byte):
+    nb = TR // BLK
+    e = emitted.reshape(L * nb, BLK)
+    m = is_byte.reshape(L * nb, BLK)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (L * nb, BLK), 1)
+    key = ((~m).astype(jnp.uint32) << 16) | iota
+    skey = jax.lax.sort(key, dimension=1)
+    order = (skey & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    comp = jnp.take_along_axis(e, order, axis=1)
+    cnt = m.sum(axis=1).astype(jnp.int32)
+    return comp.reshape(L, nb, BLK), cnt.reshape(L, nb)
+
+
+def host_stitch(comp, cnt):
+    # (L, nb, BLK) u8 + (L, nb) counts -> per-lane contiguous streams
+    sel = np.arange(BLK)[None, None, :] < cnt[:, :, None]
+    flat = comp[sel]  # all bytes in (lane, block, pos) order
+    lane_tot = cnt.sum(axis=1)
+    out = np.zeros((L, CAP), np.uint8)
+    idx_l = np.repeat(np.arange(L), lane_tot)
+    idx_c = np.concatenate([np.arange(n) for n in lane_tot])
+    out[idx_l, idx_c] = flat
+    return out, lane_tot
+
+
+def sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[-1]).ravel()[:4]
+
+
+def timeit(fn, *a, n=3):
+    out = fn(*a)
+    sync(out)
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+for name, fn in (("argsort", v_argsort), ("packed_sort", v_packed_sort),
+                 ("scatter_sorted", v_scatter_sorted),
+                 ("block_sort", v_block_sort)):
+    try:
+        t, out = timeit(fn, em, ib)
+        if name == "block_sort":
+            comp, cnt = np.asarray(out[0]), np.asarray(out[1])
+            t0 = time.perf_counter()
+            res, lane_tot = host_stitch(comp, cnt)
+            th = time.perf_counter() - t0
+            ok = np.array_equal(res, REF) and np.array_equal(lane_tot,
+                                                            REF_COUNTS)
+            print(f"{name:16s} {t*1e3:8.1f} ms (+host stitch {th*1e3:.1f} "
+                  f"ms) ok={ok}", flush=True)
+        else:
+            got, cnts = np.asarray(out[0]), np.asarray(out[1])
+            col = np.arange(CAP)[None, :]
+            got = np.where(col < cnts[:, None], got, 0)
+            ok = np.array_equal(got, REF) and np.array_equal(cnts,
+                                                             REF_COUNTS)
+            print(f"{name:16s} {t*1e3:8.1f} ms ok={ok}", flush=True)
+    except Exception as e:
+        print(f"{name:16s} FAILED: {type(e).__name__}: {e}", flush=True)

@@ -1,0 +1,107 @@
+"""Sort-free compaction: block-local one-hot compaction + block-merge via
+repeat/gather. Compare against the argsort baseline on the real chip."""
+import os
+import time
+import functools
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "tests/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+L, TR = 512, 36864
+CAP = 2 * 12288 + 8
+W = 128
+NB = TR // W
+rng = np.random.RandomState(0)
+mask_np = rng.rand(L, TR) < 0.18
+em_np = rng.randint(0, 256, (L, TR)).astype(np.uint8)
+em = jnp.asarray(em_np)
+ib = jnp.asarray(mask_np)
+
+
+def ref_compact(e, m):
+    out = np.zeros((L, CAP), np.uint8)
+    for l in range(L):
+        b = e[l][m[l]]
+        out[l, :len(b)] = b[:CAP]
+    return out
+
+
+REF = ref_compact(em_np, mask_np)
+REF_COUNTS = mask_np.sum(axis=1)
+
+
+@jax.jit
+def v_block_onehot(emitted, is_byte):
+    e3 = emitted.reshape(L, NB, W)
+    m3 = is_byte.reshape(L, NB, W)
+    lp = jnp.cumsum(m3.astype(jnp.int32), axis=2) - 1
+    lp = jnp.where(m3, lp, -1)
+    cnt = m3.sum(axis=2).astype(jnp.int32)            # (L, NB)
+    # block-local compaction: comp[l,b,j] = byte with localpos j
+    j_iota = jnp.arange(W, dtype=jnp.int32)
+    comp = jnp.zeros((L, NB, W), jnp.int32)
+    # fused one-hot reduce, unrolled over j in chunks to help fusion
+    comp = jnp.sum(
+        jnp.where(lp[..., None] == j_iota, e3[..., None].astype(jnp.int32),
+                  0), axis=2).astype(jnp.uint8)        # (L, NB, W)
+
+    # merge: global offset of each block, then for each output position g
+    # find its block via repeat, and the local index via offset subtraction
+    off = jnp.cumsum(cnt, axis=1) - cnt                # (L, NB) exclusive
+    def one(cnt_l):
+        return jnp.repeat(jnp.arange(NB, dtype=jnp.int32), cnt_l,
+                          total_repeat_length=CAP)
+    b_of_g = jax.vmap(one)(cnt)                        # (L, CAP)
+    off_g = jnp.take_along_axis(off, b_of_g, axis=1)
+    g_iota = jnp.arange(CAP, dtype=jnp.int32)
+    j_of_g = g_iota[None, :] - off_g
+    flat_idx = b_of_g * W + jnp.clip(j_of_g, 0, W - 1)
+    out = jnp.take_along_axis(comp.reshape(L, NB * W), flat_idx, axis=1)
+    total = cnt.sum(axis=1)
+    out = jnp.where(g_iota[None, :] < total[:, None], out, 0)
+    return out, total
+
+
+@jax.jit
+def p_cumsum(is_byte):
+    return jnp.cumsum(is_byte.astype(jnp.int32), axis=1)
+
+
+@jax.jit
+def p_gather(emitted, idx):
+    return jnp.take_along_axis(emitted, idx, axis=1)
+
+
+def sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[-1]).ravel()[:4]
+
+
+def timeit(fn, *a, n=3):
+    out = fn(*a)
+    sync(out)
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*a)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+# primitives first
+t, _ = timeit(p_cumsum, ib)
+print(f"cumsum (L,TR):        {t*1e3:8.1f} ms", flush=True)
+idx = jnp.asarray(rng.randint(0, TR, (L, CAP)).astype(np.int32))
+t, _ = timeit(p_gather, em, idx)
+print(f"take_along (L,CAP):   {t*1e3:8.1f} ms", flush=True)
+
+t, out = timeit(v_block_onehot, em, ib)
+got, tot = np.asarray(out[0]), np.asarray(out[1])
+ok = np.array_equal(got, REF) and np.array_equal(tot, REF_COUNTS)
+print(f"block_onehot_merge:   {t*1e3:8.1f} ms ok={ok}", flush=True)

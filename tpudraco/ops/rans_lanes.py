@@ -124,7 +124,7 @@ def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                       cums: jnp.ndarray, lengths: jnp.ndarray,
-                      precision: int = 12):
+                      precision: int = 12, _timings: dict | None = None):
     """Encode L lanes of up to T symbols each.
 
     symbols: (L, T) int32, entries beyond lengths[l] ignored.
@@ -136,10 +136,18 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     buffers back to the device would just pay the link twice. The
     sequential recurrence runs on device; the flush-byte append runs
     vectorized on host."""
+    import time as _time
+
     L, T = symbols.shape
+    t0 = _time.perf_counter()
     compacted, counts, packed, nflush = _rans_scan_lanes(
         jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(cums),
         jnp.asarray(lengths), precision=precision)
+    if _timings is not None:
+        compacted.block_until_ready()
+        _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
+            + _time.perf_counter() - t0
+        t0 = _time.perf_counter()
 
     cap = 2 * T + 8
     # transfer the small per-lane metadata first, then only the occupied
@@ -158,6 +166,11 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     buffers[:, :got.shape[1]] = got  # tiny-T streams: 3T may be < cap
     packed = np.asarray(packed).astype(np.uint64)
     nflush = np.asarray(nflush).astype(np.int64)
+    if _timings is not None:
+        _timings["bytes_readback"] = _timings.get("bytes_readback", 0.0) \
+            + _time.perf_counter() - t0
+        _timings["bytes_mb"] = _timings.get("bytes_mb", 0.0) \
+            + got.nbytes / 1e6
     # vectorized flush append: up to 4 state bytes per lane
     b_idx = np.arange(4, dtype=np.int64)[None, :]
     mask = b_idx < nflush[:, None]
@@ -378,6 +391,21 @@ def _cast_u16(counts: jnp.ndarray) -> jnp.ndarray:
     return counts.astype(jnp.uint16)
 
 
+@jax.jit
+def _maxbin(counts: jnp.ndarray) -> jnp.ndarray:
+    """Global last-nonzero histogram bin over all lanes (scalar)."""
+    any_nz = (counts != 0).any(axis=0)
+    return counts.shape[1] - 1 - jnp.argmax(any_nz[::-1])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "u16"))
+def _counts_prefix(counts: jnp.ndarray, n: int, u16: bool) -> jnp.ndarray:
+    """Occupied histogram prefix, u16 when every entry fits (halves the
+    link bytes again)."""
+    c = counts[:, :n]
+    return c.astype(jnp.uint16) if u16 else c
+
+
 def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     """DirectCoded payloads for a topology-group batch with the symbols
     kept ON DEVICE end-to-end: `symbols_dev` (B, T, C) uint32/int32 from
@@ -385,29 +413,34 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
     histogram of the flattened per-mesh streams. Only the (small) counts
     and the compacted byte streams cross the tunnel. Bit-exact with
     `encode_symbols(..., DIRECT_CODED)` (pinned by tests)."""
-    from ..entropy.rans import normalize_freq_counts, serialize_rans_table
-    from ..entropy.symbol_coding import (
-        DIRECT_CODED, bit_length_u64, rans_precision_for_bit_length)
+    from ..entropy.rans import (normalize_freq_counts_batch,
+                                serialize_rans_table)
+    from ..entropy.symbol_coding import DIRECT_CODED, bit_length_u64
     from ..wire.byte_io import ByteWriter
     from ..wire.varint import leb128_write
 
     B, T, C = symbols_dev.shape
     n_sym = T * C
-    # histogram entries are bounded by n_sym, so a u16 transfer halves the
-    # (B, bins) readback when it fits. (Trimming to the occupied bin
-    # prefix was tried and reverted: the scalar max-bin readback forces a
-    # mid-pipeline sync that costs more than the bytes it saves on this
-    # tunnel.)
-    if n_sym < (1 << 16):
-        counts = np.asarray(_cast_u16(jnp.asarray(counts_dev))).astype(
-            np.int64)
-    else:
-        counts = np.asarray(counts_dev)
+    counts_dev = jnp.asarray(counts_dev)
+    total_bins = int(counts_dev.shape[1])
+    # dispatch the reversed-feed flip BEFORE any sync so the device works
+    # through it while the host waits on the histogram
+    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
+    # occupied-prefix histogram transfer: residuals concentrate near 0, so
+    # shipping all hist_bins columns wastes most of the link. The scalar
+    # max-bin sync this needs is paid once per group and overlaps the
+    # flip dispatched above; bins bucket to 256 to bound recompiles.
+    mb = int(_maxbin(counts_dev))
+    bins = min(total_bins, max(256, -(-(mb + 1) // 256) * 256))
+    counts = np.asarray(_counts_prefix(counts_dev, bins,
+                                       n_sym < (1 << 16))).astype(np.int64)
 
     # the device histogram DROPS out-of-range symbols; a deficit here means
     # hist_bins was too small for the residual range (the lanes would encode
     # symbols the table never saw -> corrupt bitstream), so fail loudly and
-    # let the caller fall back / re-raise instead of emitting garbage
+    # let the caller fall back / re-raise instead of emitting garbage.
+    # (The prefix trim above only drops all-zero columns, so the sums are
+    # unchanged by it.)
     sums = counts.sum(axis=1)
     if not np.all(sums == n_sym):
         bad = int(np.flatnonzero(sums != n_sym)[0])
@@ -416,43 +449,33 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
             f"{int(sums[bad])}/{n_sym} binned) — hist_bins too small for "
             "the symbol range")
 
-    # per-lane table parameters from the device histogram
+    # per-lane table parameters from the device histogram; all-lane
+    # vectorized (the per-lane python loop dominated this stage)
     num_nonzero = n_sym - counts[:, 0]
     bls = np.clip(bit_length_u64(num_nonzero.astype(np.uint64)) + 1, 1, 18)
-    precisions = np.asarray([rans_precision_for_bit_length(int(b))
-                             for b in bls])
-    max_syms = np.array([int(np.flatnonzero(c)[-1]) if c.any() else 0
-                         for c in counts])
-    dists = [normalize_freq_counts(counts[i][:max_syms[i] + 1],
-                                   int(precisions[i])) for i in range(B)]
-
-    # reversed feed, flattened per mesh — stays on device (one jitted
-    # dispatch; the eager reshape/astype/flip chain costs three)
-    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
+    precisions = np.clip((3 * bls) // 2, 12, 20)  # schedule, vectorized
+    dist, num_symbols = normalize_freq_counts_batch(counts, precisions)
 
     blobs: list[bytes | None] = [None] * B
     for prec in sorted(set(precisions.tolist())):
-        lane_ids = [i for i in range(B) if precisions[i] == prec]
+        in_group = precisions == prec
         S = 16
-        while S < max(len(dists[i]) for i in lane_ids):
+        while S < int(num_symbols[in_group].max()):
             S *= 2
         freqs = np.zeros((B, S), dtype=np.uint32)
-        cums = np.zeros((B, S), dtype=np.uint32)
-        freqs[:, 0] = 1 << int(prec)
-        for i in lane_ids:
-            d = dists[i]
-            freqs[i, :len(d)] = d
-            freqs[i, len(d):] = 0
-            cums[i, 1:len(d)] = np.cumsum(d)[:-1]
+        w = min(S, dist.shape[1])
+        freqs[:, :w] = dist[:, :w]
+        freqs[~in_group] = 0
+        freqs[~in_group, 0] = 1 << int(prec)  # valid table, masked lanes
+        cums = np.zeros_like(freqs)
+        np.cumsum(freqs[:, :-1], axis=1, out=cums[:, 1:])
         # single-precision groups (the common case) run as one device call
         # over ALL lanes; mixed groups mask out foreign lanes via length 0
-        lengths = np.where(precisions == prec, n_sym, 0).astype(np.int32)
+        lengths = np.where(in_group, n_sym, 0).astype(np.int32)
         bufs, nbytes = rans_encode_lanes(
             lanes_dev, jnp.asarray(freqs), jnp.asarray(cums),
             jnp.asarray(lengths), precision=int(prec))
-        bufs = np.asarray(bufs)
-        nbytes = np.asarray(nbytes)
-        for i in lane_ids:
+        for i in np.flatnonzero(in_group):
             blobs[i] = bufs[i, :nbytes[i]].tobytes()
 
     out: list[bytes] = []
@@ -460,7 +483,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev) -> list[bytes]:
         w = ByteWriter()
         w.write_u8(DIRECT_CODED)
         w.write_u8(int(bls[i]))
-        serialize_rans_table(dists[i], w)
+        serialize_rans_table(dist[i, :num_symbols[i]], w)
         leb128_write(len(blobs[i]), w)
         w.write_bytes(blobs[i])
         out.append(w.getvalue())

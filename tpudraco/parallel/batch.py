@@ -420,12 +420,23 @@ class BatchEncoder:
                 out.append(None)
         return out
 
+    # device-corpus window: meshes resident on host at once (O(window)
+    # memory; topology groups still batch within a window and the topology
+    # cache persists across windows)
+    DEVICE_CORPUS_WINDOW = 256
+
     def encode_corpus(self, inputs: list[str], out_dir: str,
-                      resume: bool = True, workers: int = 1) -> dict:
+                      resume: bool = True, workers: int = 1,
+                      device_window: int | None = None) -> dict:
         """File-level corpus driver with resume (skip existing outputs) and
         per-mesh error isolation. ``workers`` > 1 encodes files on a thread
         pool — the C++ topology/entropy passes release the GIL, so this
-        scales across host cores. Returns a report dict."""
+        scales across host cores. With use_device, inputs stream through
+        the chip in windows of ``device_window`` meshes (default
+        DEVICE_CORPUS_WINDOW) so a large corpus never loads fully into host
+        RAM; output bytes are identical to the all-at-once path (same
+        per-group encoding, windows only bound the batch width). Returns a
+        report dict."""
         from ..io import load_mesh
 
         os.makedirs(out_dir, exist_ok=True)
@@ -448,20 +459,23 @@ class BatchEncoder:
 
         device_blobs: dict[str, bytes | None] = {}
         if self.use_device:
-            # load everything first so topology groups batch onto the chip
-            # — but skip inputs whose outputs already exist (resume), so a
+            # stream in bounded windows: load W meshes, device-batch them
+            # by topology group, keep only the (small) encoded blobs —
+            # skipping inputs whose outputs already exist (resume), so a
             # resumed run doesn't redo (and discard) the device batch
-            loadable, load_meshes = [], []
-            for path in inputs:
-                if resume and os.path.isfile(out_path_for(path)):
-                    continue
-                try:
-                    load_meshes.append(load_mesh(path))
-                    loadable.append(path)
-                except Exception:
-                    pass  # per-file isolation below re-reports the error
-            blobs = self.encode_meshes_device(load_meshes)
-            device_blobs = dict(zip(loadable, blobs))
+            W = device_window or self.DEVICE_CORPUS_WINDOW
+            pending = [p for p in inputs
+                       if not (resume and os.path.isfile(out_path_for(p)))]
+            for w0 in range(0, len(pending), W):
+                loadable, load_meshes = [], []
+                for path in pending[w0:w0 + W]:
+                    try:
+                        load_meshes.append(load_mesh(path))
+                        loadable.append(path)
+                    except Exception:
+                        pass  # per-file isolation below re-reports it
+                blobs = self.encode_meshes_device(load_meshes)
+                device_blobs.update(zip(loadable, blobs))
 
         def one(path):
             out_path = out_path_for(path)

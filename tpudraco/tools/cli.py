@@ -147,7 +147,13 @@ def main(argv=None) -> int:
         # face-less inputs (e.g. point-cloud PLY): encode() itself flips
         # the config to geometry type 0
         rec = EvalRecorder() if args.eval_json else None
-        blob = encode(mesh, cfg=cfg, recorder=rec)
+        try:
+            blob = encode(mesh, cfg=cfg, recorder=rec)
+        except ValueError as e:
+            if "strict Draco mode" not in str(e):
+                raise
+            print(str(e), file=sys.stderr)
+            return 2
         with open(args.output, "wb") as f:
             f.write(blob)
         if rec:

@@ -52,6 +52,9 @@ def main(argv=None) -> int:
                     help="re-process inputs whose outputs already exist")
     ap.add_argument("--workers", type=int, default=1,
                     help="host thread workers (encode/decode)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="encode --device: meshes resident at once "
+                         "(bounded host RAM; default 256)")
     ap.add_argument("--fmt", default="obj", choices=("obj", "ply"),
                     help="decode output format")
     args = ap.parse_args(argv)
@@ -69,7 +72,8 @@ def main(argv=None) -> int:
         else:
             from ..parallel import BatchEncoder
             report = BatchEncoder(use_device=args.device).encode_corpus(
-                inputs, args.output, resume=resume, workers=args.workers)
+                inputs, args.output, resume=resume, workers=args.workers,
+                device_window=args.window)
     elif args.command == "decode":
         from ..parallel import BatchDecoder
         inputs = _expand(args.input, DECODE_EXTS)
