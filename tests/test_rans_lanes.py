@@ -127,3 +127,34 @@ def test_encode_direct_coded_streams_device_bit_exact():
         w = ByteWriter()
         encode_symbols(s, 1, DIRECT_CODED, w)
         assert got[i] == w.getvalue(), f"stream {i}"
+
+
+def test_word_packed_scan_matches_dense(monkeypatch):
+    """Fast-path/twin invariant for the entropy scan: the word-packed
+    emission path (_rans_scan_lanes_words, default) and the dense
+    byte-slot path (_rans_scan_lanes + Pallas kernel layout) must produce
+    identical buffers for ragged lane lengths and both table shapes."""
+    import numpy as np
+
+    import tpudraco.ops.pallas_kernels as pk
+    from tpudraco.entropy.rans import normalize_freq_counts
+    from tpudraco.ops.rans_lanes import rans_encode_lanes
+
+    rng = np.random.RandomState(5)
+    L, T = 20, 700
+    syms = rng.randint(0, 37, (L, T)).astype(np.int32)
+    lengths = rng.randint(1, T + 1, L).astype(np.int32)
+    lengths[0], lengths[1] = 0, T  # degenerate + full lanes
+    dist = normalize_freq_counts(np.bincount(syms.ravel()), 12)
+    cums = np.concatenate([[0], np.cumsum(dist)[:-1]])
+
+    buf_w, n_w = rans_encode_lanes(syms, dist.astype(np.uint32),
+                                   cums.astype(np.uint32), lengths)
+    # force the dense path (on CPU the Pallas kernel runs in interpret
+    # mode, so this also covers the kernel's emission layout)
+    monkeypatch.setattr(pk, "rans_scan_pallas_viable", lambda L, T: True)
+    buf_d, n_d = rans_encode_lanes(syms, dist.astype(np.uint32),
+                                   cums.astype(np.uint32), lengths)
+    assert np.array_equal(n_w, n_d)
+    for i in range(L):
+        assert buf_w[i, :n_w[i]].tobytes() == buf_d[i, :n_d[i]].tobytes(), i

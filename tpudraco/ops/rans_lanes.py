@@ -122,6 +122,106 @@ def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
     return arr[:, :n]
 
 
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
+                           cums: jnp.ndarray, lengths: jnp.ndarray,
+                           precision: int = 12):
+    """Device scan with WORD-PACKED emissions: each lane packs its
+    renormalization bytes little-endian into uint32 words carried through
+    the scan (at most one full word flushes per symbol), so the on-device
+    stable-partition compaction sorts T word slots instead of 3T byte
+    slots — the argsort is the dominant on-chip cost of the entropy stage
+    (measured 251 ms of a 288 ms scan+compact on v5e at L=512, T=12288) —
+    and the host transfer carries the exact payload with no slot padding.
+    Byte streams are bit-identical to _rans_scan_lanes (pinned by tests).
+
+    Returns (compacted words (L, WCAP) uint32, word counts (L,) int32,
+    partial word (L,) uint32, partial byte count (L,) int32, packed flush
+    state (L,) uint32, flush byte count (L,) int32)."""
+    L, T = symbols.shape
+    l_base = (1 << precision) << 2
+    base_sh = l_base >> precision
+    S = freqs.shape[-1]
+
+    K = SYMBOLS_PER_STEP
+    T_pad = -(-T // K) * K
+    if T_pad != T:  # padding symbols land beyond every lane's length
+        symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
+
+    # hoist ALL table lookups out of the sequential loop (see
+    # _rans_scan_lanes)
+    idx = jnp.clip(symbols, 0, S - 1)
+    if freqs.ndim == 2:
+        fs = jnp.take_along_axis(freqs, idx, axis=1).astype(jnp.uint32)
+        cs = jnp.take_along_axis(cums, idx, axis=1).astype(jnp.uint32)
+    else:
+        fs = freqs[idx].astype(jnp.uint32)
+        cs = cums[idx].astype(jnp.uint32)
+
+    u8_ = jnp.uint32(8)
+
+    def one_symbol(carry, f, cum, active):
+        states, lo, hi, nacc = carry
+        limit = (jnp.uint32(base_sh) * f) << u8_
+        for _ in range(MAX_RENORM_PER_SYMBOL):
+            do = active & (states >= limit)
+            b = states & jnp.uint32(0xFF)
+            in_lo = nacc < 4
+            sh_lo = u8_ * jnp.where(in_lo, nacc, 0)
+            sh_hi = u8_ * jnp.where(in_lo, 0, nacc - 4)
+            lo = jnp.where(do & in_lo, lo | (b << sh_lo), lo)
+            hi = jnp.where(do & ~in_lo, hi | (b << sh_hi), hi)
+            nacc = nacc + do.astype(jnp.uint32)
+            states = jnp.where(do, states >> u8_, states)
+        new_states = ((states // f) << jnp.uint32(precision)) \
+            + states % f + cum
+        states = jnp.where(active, new_states, states)
+        # nacc <= 6 here (<= 3 carried in + <= 3 emitted): one flush
+        # drains a full little-endian word and shifts the tail down
+        fl = nacc >= 4
+        word = lo
+        lo = jnp.where(fl, hi, lo)
+        hi = jnp.where(fl, jnp.uint32(0), hi)
+        nacc = jnp.where(fl, nacc - 4, nacc)
+        return (states, lo, hi, nacc), (word, fl)
+
+    def step(carry, s):
+        words, flags = [], []
+        for k in range(K):
+            i = s * K + k
+            carry, (w, fl) = one_symbol(carry, fs[:, i], cs[:, i],
+                                        i < lengths)
+            words.append(w)
+            flags.append(fl)
+        return carry, (jnp.stack(words), jnp.stack(flags))  # (K, L)
+
+    zeros = jnp.zeros((L,), jnp.uint32)
+    carry0 = (jnp.full((L,), l_base, dtype=jnp.uint32), zeros, zeros,
+              zeros)
+    (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
+        step, carry0, jnp.arange(T_pad // K))
+    words = wq.reshape(T_pad, L)[:T].T        # (L, T) symbol-major
+    mask = flq.reshape(T_pad, L)[:T].T
+
+    # flush framing: final state with 2-bit size flag (rans.rs:48-68)
+    st = states - jnp.uint32(l_base)
+    nbytes_state = jnp.where(st < (1 << 6), 1,
+                             jnp.where(st < (1 << 14), 2,
+                                       jnp.where(st < (1 << 22), 3, 4)))
+    flag = (nbytes_state - 1).astype(jnp.uint32)
+    packed = st + (flag << (jnp.uint32(6)
+                            + u8_ * (nbytes_state - 1).astype(jnp.uint32)))
+
+    # word-level stable partition (3x fewer sort elements than byte slots)
+    order = jnp.argsort(~mask, axis=1, stable=True)
+    compacted = jnp.take_along_axis(words, order, axis=1)
+    cap_w = min(T, (3 * T) // 4 + 2)
+    compacted = compacted[:, :cap_w]
+    nwords = mask.sum(axis=1).astype(jnp.int32)
+    return (compacted, nwords, lo, nacc.astype(jnp.int32), packed,
+            nbytes_state.astype(jnp.int32))
+
+
 def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                       cums: jnp.ndarray, lengths: jnp.ndarray,
                       precision: int = 12, _timings: dict | None = None):
@@ -138,32 +238,71 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     vectorized on host."""
     import time as _time
 
-    L, T = symbols.shape
-    t0 = _time.perf_counter()
-    compacted, counts, packed, nflush = _rans_scan_lanes(
-        jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(cums),
-        jnp.asarray(lengths), precision=precision)
-    if _timings is not None:
-        compacted.block_until_ready()
-        _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
-            + _time.perf_counter() - t0
-        t0 = _time.perf_counter()
+    from .pallas_kernels import rans_scan_pallas_viable
 
+    L, T = symbols.shape
     cap = 2 * T + 8
-    # transfer the small per-lane metadata first, then only the occupied
-    # prefix of the byte matrix (bucketed to limit slice recompiles) — the
-    # worst-case cap is ~2x the typical payload, and the link is the
-    # bottleneck behind a tunnel
-    counts = np.asarray(counts).astype(np.int64)
-    dev_cap = int(compacted.shape[1])
-    max_b = int(counts.max()) if L else 0
-    bucket = min(dev_cap, max(2048, -(-max_b // 2048) * 2048))
-    if bucket < dev_cap:
-        got = np.asarray(_slice_cols(compacted, bucket))
+    t0 = _time.perf_counter()
+    if rans_scan_pallas_viable(L, T):
+        # dense byte-slot path (the Pallas kernel emits that layout)
+        compacted, counts, packed, nflush = _rans_scan_lanes(
+            jnp.asarray(symbols), jnp.asarray(freqs), jnp.asarray(cums),
+            jnp.asarray(lengths), precision=precision)
+        if _timings is not None:
+            compacted.block_until_ready()
+            _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
+                + _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+        # transfer the small per-lane metadata first, then only the
+        # occupied prefix of the byte matrix (bucketed to limit slice
+        # recompiles) — the link is the bottleneck behind a tunnel
+        counts = np.asarray(counts).astype(np.int64)
+        dev_cap = int(compacted.shape[1])
+        max_b = int(counts.max()) if L else 0
+        bucket = min(dev_cap, max(2048, -(-max_b // 2048) * 2048))
+        if bucket < dev_cap:
+            got = np.asarray(_slice_cols(compacted, bucket))
+        else:
+            got = np.asarray(compacted)
+        buffers = np.zeros((L, cap), dtype=np.uint8)
+        buffers[:, :got.shape[1]] = got  # tiny-T streams: 3T may be < cap
     else:
-        got = np.asarray(compacted)
-    buffers = np.zeros((L, cap), dtype=np.uint8)
-    buffers[:, :got.shape[1]] = got  # tiny-T streams: 3T may be < cap
+        # word-packed path: the scan packs bytes into uint32 words, so the
+        # compaction sorts 3x fewer elements and the transfer is the exact
+        # payload (no slot padding)
+        compacted_w, nwords, partial, naccs, packed, nflush = \
+            _rans_scan_lanes_words(
+                jnp.asarray(symbols), jnp.asarray(freqs),
+                jnp.asarray(cums), jnp.asarray(lengths),
+                precision=precision)
+        if _timings is not None:
+            compacted_w.block_until_ready()
+            _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
+                + _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+        nwords = np.asarray(nwords).astype(np.int64)
+        naccs = np.asarray(naccs).astype(np.int64)
+        counts = 4 * nwords + naccs
+        dev_cap = int(compacted_w.shape[1])
+        max_w = int(nwords.max()) if L else 0
+        bucket = min(dev_cap, min(cap // 4 + 1,
+                                  max(512, -(-max_w // 512) * 512)))
+        got = np.asarray(_slice_cols(compacted_w, bucket)
+                         if bucket < dev_cap else compacted_w)
+        partial = np.asarray(partial).astype(np.uint64)
+        buffers = np.zeros((L, cap), dtype=np.uint8)
+        nb4 = min(got.shape[1] * 4, cap)
+        # uint32 rows viewed little-endian ARE the byte streams
+        buffers[:, :nb4] = np.ascontiguousarray(got).view(np.uint8)[:, :nb4]
+        # partial-word tail: up to 3 bytes at columns 4*nwords + i
+        p_idx = np.arange(3, dtype=np.int64)[None, :]
+        pmask = p_idx < naccs[:, None]
+        prow = np.repeat(np.arange(L, dtype=np.int64)[:, None], 3, axis=1)
+        pcol = 4 * nwords[:, None] + p_idx
+        pval = ((partial[:, None] >> (8 * p_idx).astype(np.uint64))
+                & np.uint64(0xFF)).astype(np.uint8)
+        buffers[prow[pmask], pcol[pmask]] = pval[pmask]
+
     packed = np.asarray(packed).astype(np.uint64)
     nflush = np.asarray(nflush).astype(np.int64)
     if _timings is not None:
