@@ -181,20 +181,41 @@ def _host_e2e_mbps(positions, faces, trials=2):
     return positions.nbytes / best / 1e6
 
 
-def bench_e2e(positions, faces, gathers):
-    """End-to-end device encode: fused step -> device multi-lane rANS ->
-    final per-mesh DirectCoded payload bytes on host, vs the host
-    topology-cached encoder measured back-to-back in this process."""
+def _e2e_step(gn, gathers):
+    """The fused step for the e2e path: Pallas MXU combo-matrix kernel on
+    real TPU (the gather formulation is ~10x slower there — gathers cost
+    ~15 ns/index on this backend), XLA gathers elsewhere."""
     import jax
     import jax.numpy as jnp
 
-    from tpudraco.ops import encode_step
+    from tpudraco.ops import (build_combined_matrix, encode_step,
+                              encode_step_pallas, predict_matmul_viable)
 
-    @jax.jit
-    def step(pos):
-        out = encode_step(pos, gathers, bits=11)
-        return out["symbols"], out["counts"]
+    T = int(gn["order"].shape[0])
+    V = N * N
+    if jax.default_backend() == "tpu" and predict_matmul_viable(
+            2 * T, V, BATCH, 3):
+        M = jnp.asarray(build_combined_matrix(gn, V))
 
+        @jax.jit
+        def step(pos):
+            out = encode_step_pallas(pos, gathers, M, bits=11)
+            return out["symbols"], out["counts"]
+    else:
+        @jax.jit
+        def step(pos):
+            out = encode_step(pos, gathers, bits=11)
+            return out["symbols"], out["counts"]
+    return step
+
+
+def bench_e2e(positions, faces, gn, gathers):
+    """End-to-end device encode: fused step -> device multi-lane rANS ->
+    final per-mesh DirectCoded payload bytes on host, vs the host
+    topology-cached encoder measured back-to-back in this process."""
+    import jax.numpy as jnp
+
+    step = _e2e_step(gn, gathers)
     pos = jnp.asarray(positions)
     payloads = _e2e_once(step, pos)  # compile both stages
     assert payloads and all(p for p in payloads)
@@ -210,20 +231,14 @@ def bench_e2e(positions, faces, gathers):
     return _result("device_encode_e2e_throughput", mbps, "MB/s", host_mbps)
 
 
-def bench_e2e_breakdown(positions, faces, gathers):
+def bench_e2e_breakdown(positions, faces, gn, gathers):
     """Per-stage decomposition of the e2e wall (device compute vs link vs
     host assembly) — the utilization evidence VERDICT r2 #1 asks for."""
-    import jax
     import jax.numpy as jnp
 
-    from tpudraco.ops import encode_step
     from tpudraco.ops.rans_lanes import encode_group_entropy_device
 
-    @jax.jit
-    def step(pos):
-        out = encode_step(pos, gathers, bits=11)
-        return out["symbols"], out["counts"]
-
+    step = _e2e_step(gn, gathers)
     pos = jnp.asarray(positions)
     stages = {}
     encode_group_entropy_device(*step(pos))  # compile
@@ -341,10 +356,10 @@ def main():
 
     positions, faces, gn, gathers = _setup()
     if args.breakdown:
-        print(json.dumps(bench_e2e_breakdown(positions, faces, gathers)))
+        print(json.dumps(bench_e2e_breakdown(positions, faces, gn, gathers)))
         return
     if args.metric in ("e2e", "all"):
-        print(json.dumps(bench_e2e(positions, faces, gathers)))
+        print(json.dumps(bench_e2e(positions, faces, gn, gathers)))
     if args.metric in ("step", "all"):
         print(json.dumps(bench_step(positions, gn, gathers)))
     if args.metric in ("decode", "all"):

@@ -158,3 +158,58 @@ def test_word_packed_scan_matches_dense(monkeypatch):
     assert np.array_equal(n_w, n_d)
     for i in range(L):
         assert buf_w[i, :n_w[i]].tobytes() == buf_d[i, :n_d[i]].tobytes(), i
+
+
+def test_decode_packed12_matches_generic():
+    """Twin invariant for the P=12 decode fast path: the packed-slot scan
+    (_rans_decode_scan_packed12) must produce the same symbols as the
+    generic scan for ragged counts, per-lane tables, and shared tables."""
+    import numpy as np
+
+    from tpudraco.entropy.rans import normalize_freq_counts
+    from tpudraco.ops.rans_lanes import (_rans_decode_scan,
+                                         rans_decode_lanes,
+                                         rans_encode_lanes)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    L, T, prec = 24, 600, 12
+    counts_per = rng.randint(1, T + 1, L).astype(np.int64)
+    counts_per[0] = T
+    syms = np.zeros((L, T), np.int32)
+    dists, slot_rows = [], []
+    S = 64
+    for i in range(L):
+        a = rng.randint(2, 50)  # per-lane alphabet
+        s = rng.randint(0, a, counts_per[i])
+        syms[i, :counts_per[i]] = s[::-1]  # reversed feed
+        d = normalize_freq_counts(np.bincount(s, minlength=a), prec)
+        dists.append(d)
+    freqs = np.zeros((L, S), np.uint32)
+    cums = np.zeros((L, S), np.uint32)
+    slots = np.zeros((L, 1 << prec), np.int32)
+    for i, d in enumerate(dists):
+        freqs[i, :len(d)] = d
+        cums[i, 1:len(d)] = np.cumsum(d)[:-1]
+        reps = np.repeat(np.arange(len(d)), d)
+        slots[i, :len(reps)] = reps
+    bufs, nbytes = rans_encode_lanes(
+        jnp.asarray(syms), jnp.asarray(freqs), jnp.asarray(cums),
+        jnp.asarray(counts_per.astype(np.int32)), precision=prec)
+
+    fast = np.asarray(rans_decode_lanes(
+        jnp.asarray(bufs), jnp.asarray(nbytes), jnp.asarray(freqs),
+        jnp.asarray(cums), jnp.asarray(slots), counts_per,
+        precision=prec))
+    assert fast.dtype == np.uint8  # packed path taken
+    slow = np.asarray(_rans_decode_scan(
+        jnp.asarray(bufs), jnp.asarray(nbytes), jnp.asarray(freqs),
+        jnp.asarray(cums), jnp.asarray(slots),
+        jnp.asarray(counts_per), precision=prec, max_T=T))
+    for i in range(L):
+        n = counts_per[i]
+        assert np.array_equal(fast[i, :n].astype(np.int64),
+                              slow[i, :n].astype(np.int64)), i
+        # and both give back the original (un-reversed) stream
+        assert np.array_equal(fast[i, :n].astype(np.int32),
+                              syms[i, :n][::-1]), i
