@@ -160,10 +160,16 @@ def test_word_packed_scan_matches_dense(monkeypatch):
         assert buf_w[i, :n_w[i]].tobytes() == buf_d[i, :n_d[i]].tobytes(), i
 
 
-def test_decode_packed12_matches_generic():
-    """Twin invariant for the P=12 decode fast path: the packed-slot scan
-    (_rans_decode_scan_packed12) must produce the same symbols as the
-    generic scan for ragged counts, per-lane tables, and shared tables."""
+import pytest
+
+
+@pytest.mark.parametrize("prec,alpha_max", [(12, 50), (12, 400), (13, 60),
+                                            (14, 300)])
+def test_decode_packed_matches_generic(prec, alpha_max):
+    """Twin invariant for the P<=14 packed-table decode fast path (fused
+    single-gather form for P=12 small alphabets, fc+sym two-table form
+    otherwise): identical symbols to the generic scan for ragged counts
+    and per-lane tables."""
     import numpy as np
 
     from tpudraco.entropy.rans import normalize_freq_counts
@@ -173,14 +179,16 @@ def test_decode_packed12_matches_generic():
     import jax.numpy as jnp
 
     rng = np.random.RandomState(11)
-    L, T, prec = 24, 600, 12
+    L, T = 24, 600
     counts_per = rng.randint(1, T + 1, L).astype(np.int64)
     counts_per[0] = T
     syms = np.zeros((L, T), np.int32)
     dists, slot_rows = [], []
-    S = 64
+    S = 16
+    while S < alpha_max:
+        S *= 2
     for i in range(L):
-        a = rng.randint(2, 50)  # per-lane alphabet
+        a = rng.randint(2, alpha_max)  # per-lane alphabet
         s = rng.randint(0, a, counts_per[i])
         syms[i, :counts_per[i]] = s[::-1]  # reversed feed
         d = normalize_freq_counts(np.bincount(s, minlength=a), prec)
@@ -201,7 +209,8 @@ def test_decode_packed12_matches_generic():
         jnp.asarray(bufs), jnp.asarray(nbytes), jnp.asarray(freqs),
         jnp.asarray(cums), jnp.asarray(slots), counts_per,
         precision=prec))
-    assert fast.dtype == np.uint8  # packed path taken
+    want_dtype = np.uint8 if (prec == 12 and S <= 256) else np.uint16
+    assert fast.dtype == want_dtype  # packed path taken
     slow = np.asarray(_rans_decode_scan(
         jnp.asarray(bufs), jnp.asarray(nbytes), jnp.asarray(freqs),
         jnp.asarray(cums), jnp.asarray(slots),

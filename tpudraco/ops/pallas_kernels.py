@@ -338,16 +338,16 @@ def rans_scan_pallas(fs: jnp.ndarray, cs: jnp.ndarray,
 
 
 def rans_scan_pallas_viable(L: int, T: int) -> bool:
-    """Opt-in via TPUDRACO_PALLAS_RANS=1: on this environment's tunneled
-    chip the XLA-scan path measures slightly faster in context (the link
-    and the layout shuffles around the kernel dominate, see BASELINE.md);
-    on directly-attached chips the kernel removes the ~30 us/iteration
-    loop overhead and is the intended production path. Bit-exactness is
-    pinned either way (tests/test_pallas_kernels.py)."""
-    import os
-    return (jax.default_backend() == "tpu"
-            and bool(os.environ.get("TPUDRACO_PALLAS_RANS"))
-            and L * T >= (1 << 16))
+    """Retired as a production path (round 3, measured in-context on v5e:
+    the word-packed XLA scan + word compaction runs the full e2e entropy
+    stage in 478 ms vs 656 ms for this kernel + dense-slot compaction at
+    L=512, T=12288 — the dense (L, 3T) emission layout forces a 2.4x
+    larger stable-partition sort, which dominates the kernel's win on the
+    recurrence itself). The kernel and its dense-slot path remain the
+    bit-exact twin of the words path (tests/test_rans_lanes.py
+    test_word_packed_scan_matches_dense forces this path;
+    tests/test_pallas_kernels.py pins the kernel on both backends)."""
+    return False
 
 
 def predict_matmul_viable(T: int, V: int, B: int, C: int,

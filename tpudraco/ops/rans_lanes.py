@@ -417,38 +417,42 @@ def _rans_decode_scan(bufs_u8, nbytes, freqs, cums, slots, counts,
     return out.T  # (L, T)
 
 
-@functools.partial(jax.jit, static_argnames=("max_T",))
-def _rans_decode_scan_packed12(bufs_u8, nbytes, freqs, cums, slots, counts,
-                               max_T: int):
-    """Precision-12 decode fast path (the floor of Draco's precision
-    schedule, i.e. every bit_length <= 8 stream: CLERS/valence contexts,
-    normals, small residual alphabets).
+@functools.partial(jax.jit,
+                   static_argnames=("precision", "max_T", "fuse_sym"))
+def _rans_decode_scan_packed(bufs_u8, nbytes, freqs, cums, slots, counts,
+                             precision: int, max_T: int, fuse_sym: bool):
+    """Packed-table decode fast path for precision <= 14.
 
-    P=12 implies alphabet < 256, freq <= 2^12 and cum < 2^12, so symbol,
-    freq-1 and cum pack into ONE uint32 slot-indexed table entry — one
-    in-scan gather per symbol instead of three (slot, freq, cum). The
-    refill reads ONE pre-packed uint32 of the next 4 stream bytes in pop
-    order instead of up to three byte gathers; P=12 needs at most 2
-    refill bytes per symbol (state >= l_base >> 12 = 4 after every
-    update, and 4 << 16 >= l_base). ~3x fewer in-scan gathers — the
-    dominant decode cost on this backend (~15 ns/gathered element).
-    Bit-exact with _rans_decode_scan (twin test)."""
-    precision = 12
+    P <= 14 implies freq-1 and cum each fit 14 bits, so (freq-1 | cum<<14)
+    packs into ONE uint32 slot-indexed table — one in-scan gather for the
+    state update instead of three (slot, freq, cum); the symbol id rides
+    a u16 slot table (second gather), or is FUSED into the same u32 when
+    P == 12 and the alphabet < 256 (idx<<24 | (f-1)<<12 | c — one gather
+    total). The refill reads ONE pre-packed uint32 of the next 4 stream
+    bytes in pop order instead of up to three byte gathers; P <= 14 needs
+    at most 2 refill bytes per symbol (state >= l_base >> P = 4 after
+    every update, and 4 << 16 >= l_base). Gathers dominate decode on this
+    backend (~15 ns/gathered element), so 2-3 gathers/symbol vs the
+    generic path's ~6 is the win. Bit-exact with _rans_decode_scan
+    (twin tests)."""
     L, cap = bufs_u8.shape
     l_base = jnp.uint32((1 << precision) << 2)
     lane_ids = jnp.arange(L)
     bufs = bufs_u8.astype(jnp.uint32)
 
-    # packed slot table: entry = symbol << 24 | (freq-1) << 12 | cum
+    idx = slots.astype(jnp.int32)
     if slots.ndim == 2:
-        idx = slots.astype(jnp.int32)
         f = jnp.take_along_axis(freqs, idx, axis=1).astype(jnp.uint32)
         c = jnp.take_along_axis(cums, idx, axis=1).astype(jnp.uint32)
     else:
-        idx = slots.astype(jnp.int32)
         f = freqs[idx].astype(jnp.uint32)
         c = cums[idx].astype(jnp.uint32)
-    packed_tbl = ((idx.astype(jnp.uint32) << 24) | ((f - 1) << 12) | c)
+    if fuse_sym:  # P == 12, alphabet < 256: 8 + 12 + 12 bits
+        fc_tbl = ((idx.astype(jnp.uint32) << 24) | ((f - 1) << 12) | c)
+        sym_tbl = None
+    else:         # (f-1 | c<<14) <= 28 bits; symbol separate u16
+        fc_tbl = (f - 1) | (c << 14)
+        sym_tbl = idx.astype(jnp.uint16)
 
     # rev32[:, i] = stream bytes i-1, i-2, i-3, i-4 packed LSB-first —
     # the next refill bytes in pop order, one gather away
@@ -478,6 +482,12 @@ def _rans_decode_scan_packed12(bufs_u8, nbytes, freqs, cums, slots, counts,
     states = states + l_base
 
     rmask = jnp.uint32((1 << precision) - 1)
+    m14 = jnp.uint32((1 << 14) - 1)
+
+    def gather(tbl, r):
+        if tbl.ndim == 2:
+            return tbl[lane_ids, r]
+        return tbl[r]
 
     def one_symbol(states, pos, i):
         active = i < counts
@@ -492,17 +502,21 @@ def _rans_decode_scan_packed12(bufs_u8, nbytes, freqs, cums, slots, counts,
                                          & jnp.uint32(0xFF)), s1)
         pos = p1 - n2
         q = states >> jnp.uint32(precision)
-        r = states & rmask
-        if packed_tbl.ndim == 2:
-            e = packed_tbl[lane_ids, r.astype(jnp.int32)]
+        r = (states & rmask).astype(jnp.int32)
+        e = gather(fc_tbl, r)
+        if fuse_sym:
+            out = (e >> jnp.uint32(24)).astype(jnp.uint8)
+            fv = ((e >> jnp.uint32(12)) & jnp.uint32(0xFFF)) + jnp.uint32(1)
+            cv = e & jnp.uint32(0xFFF)
+            sentinel = jnp.uint8(0)
         else:
-            e = packed_tbl[r.astype(jnp.int32)]
-        idx = (e >> jnp.uint32(24)).astype(jnp.uint8)
-        fv = ((e >> jnp.uint32(12)) & rmask) + jnp.uint32(1)
-        cv = e & rmask
-        new_states = q * fv + r - cv
+            out = gather(sym_tbl, r)
+            fv = (e & m14) + jnp.uint32(1)
+            cv = e >> jnp.uint32(14)
+            sentinel = jnp.uint16(0)
+        new_states = q * fv + r.astype(jnp.uint32) - cv
         states = jnp.where(active, new_states, states)
-        return states, pos, jnp.where(active, idx, jnp.uint8(0))
+        return states, pos, jnp.where(active, out, sentinel)
 
     K = SYMBOLS_PER_STEP
     T_pad = -(-max_T // K) * K
@@ -516,7 +530,7 @@ def _rans_decode_scan_packed12(bufs_u8, nbytes, freqs, cums, slots, counts,
         return (states, pos), jnp.stack(outs)  # (K, L)
 
     (_, _), out = jax.lax.scan(step, (states, pos), jnp.arange(T_pad // K))
-    return out.reshape(T_pad, L)[:max_T].T  # (L, T) uint8
+    return out.reshape(T_pad, L)[:max_T].T  # (L, T) uint8/uint16
 
 
 def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
@@ -530,13 +544,14 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
     L, cap = buffers.shape
     T = int(np.asarray(counts).max()) if np.asarray(counts).size else 0
     max_T = T if T > 0 else cap * 2
-    if precision == 12 and int(np.asarray(freqs).shape[-1]) <= 256:
-        # packed-slot fast path: 1 table gather + 1 refill gather per
-        # symbol, u8 output (P=12 implies an alphabet < 256)
-        return _rans_decode_scan_packed12(
+    if precision <= 14:
+        # packed-slot fast path: 2-3 gathers per symbol instead of ~6
+        # (fully fused to a single table gather for P=12 small alphabets)
+        fuse = precision == 12 and int(np.asarray(freqs).shape[-1]) <= 256
+        return _rans_decode_scan_packed(
             jnp.asarray(buffers), jnp.asarray(nbytes), jnp.asarray(freqs),
             jnp.asarray(cums), jnp.asarray(slots), jnp.asarray(counts),
-            max_T=max_T)
+            precision=precision, max_T=max_T, fuse_sym=fuse)
     return _rans_decode_scan(
         jnp.asarray(buffers), jnp.asarray(nbytes), jnp.asarray(freqs),
         jnp.asarray(cums), jnp.asarray(slots), jnp.asarray(counts),
