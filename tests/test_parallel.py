@@ -788,3 +788,47 @@ def test_encode_corpus_device_windowed(tmp_path):
         a = open(os.path.join(tmp_path, "oa", f"m{i}.drc"), "rb").read()
         h = open(os.path.join(tmp_path, "oh", f"m{i}.drc"), "rb").read()
         assert w == a == h, i
+
+
+def test_encode_meshes_auto_routing(tmp_path):
+    """use_device='auto' routes per topology group by in-process probing;
+    whatever it picks, the bytes equal sequential encode() (both planes
+    share the determinism oracle) and decisions land in routing_log /
+    the corpus report."""
+    # 20 meshes of one topology (big enough to probe the device chunk),
+    # 3 of another (small -> host, no probe)
+    meshes = [_grid_mesh(7, s) for s in range(20)] + \
+             [_grid_mesh(5, s) for s in range(3)]
+    be = BatchEncoder(use_device="auto")
+    blobs = be.encode_meshes_auto(meshes)
+    for m, blob in zip(meshes, blobs):
+        assert blob == encode(m)
+    planes = {e["group"]: e for e in be.routing_log}
+    assert len(be.routing_log) == 2
+    small = next(e for e in be.routing_log if e["meshes"] == 3)
+    assert small["plane"] == "host" and small["reason"] == "small group"
+    big = next(e for e in be.routing_log if e["meshes"] == 20)
+    assert big["plane"] in ("host", "device")
+    assert "host_s_per_mesh" in big and "device_s_per_mesh" in big
+
+    # corpus driver surface: report carries the routing log
+    import os as _os
+
+    from tpudraco.io.obj import save_obj
+    corpus = _os.path.join(tmp_path, "in")
+    _os.makedirs(corpus)
+    inputs = []
+    for i in range(18):
+        p = _os.path.join(corpus, f"r{i}.obj")
+        save_obj(_grid_mesh(7, i), p)
+        inputs.append(p)
+    rep = BatchEncoder(use_device="auto").encode_corpus(
+        inputs, _os.path.join(tmp_path, "out"))
+    assert rep["encoded"] == 18
+    assert rep["routing"] and rep["routing"][0]["meshes"] == 18
+    rep_host = BatchEncoder().encode_corpus(
+        inputs, _os.path.join(tmp_path, "oh"))
+    for i in range(18):
+        a = open(_os.path.join(tmp_path, "out", f"r{i}.drc"), "rb").read()
+        b = open(_os.path.join(tmp_path, "oh", f"r{i}.drc"), "rb").read()
+        assert a == b

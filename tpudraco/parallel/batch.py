@@ -120,23 +120,32 @@ class BatchEncoder:
     """Encodes a corpus with topology-group batching and (optionally) the
     device compute step sharded over a JAX device mesh."""
 
-    def __init__(self, use_device: bool = False, devices=None,
+    def __init__(self, use_device: bool | str = False, devices=None,
                  strict_device: bool = False, mesh_axis=None) -> None:
         # use_device routes encode_corpus through the topology-grouped
         # accelerator path (encode_meshes_device); the host path is the
         # default and the right choice behind high-latency links.
+        # use_device="auto" routes PER TOPOLOGY GROUP by measuring both
+        # planes in-process on a slice of the group (the host vCPU's
+        # effective speed swings ~50x across periods — CLAUDE.md — so a
+        # static crossover constant would be wrong half the time);
+        # decisions land in routing_log and corpus reports.
         # strict_device re-raises device-path failures instead of silently
         # re-encoding on host, so a broken kernel fails tests loudly.
         # mesh_axis: a 1-D jax.sharding.Mesh with a "data" axis — the
         # device step then runs shard_map'ed data-parallel over it; output
         # bytes stay identical to the single-device/sequential paths
         # (SURVEY.md §4d determinism oracle, pinned by tests).
+        if use_device not in (False, True, "auto"):
+            raise ValueError(f"use_device must be bool or 'auto', "
+                             f"got {use_device!r}")
         self.use_device = use_device
         self.devices = devices
         self.strict_device = strict_device
         self.mesh_axis = mesh_axis
         self.fallback_groups = 0   # device groups that fell back to host
         self.fallback_meshes = 0   # meshes encoded via that fallback
+        self.routing_log: list[dict] = []  # use_device="auto" decisions
         self._topo_cache: dict[str, PreparedTopology] = {}
 
     def encode_mesh(self, mesh: Mesh) -> bytes:
@@ -259,6 +268,106 @@ class BatchEncoder:
                     except Exception:
                         out[i] = None
         return out
+
+    # auto-routing knobs: groups smaller than MIN_DEVICE_GROUP never pay
+    # the device dispatch overhead unless the meshes are huge; huge single
+    # meshes (>= CHUNKED_MIN_VERTS) probe the chunked streaming path
+    MIN_DEVICE_GROUP = 16
+    CHUNKED_MIN_VERTS = 1 << 17
+
+    def encode_meshes_auto(self, meshes: list[Mesh]) -> list[bytes | None]:
+        """Per-topology-group host/device routing by IN-PROCESS
+        measurement: time the host plane on a few meshes and the device
+        plane on one chunk of the same group, then route the remainder to
+        the faster plane. Both planes produce identical bytes (the batch
+        determinism oracle), so mixing is safe; the probe outputs are
+        kept, not discarded. Decisions are recorded in ``routing_log``
+        (surfaced in corpus reports)."""
+        groups: dict[str, list[int]] = {}
+        for idx, m in enumerate(meshes):
+            groups.setdefault(topology_signature(m), []).append(idx)
+
+        out: list[bytes | None] = [None] * len(meshes)
+        for sig, idxs in groups.items():
+            n = len(idxs)
+            v = int(meshes[idxs[0]].position_attribute().num_points)
+            entry = {"group": sig[:12], "meshes": n, "verts": v}
+            if n < self.MIN_DEVICE_GROUP and v < self.CHUNKED_MIN_VERTS:
+                for i in idxs:
+                    out[i] = self._encode_one_safe(meshes[i])
+                entry.update(plane="host", reason="small group")
+                self.routing_log.append(entry)
+                continue
+            if n < self.MIN_DEVICE_GROUP:
+                # few huge meshes: probe host vs chunked-streaming device
+                t0 = time.perf_counter()
+                out[idxs[0]] = self._encode_one_safe(meshes[idxs[0]])
+                th = time.perf_counter() - t0
+                td = th
+                if n > 1:
+                    try:
+                        t0 = time.perf_counter()
+                        out[idxs[1]] = self.encode_mesh_device_chunked(
+                            meshes[idxs[1]])
+                        td = time.perf_counter() - t0
+                    except Exception:
+                        if self.strict_device:
+                            raise
+                        td = float("inf")
+                        out[idxs[1]] = self._encode_one_safe(
+                            meshes[idxs[1]])
+                use_dev = td < th
+                for i in idxs[2:]:
+                    out[i] = (self._encode_chunked_safe(meshes[i])
+                              if use_dev else
+                              self._encode_one_safe(meshes[i]))
+                entry.update(plane="device-chunked" if use_dev else "host",
+                             host_s_per_mesh=round(th, 4),
+                             device_s_per_mesh=round(td, 4))
+                self.routing_log.append(entry)
+                continue
+            # probe: host on a few, device on one chunk
+            k = min(4, n)
+            t0 = time.perf_counter()
+            for i in idxs[:k]:
+                out[i] = self._encode_one_safe(meshes[i])
+            th = (time.perf_counter() - t0) / k
+            chunk_ids = idxs[:min(self.DEVICE_CHUNK, n)]
+            t0 = time.perf_counter()
+            dev_blobs = self.encode_meshes_device(
+                [meshes[i] for i in chunk_ids])
+            td = (time.perf_counter() - t0) / len(chunk_ids)
+            for i, blob in zip(chunk_ids, dev_blobs):
+                if blob is not None:
+                    out[i] = blob
+            rest = [i for i in idxs if out[i] is None]
+            use_dev = td < th and not self.fallback_groups
+            if use_dev and rest:
+                for i, blob in zip(rest, self.encode_meshes_device(
+                        [meshes[i] for i in rest])):
+                    out[i] = blob
+            else:
+                for i in rest:
+                    out[i] = self._encode_one_safe(meshes[i])
+            entry.update(plane="device" if use_dev else "host",
+                         host_s_per_mesh=round(th, 4),
+                         device_s_per_mesh=round(td, 4))
+            self.routing_log.append(entry)
+        return out
+
+    def _encode_one_safe(self, mesh: Mesh) -> bytes | None:
+        try:
+            return self.encode_mesh(mesh)
+        except Exception:
+            return None
+
+    def _encode_chunked_safe(self, mesh: Mesh) -> bytes | None:
+        try:
+            return self.encode_mesh_device_chunked(mesh)
+        except Exception:
+            if self.strict_device:
+                raise
+            return self._encode_one_safe(mesh)
 
     def _topo_for(self, mesh: Mesh) -> PreparedTopology:
         sig = topology_signature(mesh)
@@ -474,7 +583,9 @@ class BatchEncoder:
                         loadable.append(path)
                     except Exception:
                         pass  # per-file isolation below re-reports it
-                blobs = self.encode_meshes_device(load_meshes)
+                blobs = (self.encode_meshes_auto(load_meshes)
+                         if self.use_device == "auto"
+                         else self.encode_meshes_device(load_meshes))
                 device_blobs.update(zip(loadable, blobs))
 
         def one(path):
@@ -515,6 +626,8 @@ class BatchEncoder:
             # not hide behind correct-but-slow host re-encodes)
             report["device_fallback_groups"] = self.fallback_groups
             report["device_fallback_meshes"] = self.fallback_meshes
+            if self.use_device == "auto":
+                report["routing"] = self.routing_log
         tmp_rep = os.path.join(out_dir, f"corpus_report.json.tmp{os.getpid()}")
         with open(tmp_rep, "w") as f:
             json.dump(report, f, indent=1)

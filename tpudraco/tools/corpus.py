@@ -46,6 +46,11 @@ def main(argv=None) -> int:
     ap.add_argument("--device", action="store_true",
                     help="encode/decode: batch same-topology work on the "
                          "accelerator (device compute + rANS lanes)")
+    ap.add_argument("--route", choices=("manual", "auto"), default="manual",
+                    help="encode with --device: 'auto' measures host vs "
+                         "device per topology group in-process and routes "
+                         "each group to the faster plane (decisions in "
+                         "the corpus report)")
     ap.add_argument("--host-only", action="store_true",
                     help="transcode: skip the device batch")
     ap.add_argument("--no-resume", action="store_true",
@@ -71,7 +76,9 @@ def main(argv=None) -> int:
                                              workers=args.workers)
         else:
             from ..parallel import BatchEncoder
-            report = BatchEncoder(use_device=args.device).encode_corpus(
+            use_device = ("auto" if (args.device and args.route == "auto")
+                          else args.device)
+            report = BatchEncoder(use_device=use_device).encode_corpus(
                 inputs, args.output, resume=resume, workers=args.workers,
                 device_window=args.window)
     elif args.command == "decode":
