@@ -194,25 +194,30 @@ class BatchEncoder:
                 batch = np.stack([a.values.astype(np.float32)
                                   for a in pos_atts])
                 # pad to a whole number of fixed-width chunks so the jitted
-                # step compiles once per topology, not once per corpus
-                # size; under a data-parallel mesh the chunk must also
-                # divide by the axis size (lcm covers non-power-of-2 axes)
-                chunk = self.DEVICE_CHUNK
+                # step compiles once per (topology, chunk), not once per
+                # corpus size. Chunks bucket to powers of two up to
+                # DEVICE_CHUNK (<= log2(64) compiled shapes per topology)
+                # so a 3-mesh group of huge meshes pads to 4 slots, not 64.
+                # Under a data-parallel mesh the chunk must also divide by
+                # the axis size (lcm covers non-power-of-2 axes).
+                n = len(idxs)
+                chunk = 1
+                while chunk < min(n, self.DEVICE_CHUNK):
+                    chunk *= 2
                 if self.mesh_axis is not None:
                     import math
                     dp = int(np.prod(self.mesh_axis.devices.shape))
                     chunk = math.lcm(chunk, dp)
-                n = len(idxs)
                 n_pad = -(-n // chunk) * chunk
                 if n_pad != n:
                     batch = np.concatenate(
                         [batch, np.repeat(batch[:1], n_pad - n, axis=0)])
                 payloads, vmins, vmaxs = [], [], []
-                for c0 in range(0, n_pad, chunk):
-                    dev_c = device_encode_group(
-                        batch[c0:c0 + chunk], topo, pos_atts[0],
-                        bits=bits, mesh_axis=self.mesh_axis,
-                        return_device=True)
+
+                def consume(dev_c):
+                    # sync point: everything here reads the chunk back,
+                    # overlapping the NEXT chunk's step already queued on
+                    # the device (double-buffered dispatch below)
                     if entropy == "device":
                         # symbols stay on device; only the histogram +
                         # compacted bytes cross the link
@@ -232,6 +237,18 @@ class BatchEncoder:
                             payloads.extend(pool.map(one, syms_np))
                     vmins.append(np.asarray(dev_c["vmin"]))
                     vmaxs.append(np.asarray(dev_c["vmax"]))
+
+                pending = None
+                for c0 in range(0, n_pad, chunk):
+                    cur = device_encode_group(
+                        batch[c0:c0 + chunk], topo, pos_atts[0],
+                        bits=bits, mesh_axis=self.mesh_axis,
+                        return_device=True)
+                    if pending is not None:
+                        consume(pending)
+                    pending = cur
+                if pending is not None:
+                    consume(pending)
                 dev = {"vmin": np.concatenate(vmins)[:n],
                        "vmax": np.concatenate(vmaxs)[:n]}
                 payloads = payloads[:n]
@@ -292,47 +309,33 @@ class BatchEncoder:
             n = len(idxs)
             v = int(meshes[idxs[0]].position_attribute().num_points)
             entry = {"group": sig[:12], "meshes": n, "verts": v}
+            if n == 1:
+                # a lone mesh cannot be probed without doing the work
+                # twice: huge meshes take the chunked streaming path
+                # (BASELINE.md: 2x host at 1M verts on real TPU), the
+                # rest stay host
+                huge = v >= (self.CHUNKED_MIN_VERTS << 2)
+                out[idxs[0]] = (self._encode_chunked_safe(meshes[idxs[0]])
+                                if huge else
+                                self._encode_one_safe(meshes[idxs[0]]))
+                entry.update(plane="device-chunked" if huge else "host",
+                             reason="single mesh (static)")
+                self.routing_log.append(entry)
+                continue
             if n < self.MIN_DEVICE_GROUP and v < self.CHUNKED_MIN_VERTS:
                 for i in idxs:
                     out[i] = self._encode_one_safe(meshes[i])
                 entry.update(plane="host", reason="small group")
                 self.routing_log.append(entry)
                 continue
-            if n < self.MIN_DEVICE_GROUP:
-                # few huge meshes: probe host vs chunked-streaming device
-                t0 = time.perf_counter()
-                out[idxs[0]] = self._encode_one_safe(meshes[idxs[0]])
-                th = time.perf_counter() - t0
-                td = th
-                if n > 1:
-                    try:
-                        t0 = time.perf_counter()
-                        out[idxs[1]] = self.encode_mesh_device_chunked(
-                            meshes[idxs[1]])
-                        td = time.perf_counter() - t0
-                    except Exception:
-                        if self.strict_device:
-                            raise
-                        td = float("inf")
-                        out[idxs[1]] = self._encode_one_safe(
-                            meshes[idxs[1]])
-                use_dev = td < th
-                for i in idxs[2:]:
-                    out[i] = (self._encode_chunked_safe(meshes[i])
-                              if use_dev else
-                              self._encode_one_safe(meshes[i]))
-                entry.update(plane="device-chunked" if use_dev else "host",
-                             host_s_per_mesh=round(th, 4),
-                             device_s_per_mesh=round(td, 4))
-                self.routing_log.append(entry)
-                continue
-            # probe: host on a few, device on one chunk
-            k = min(4, n)
+            # probe: host on a few meshes (one, if they are huge) vs the
+            # device batch on one pow2-bucketed chunk of the same group
+            k = 1 if v >= self.CHUNKED_MIN_VERTS else min(4, n - 1)
             t0 = time.perf_counter()
             for i in idxs[:k]:
                 out[i] = self._encode_one_safe(meshes[i])
             th = (time.perf_counter() - t0) / k
-            chunk_ids = idxs[:min(self.DEVICE_CHUNK, n)]
+            chunk_ids = idxs[k:k + min(self.DEVICE_CHUNK, n - k)]
             t0 = time.perf_counter()
             dev_blobs = self.encode_meshes_device(
                 [meshes[i] for i in chunk_ids])
@@ -346,8 +349,8 @@ class BatchEncoder:
                 for i, blob in zip(rest, self.encode_meshes_device(
                         [meshes[i] for i in rest])):
                     out[i] = blob
-            else:
-                for i in rest:
+            for i in rest:
+                if out[i] is None:
                     out[i] = self._encode_one_safe(meshes[i])
             entry.update(plane="device" if use_dev else "host",
                          host_s_per_mesh=round(th, 4),
@@ -826,14 +829,21 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     for the transform metadata bytes).
 
     The result feeds the entropy coder; symbols match the host pipeline
-    bit-for-bit (tests/test_device_ops.py)."""
+    bit-for-bit (tests/test_device_ops.py). The gather arrays (and the
+    Pallas combo matrix) are cached on the PreparedTopology so multi-chunk
+    groups upload them once."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import build_combined_matrix, predict_matmul_viable
 
-    g = topology_gathers_np(topo, pos_att)
-    gathers = {k: jnp.asarray(v) for k, v in g.items()}
+    cached = getattr(topo, "_dev_gathers", None)
+    if cached is None:
+        g = topology_gathers_np(topo, pos_att)
+        gathers = {k: jnp.asarray(v) for k, v in g.items()}
+        topo._dev_gathers = (g, gathers)
+    else:
+        g, gathers = cached
 
     # Pallas combo-matrix path on real TPU for small topology groups (dense
     # (2T, V) matrix must fit HBM budget); XLA gather path otherwise / on CPU
@@ -841,9 +851,13 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     T = int(len(g["order"]))
     use_pallas = (jax.default_backend() == "tpu"
                   and predict_matmul_viable(2 * T, V, B, C))
-    M = (jnp.asarray(build_combined_matrix(
-            {k: np.asarray(v) for k, v in g.items()}, V))
-         if use_pallas else None)
+    M = None
+    if use_pallas:
+        M = getattr(topo, "_dev_combo_matrix", None)
+        if M is None:
+            M = jnp.asarray(build_combined_matrix(
+                {k: np.asarray(v) for k, v in g.items()}, V))
+            topo._dev_combo_matrix = M
 
     if mesh_axis is not None:
         syms, vmin, vmax, counts = _jit_step_sharded(
