@@ -8,7 +8,7 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "tests/.jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..", "tests/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp

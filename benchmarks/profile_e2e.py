@@ -6,11 +6,13 @@ times each (in-context, warm). Not part of the shipped package.
 import os
 import time
 
+import sys, os as _os
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "tests/.jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..", "tests/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
