@@ -809,7 +809,10 @@ def test_encode_meshes_auto_routing(tmp_path):
     assert small["plane"] == "host" and small["reason"] == "small group"
     big = next(e for e in be.routing_log if e["meshes"] == 20)
     assert big["plane"] in ("host", "device")
-    assert "host_s_per_mesh" in big and "device_s_per_mesh" in big
+    assert "host_s_per_mesh" in big
+    # a probed group also records the device rate; a group cheaper than
+    # the probe's fixed overhead records the skip reason instead
+    assert "device_s_per_mesh" in big or big.get("reason")
 
     # corpus driver surface: report carries the routing log
     import os as _os

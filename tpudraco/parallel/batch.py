@@ -288,9 +288,14 @@ class BatchEncoder:
 
     # auto-routing knobs: groups smaller than MIN_DEVICE_GROUP never pay
     # the device dispatch overhead unless the meshes are huge; huge single
-    # meshes (>= CHUNKED_MIN_VERTS) probe the chunked streaming path
+    # meshes (>= CHUNKED_MIN_VERTS) probe the chunked streaming path;
+    # groups whose full host cost undercuts a device probe's fixed
+    # dispatch+readback overhead (~0.3-0.5 s on this tunnel) skip the
+    # probe; probes run on a PROBE_CHUNK-wide device batch
     MIN_DEVICE_GROUP = 16
     CHUNKED_MIN_VERTS = 1 << 17
+    PROBE_SKIP_S = 0.5
+    PROBE_CHUNK = 16
 
     def encode_meshes_auto(self, meshes: list[Mesh]) -> list[bytes | None]:
         """Per-topology-group host/device routing by IN-PROCESS
@@ -329,13 +334,22 @@ class BatchEncoder:
                 self.routing_log.append(entry)
                 continue
             # probe: host on a few meshes (one, if they are huge) vs the
-            # device batch on one pow2-bucketed chunk of the same group
+            # device batch on one small pow2-bucketed chunk of the group
             k = 1 if v >= self.CHUNKED_MIN_VERTS else min(4, n - 1)
             t0 = time.perf_counter()
             for i in idxs[:k]:
                 out[i] = self._encode_one_safe(meshes[i])
             th = (time.perf_counter() - t0) / k
-            chunk_ids = idxs[k:k + min(self.DEVICE_CHUNK, n - k)]
+            if th * (n - k) < self.PROBE_SKIP_S:
+                # the whole group costs less on host than a device probe's
+                # fixed dispatch+readback overhead could ever recoup
+                for i in idxs[k:]:
+                    out[i] = self._encode_one_safe(meshes[i])
+                entry.update(plane="host", reason="group cheaper than "
+                             "probe", host_s_per_mesh=round(th, 4))
+                self.routing_log.append(entry)
+                continue
+            chunk_ids = idxs[k:k + min(self.PROBE_CHUNK, n - k)]
             t0 = time.perf_counter()
             dev_blobs = self.encode_meshes_device(
                 [meshes[i] for i in chunk_ids])
