@@ -40,57 +40,62 @@ def grid_mesh(n, seed):
     return b.build()
 
 
-print("building corpus...", flush=True)
-small = [grid_mesh(64, s) for s in range(64)] + \
-        [grid_mesh(63, s) for s in range(64)]
-large = [grid_mesh(512, s) for s in range(3)]
-meshes = small + large
-raw_mb = sum(m.position_attribute().values.nbytes for m in meshes) / 1e6
-print(f"corpus: {len(meshes)} meshes, {raw_mb:.1f} MB raw positions",
-      flush=True)
-
-# shared warm topology cache + jit warm (one pass of each plane on
-# representative shapes)
-warm = BatchEncoder(use_device="auto")
-print("warming (topology caches + remote compiles)...", flush=True)
-t0 = time.perf_counter()
-warm.encode_meshes_auto([small[0], small[1], small[64], large[0]])
-warm.encode_meshes_device([small[0]] * 2)
-warm.encode_meshes_device([large[0]] * 2)
-print(f"warm done in {time.perf_counter() - t0:.1f}s; routing so far: "
-      f"{warm.routing_log}", flush=True)
-cache = warm._topo_cache
-
-
-def with_cache(**kw):
-    be = BatchEncoder(**kw)
-    be._topo_cache = cache
-    return be
-
-
-results = {}
-for name, fn in (
-    ("host_only", lambda: with_cache().encode_meshes(meshes)),
-    ("device_only", lambda: with_cache(
-        use_device=True).encode_meshes_device(meshes)),
-    ("auto", lambda: with_cache(
-        use_device="auto").encode_meshes_auto(meshes)),
-):
+def main():
+    print("building corpus...", flush=True)
+    small = [grid_mesh(64, s) for s in range(64)] + \
+            [grid_mesh(63, s) for s in range(64)]
+    large = [grid_mesh(512, s) for s in range(3)]
+    meshes = small + large
+    raw_mb = sum(m.position_attribute().values.nbytes for m in meshes) / 1e6
+    print(f"corpus: {len(meshes)} meshes, {raw_mb:.1f} MB raw positions",
+          flush=True)
+    
+    # shared warm topology cache + jit warm (one pass of each plane on
+    # representative shapes)
+    warm = BatchEncoder(use_device="auto")
+    print("warming (topology caches + remote compiles)...", flush=True)
     t0 = time.perf_counter()
-    blobs = fn()
-    dt = time.perf_counter() - t0
-    assert all(b is not None for b in blobs), name
-    results[name] = (dt, blobs)
-    print(f"{name:12s} {dt:8.2f} s  ({raw_mb/dt:.1f} MB/s)", flush=True)
+    warm.encode_meshes_auto([small[0], small[1], small[64], large[0]])
+    warm.encode_meshes_device([small[0]] * 2)
+    warm.encode_meshes_device([large[0]] * 2)
+    print(f"warm done in {time.perf_counter() - t0:.1f}s; routing so far: "
+          f"{warm.routing_log}", flush=True)
+    cache = warm._topo_cache
+    
+    
+    def with_cache(**kw):
+        be = BatchEncoder(**kw)
+        be._topo_cache = cache
+        return be
+    
+    
+    results = {}
+    for name, fn in (
+        ("host_only", lambda: with_cache().encode_meshes(meshes)),
+        ("device_only", lambda: with_cache(
+            use_device=True).encode_meshes_device(meshes)),
+        ("auto", lambda: with_cache(
+            use_device="auto").encode_meshes_auto(meshes)),
+    ):
+        t0 = time.perf_counter()
+        blobs = fn()
+        dt = time.perf_counter() - t0
+        assert all(b is not None for b in blobs), name
+        results[name] = (dt, blobs)
+        print(f"{name:12s} {dt:8.2f} s  ({raw_mb/dt:.1f} MB/s)", flush=True)
+    
+    # byte equality across modes
+    h = results["host_only"][1]
+    for name in ("device_only", "auto"):
+        assert results[name][1] == h, f"{name} bytes diverge"
+    print("bytes identical across all three modes", flush=True)
+    
+    be_auto = with_cache(use_device="auto")
+    t0 = time.perf_counter()
+    be_auto.encode_meshes_auto(meshes)
+    print(f"auto (2nd run) {time.perf_counter() - t0:8.2f} s", flush=True)
+    print("routing:", be_auto.routing_log, flush=True)
 
-# byte equality across modes
-h = results["host_only"][1]
-for name in ("device_only", "auto"):
-    assert results[name][1] == h, f"{name} bytes diverge"
-print("bytes identical across all three modes", flush=True)
 
-be_auto = with_cache(use_device="auto")
-t0 = time.perf_counter()
-be_auto.encode_meshes_auto(meshes)
-print(f"auto (2nd run) {time.perf_counter() - t0:8.2f} s", flush=True)
-print("routing:", be_auto.routing_log, flush=True)
+if __name__ == "__main__":
+    main()
