@@ -761,3 +761,86 @@ def test_animated_glb_transcode(tmp_path):
     assert _accessor_bytes(gltf3, buffers3, samp3["output"]) == \
         truth["rots"].tobytes()
     assert gltf3["nodes"][0]["skin"] == 0
+
+
+def test_morph_target_glb_transcode(tmp_path):
+    """Morph-target primitives transcode with targets carried through and
+    the primitive stored UNCOMPRESSED (draco reorders vertices; targets
+    live outside the stream in input order). The reference rejects such
+    inputs outright (decode.rs:774-811). A second, target-free primitive
+    in the same file still compresses."""
+    from tpudraco.io import load_gltf_to_scene, save_scene_glb
+    from tpudraco.io.gltf import _load_container
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    delta = np.array([[0, 0, 1], [0, 0, 2], [0, 0, 3]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    pos2 = pos + 5.0
+
+    chunks, views, off = [], [], 0
+    for data in (pos.tobytes(), delta.tobytes(), idx.tobytes(),
+                 pos2.tobytes()):
+        pad = (-off) % 4
+        chunks.append(b"\0" * pad + data)
+        off += pad
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(data)})
+        off += len(data)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0, 1]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+        "meshes": [
+            {"weights": [0.25],
+             "primitives": [{"mode": 4, "indices": 2,
+                             "attributes": {"POSITION": 0},
+                             "targets": [{"POSITION": 1}]}]},
+            {"primitives": [{"mode": 4, "indices": 2,
+                             "attributes": {"POSITION": 3}}]},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 1], "max": [0, 0, 3]},
+            {"bufferView": 2, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+            {"bufferView": 3, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [5, 5, 5], "max": [6, 6, 5]},
+        ],
+        "bufferViews": views, "buffers": [{"byteLength": off}],
+    }
+    src = str(tmp_path / "morph.glb")
+    with open(src, "wb") as f:
+        f.write(_glb_from_json(gltf, b"".join(chunks)))
+
+    scene = load_gltf_to_scene(src)
+    assert scene.mesh_groups[0].instances[0].morph_targets == [
+        {"POSITION": 0}]
+    assert scene.mesh_groups[0].weights == [0.25]
+
+    out = str(tmp_path / "morph_draco.glb")
+    save_scene_glb(scene, out, compress=True)
+    g2, b2 = _load_container(out)
+
+    morph_prim = g2["meshes"][0]["primitives"][0]
+    assert "extensions" not in morph_prim or \
+        "KHR_draco_mesh_compression" not in morph_prim.get("extensions", {})
+    tgt_acc = morph_prim["targets"][0]["POSITION"]
+    assert tgt_acc < len(g2["accessors"])
+    assert _accessor_bytes(g2, b2, tgt_acc) == delta.tobytes()
+    # base geometry intact in input order (uncompressed branch)
+    assert _accessor_bytes(
+        g2, b2, morph_prim["attributes"]["POSITION"]) == pos.tobytes()
+    assert g2["meshes"][0]["weights"] == [0.25]
+    # the target-free primitive still compresses
+    plain = g2["meshes"][1]["primitives"][0]
+    assert "KHR_draco_mesh_compression" in plain["extensions"]
+
+    # idempotent reload + retranscode
+    scene2 = load_gltf_to_scene(out)
+    out2 = str(tmp_path / "morph2.glb")
+    save_scene_glb(scene2, out2, compress=True)
+    g3, b3 = _load_container(out2)
+    t3 = g3["meshes"][0]["primitives"][0]["targets"][0]["POSITION"]
+    assert _accessor_bytes(g3, b3, t3) == delta.tobytes()

@@ -152,7 +152,8 @@ def _bufferview_bytes(gltf: dict, buffers: list[bytes], idx: int) -> bytes:
     return buffers[bv["buffer"]][start:start + bv["byteLength"]]
 
 
-def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mesh:
+def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None,
+                       ignore_targets: bool = False) -> Mesh:
     """Decode one primitive (raw accessors or the draco extension) into a
     normalized Mesh via MeshBuilder."""
     ext = prim.get("extensions", {}).get("KHR_draco_mesh_compression")
@@ -178,8 +179,10 @@ def _primitive_to_mesh(gltf, buffers, prim, transform: np.ndarray | None) -> Mes
 
     if prim.get("mode", 4) != 4:
         raise GltfError("only TRIANGLES primitives are supported")
-    if prim.get("targets"):
-        # the reference rejects morph targets too (decode.rs:774-811)
+    if prim.get("targets") and not ignore_targets:
+        # the reference rejects morph targets outright (decode.rs:774-811);
+        # the scene path instead carries them through uncompressed
+        # (load_gltf_to_scene) — only the flatten path still rejects
         raise GltfError("morph targets are not supported")
     attrs = prim["attributes"]
     if "POSITION" not in attrs:
@@ -354,14 +357,26 @@ def load_gltf_to_scene(path: str) -> Scene:
             _material_from_json(mat, tex_map))
 
     # meshes -> mesh groups
+    carrier = _AccessorCarrier(gltf, buffers, scene)
     for gm in gltf.get("meshes", []):
-        group = MeshGroup(name=gm.get("name", ""))
+        group = MeshGroup(name=gm.get("name", ""),
+                          weights=list(gm.get("weights", [])))
         for prim in gm.get("primitives", []):
-            mesh = _primitive_to_mesh(gltf, buffers, prim, None)
+            mesh = _primitive_to_mesh(gltf, buffers, prim, None,
+                                      ignore_targets=True)
             mesh.name = gm.get("name", "")
             scene.meshes.append(mesh)
             inst = MeshInstance(mesh_index=len(scene.meshes) - 1,
                                 material_index=prim.get("material"))
+            if prim.get("targets"):
+                # morph targets carry through verbatim; the writer stores
+                # such primitives UNCOMPRESSED (draco reorders vertices,
+                # so input-order target deltas would silently corrupt a
+                # compressed primitive). Dropped (with a warning at write
+                # time) if the builder changed the vertex count.
+                inst.morph_targets = [
+                    {sem: carrier.carry(ai) for sem, ai in tgt.items()}
+                    for tgt in prim["targets"]]
             # EXT_mesh_features passthrough (raw JSON records); its
             # "attribute" indices refer to _FEATURE_ID_n semantics, which
             # survive as named CUSTOM draco attributes
@@ -414,31 +429,29 @@ def load_gltf_to_scene(path: str) -> Scene:
     default_scene = gltf.get("scenes", [{}])[gltf.get("scene", 0)] \
         if gltf.get("scenes") else {}
     scene.root_nodes = list(default_scene.get("nodes", []))
-    _carry_animation_accessors(gltf, buffers, scene)
+    _carry_animation_accessors(gltf, buffers, scene, carrier)
     _load_structural_metadata(gltf, buffers, scene)
     return scene
 
 
-def _carry_animation_accessors(gltf: dict, buffers: list[bytes],
-                               scene: Scene) -> None:
-    """Capture animations/skins with their accessor DATA so the writer can
-    re-emit valid indices into its rebuilt accessor/bufferView arrays.
+class _AccessorCarrier:
+    """Shared carry-through machinery for accessors that must survive the
+    rebuilt GLB verbatim (animation samplers, inverse bind matrices,
+    morph-target attributes): captures accessor JSON + tightly repacked
+    data under a LOCAL id in scene.carried_accessors; the writer re-emits
+    them as fresh bufferViews/accessors and remaps. Deduplicates by
+    source accessor index."""
 
-    The reference drops both sections entirely (decode.rs:1665-1672,
-    add_animations_to_scene/add_skins_to_scene commented out); passing the
-    raw JSON through instead would leave every samplers[].input/output and
-    inverseBindMatrices index dangling into the rebuilt arrays. Node
-    indices (channel targets, joints, skeleton) stay valid because the
-    writer emits scene.nodes 1:1 in input order."""
-    anims = gltf.get("animations", [])
-    skins = gltf.get("skins", [])
-    if not anims and not skins:
-        return
-    anims = json.loads(json.dumps(anims))
-    skins = json.loads(json.dumps(skins))
-    local: dict[int, int] = {}
+    def __init__(self, gltf: dict, buffers: list[bytes],
+                 scene: Scene) -> None:
+        self.gltf = gltf
+        self.buffers = buffers
+        self.scene = scene
+        self.local: dict[int, int] = {}
 
-    def carry(ai: int) -> int:
+    def carry(self, ai: int) -> int:
+        gltf, buffers, scene = self.gltf, self.buffers, self.scene
+        local = self.local
         if ai in local:
             return local[ai]
         acc = json.loads(json.dumps(gltf["accessors"][ai]))
@@ -481,13 +494,33 @@ def _carry_animation_accessors(gltf: dict, buffers: list[bytes],
         scene.carried_accessors.append(entry)
         return local[ai]
 
+
+def _carry_animation_accessors(gltf: dict, buffers: list[bytes],
+                               scene: Scene,
+                               carrier: "_AccessorCarrier") -> None:
+    """Capture animations/skins with their accessor DATA so the writer can
+    re-emit valid indices into its rebuilt accessor/bufferView arrays.
+
+    The reference drops both sections entirely (decode.rs:1665-1672,
+    add_animations_to_scene/add_skins_to_scene commented out); passing the
+    raw JSON through instead would leave every samplers[].input/output and
+    inverseBindMatrices index dangling into the rebuilt arrays. Node
+    indices (channel targets, joints, skeleton) stay valid because the
+    writer emits scene.nodes 1:1 in input order."""
+    anims = gltf.get("animations", [])
+    skins = gltf.get("skins", [])
+    if not anims and not skins:
+        return
+    anims = json.loads(json.dumps(anims))
+    skins = json.loads(json.dumps(skins))
     for an in anims:
-        for s in an.get("samplers", []):
-            s["input"] = carry(s["input"])
-            s["output"] = carry(s["output"])
+        for smp in an.get("samplers", []):
+            smp["input"] = carrier.carry(smp["input"])
+            smp["output"] = carrier.carry(smp["output"])
     for sk in skins:
         if "inverseBindMatrices" in sk:
-            sk["inverseBindMatrices"] = carry(sk["inverseBindMatrices"])
+            sk["inverseBindMatrices"] = carrier.carry(
+                sk["inverseBindMatrices"])
     scene.animations_json = anims
     scene.skins_json = skins
 
@@ -724,13 +757,14 @@ class GlbWriter:
         self.accessors.append({k: v for k, v in kw.items() if v is not None})
         return len(self.accessors) - 1
 
-    def add_mesh_primitive(self, mesh: Mesh, material_index: int | None) -> dict:
+    def add_mesh_primitive(self, mesh: Mesh, material_index: int | None,
+                           force_raw: bool = False) -> dict:
         from ..encode import encode as draco_encode
         prim: dict = {"mode": 4}
         if material_index is not None:
             prim["material"] = material_index
         semantics = assign_semantics(mesh.attributes)
-        if self.compress:
+        if self.compress and not force_raw:
             blob = (self.encoder(mesh) if self.encoder is not None
                     else None) or draco_encode(mesh)
             bv = self._add_buffer_view(blob)
@@ -823,11 +857,47 @@ class GlbWriter:
 
         materials_json = [_material_to_json(m) for m in lib.materials]
 
+        # carried accessors (animation samplers, IBMs, morph targets)
+        # re-emit FIRST so both the animations/skins remap and the
+        # per-primitive targets below can reference them
+        acc_map: list[int] = []
+        for entry in scene.carried_accessors:
+            acc = json.loads(json.dumps(entry["json"]))
+            if "data" in entry:
+                acc["bufferView"] = self._add_buffer_view(entry["data"])
+            for part, raw in entry.get("sparse_data", {}).items():
+                acc["sparse"][part]["bufferView"] = self._add_buffer_view(raw)
+            acc_map.append(self._add_accessor(**acc))
+
         prims_by_group: dict[int, list] = {
             gi: [] for gi in range(len(scene.mesh_groups))}
         for gi, inst, mat_id, sub in iter_scene_primitives(scene):
+            # morph-target primitives are stored UNCOMPRESSED: draco
+            # reorders vertices, and target deltas live outside the draco
+            # stream in input vertex order — compressing the base would
+            # silently corrupt the morphs. Still strictly better than the
+            # reference, which rejects such inputs (decode.rs:774-811).
+            targets = None
+            if inst.morph_targets:
+                src = scene.meshes[inst.mesh_index]
+                counts_ok = all(
+                    scene.carried_accessors[lid]["json"].get("count")
+                    == sub.position_attribute().num_points
+                    for tgt in inst.morph_targets for lid in tgt.values())
+                if sub is src and counts_ok:
+                    targets = [{sem: acc_map[lid]
+                                for sem, lid in tgt.items()}
+                               for tgt in inst.morph_targets]
+                else:
+                    import warnings
+                    warnings.warn(
+                        "morph targets dropped: primitive was split or "
+                        "the builder changed the vertex count")
             prim = self.add_mesh_primitive(
-                sub, inst.material_index if mat_id < 0 else mat_id)
+                sub, inst.material_index if mat_id < 0 else mat_id,
+                force_raw=targets is not None)
+            if targets is not None:
+                prim["targets"] = targets
             if inst.mesh_features:
                 prim.setdefault("extensions", {})[
                     "EXT_mesh_features"] = {
@@ -847,6 +917,9 @@ class GlbWriter:
             gm = {"primitives": prims_by_group[gi]}
             if group.name:
                 gm["name"] = group.name
+            if group.weights and any(
+                    p.get("targets") for p in prims_by_group[gi]):
+                gm["weights"] = group.weights
             self.gltf_meshes.append(gm)
 
         nodes_json = []
@@ -882,17 +955,8 @@ class GlbWriter:
 
         sm_ext = _structural_metadata_ext(scene, self._add_buffer_view)
 
-        # animation/skin accessors captured at load: re-emit their data as
-        # fresh bufferViews + accessors and remap the local ids the loader
-        # wrote into animations_json/skins_json (_carry_animation_accessors)
-        acc_map: list[int] = []
-        for entry in scene.carried_accessors:
-            acc = json.loads(json.dumps(entry["json"]))
-            if "data" in entry:
-                acc["bufferView"] = self._add_buffer_view(entry["data"])
-            for part, raw in entry.get("sparse_data", {}).items():
-                acc["sparse"][part]["bufferView"] = self._add_buffer_view(raw)
-            acc_map.append(self._add_accessor(**acc))
+        # remap the local carried-accessor ids the loader wrote into
+        # animations_json/skins_json (_carry_animation_accessors)
         animations_json = json.loads(json.dumps(scene.animations_json))
         skins_json = json.loads(json.dumps(scene.skins_json))
         for an in animations_json:

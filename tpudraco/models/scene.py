@@ -70,12 +70,18 @@ class MeshInstance:
     # (reference core/scene MaterialsVariantsMapping, encode.rs:664);
     # entries are {"material": i, "variants": [..]} raw JSON
     materials_variants: list = field(default_factory=list)
+    # morph targets: [{semantic: carried-accessor local id}] per target
+    # (io/gltf.py carries the data; the reference rejects such inputs,
+    # decode.rs:774-811 — carrying them exceeds it)
+    morph_targets: list = field(default_factory=list)
 
 
 @dataclass
 class MeshGroup:
     name: str = ""
     instances: list[MeshInstance] = field(default_factory=list)
+    # glTF mesh-level morph weights (carried with morph targets)
+    weights: list = field(default_factory=list)
 
 
 @dataclass
