@@ -157,14 +157,32 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
         symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
 
     # hoist ALL table lookups out of the sequential loop (see
-    # _rans_scan_lanes)
+    # _rans_scan_lanes) — through PACKED tables: gathers on this backend
+    # are bytes-bound (~260 MB/s), so (freq-1, cum) ride one u32 gather
+    # for P <= 14 and a u32 + u8 pair for P <= 20 instead of two u32s
+    # (the unpack is a few vector ops per symbol, off the critical path)
     idx = jnp.clip(symbols, 0, S - 1)
-    if freqs.ndim == 2:
-        fs = jnp.take_along_axis(freqs, idx, axis=1).astype(jnp.uint32)
-        cs = jnp.take_along_axis(cums, idx, axis=1).astype(jnp.uint32)
-    else:
-        fs = freqs[idx].astype(jnp.uint32)
-        cs = cums[idx].astype(jnp.uint32)
+    fq = freqs.astype(jnp.uint32)
+    cq = cums.astype(jnp.uint32)
+
+    def take(tbl):
+        return (jnp.take_along_axis(tbl, idx, axis=1)
+                if tbl.ndim == 2 else tbl[idx])
+
+    if precision <= 14:
+        pk = take(((fq - 1) & jnp.uint32(0x3FFF)) | (cq << jnp.uint32(14)))
+        fs = (pk & jnp.uint32(0x3FFF)) + jnp.uint32(1)
+        cs = pk >> jnp.uint32(14)
+    else:  # f-1, c < 2^20: low 16 bits in the u32, high 4+4 in the u8
+        g32 = take(((fq - 1) & jnp.uint32(0xFFFF))
+                   | ((cq & jnp.uint32(0xFFFF)) << jnp.uint32(16)))
+        g8 = take(((((fq - 1) >> jnp.uint32(16)) & jnp.uint32(0xF))
+                   | ((cq >> jnp.uint32(16)) << jnp.uint32(4)))
+                  .astype(jnp.uint8)).astype(jnp.uint32)
+        fs = ((g32 & jnp.uint32(0xFFFF))
+              | ((g8 & jnp.uint32(0xF)) << jnp.uint32(16))) + jnp.uint32(1)
+        cs = (g32 >> jnp.uint32(16)) | ((g8 >> jnp.uint32(4))
+                                        << jnp.uint32(16))
 
     u8_ = jnp.uint32(8)
 
