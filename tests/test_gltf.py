@@ -844,3 +844,81 @@ def test_morph_target_glb_transcode(tmp_path):
     g3, b3 = _load_container(out2)
     t3 = g3["meshes"][0]["primitives"][0]["targets"][0]["POSITION"]
     assert _accessor_bytes(g3, b3, t3) == delta.tobytes()
+
+
+def test_sparse_strided_accessor_carry(tmp_path):
+    """Regression (round-3 review): a sparse animation accessor whose
+    BASE bufferView is interleaved must keep its byteStride on the
+    re-emitted bufferView (the base bytes are carried verbatim with
+    their gaps), or every element after index 0 reads from the wrong
+    offset."""
+    from tpudraco.io import load_gltf_to_scene, save_scene_glb
+    from tpudraco.io.gltf import _load_container
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    times = np.array([0.0, 1.0], np.float32)
+    # strided base: 2 scalar floats padded to 8-byte stride
+    base_strided = np.array([[1.0, -1], [2.0, -2]], np.float32)
+    sp_idx = np.array([1], np.uint16)
+    sp_val = np.array([9.0], np.float32)
+
+    chunks, views, off = [], [], 0
+    for data, stride in ((pos.tobytes(), None), (idx.tobytes(), None),
+                         (times.tobytes(), None),
+                         (base_strided.tobytes(), 8),
+                         (sp_idx.tobytes(), None),
+                         (sp_val.tobytes(), None)):
+        pad = (-off) % 4
+        chunks.append(b"\0" * pad + data)
+        off += pad
+        bv = {"buffer": 0, "byteOffset": off, "byteLength": len(data)}
+        if stride:
+            bv["byteStride"] = stride
+        views.append(bv)
+        off += len(data)
+    gltf = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"mode": 4, "indices": 1,
+                                    "attributes": {"POSITION": 0}}]}],
+        "animations": [{"channels": [{"sampler": 0, "target":
+                                      {"node": 0, "path": "scale"}}],
+                        "samplers": [{"input": 2, "output": 3}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 2,
+             "type": "SCALAR", "min": [0.0], "max": [1.0]},
+            {"bufferView": 3, "componentType": 5126, "count": 2,
+             "type": "SCALAR",
+             "sparse": {"count": 1,
+                        "indices": {"bufferView": 4, "componentType": 5123},
+                        "values": {"bufferView": 5}}},
+        ],
+        "bufferViews": views, "buffers": [{"byteLength": off}],
+    }
+    src = str(tmp_path / "sparse.glb")
+    with open(src, "wb") as f:
+        f.write(_glb_from_json(gltf, b"".join(chunks)))
+
+    scene = load_gltf_to_scene(src)
+    out = str(tmp_path / "sparse_draco.glb")
+    save_scene_glb(scene, out, compress=True)
+    g2, b2 = _load_container(out)
+    out_acc = g2["accessors"][g2["animations"][0]["samplers"][0]["output"]]
+    assert "sparse" in out_acc
+    bv = g2["bufferViews"][out_acc["bufferView"]]
+    assert bv.get("byteStride") == 8  # interleaving preserved
+    # base values readable at the carried stride
+    start = bv.get("byteOffset", 0)
+    base = np.frombuffer(b2[0][start:start + 16], np.float32)[::2]
+    assert np.array_equal(base, np.array([1.0, 2.0], np.float32))
+    # sparse parts carried verbatim
+    iv = g2["bufferViews"][out_acc["sparse"]["indices"]["bufferView"]]
+    vv = g2["bufferViews"][out_acc["sparse"]["values"]["bufferView"]]
+    assert b2[0][iv["byteOffset"]:iv["byteOffset"] + 2] == sp_idx.tobytes()
+    assert b2[0][vv["byteOffset"]:vv["byteOffset"] + 4] == sp_val.tobytes()

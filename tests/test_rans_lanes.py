@@ -222,3 +222,37 @@ def test_decode_packed_matches_generic(prec, alpha_max):
         # and both give back the original (un-reversed) stream
         assert np.array_equal(fast[i, :n].astype(np.int32),
                               syms[i, :n][::-1]), i
+
+
+def test_decode_wide_alphabet_low_precision():
+    """Regression (round-3 review): precision tracks the nonzero
+    OCCURRENCE count, not the alphabet width, so a P=12 stream can carry
+    symbol values beyond 2^16. The packed decode path's u16 symbol table
+    would truncate them (69999 -> 4463); such streams must take the
+    generic int32 path and round-trip exactly."""
+    import numpy as np
+
+    from tpudraco.entropy.rans import normalize_freq_counts
+    from tpudraco.ops.rans_lanes import rans_decode_lanes, rans_encode_lanes
+    import jax.numpy as jnp
+
+    prec = 12
+    stream = np.array([0, 69999, 3, 0, 69999, 1, 2, 3] * 4, np.int64)
+    counts = np.bincount(stream)
+    dist = normalize_freq_counts(counts, prec)
+    S = len(dist)
+    cums = np.concatenate([[0], np.cumsum(dist)[:-1]])
+    slots = np.repeat(np.arange(S), dist).astype(np.int32)
+
+    syms = stream[::-1].astype(np.int32)[None, :]  # reversed feed, 1 lane
+    bufs, nbytes = rans_encode_lanes(
+        jnp.asarray(syms), jnp.asarray(dist.astype(np.uint32)),
+        jnp.asarray(cums.astype(np.uint32)),
+        jnp.asarray(np.array([len(stream)], np.int32)), precision=prec)
+    got = np.asarray(rans_decode_lanes(
+        jnp.asarray(bufs), jnp.asarray(nbytes),
+        jnp.asarray(dist.astype(np.uint32)),
+        jnp.asarray(cums.astype(np.uint32)), jnp.asarray(slots),
+        np.array([len(stream)], np.int64), precision=prec))
+    assert got.dtype.itemsize >= 4  # generic path (no u16 truncation)
+    assert np.array_equal(got[0].astype(np.int64), stream)

@@ -470,6 +470,10 @@ class _AccessorCarrier:
                         if acc["count"] else 0)
                 entry["data"] = bytes(_bufferview_bytes(
                     gltf, buffers, acc["bufferView"])[start:start + span])
+                if stride != elem:
+                    # the base data keeps its interleaving gaps, so the
+                    # re-emitted bufferView must carry the stride
+                    entry["stride"] = stride
                 acc.pop("bufferView")
             sizes = {"values": cnt * elem}
             if "indices" in sp:
@@ -865,6 +869,10 @@ class GlbWriter:
             acc = json.loads(json.dumps(entry["json"]))
             if "data" in entry:
                 acc["bufferView"] = self._add_buffer_view(entry["data"])
+                if entry.get("stride"):
+                    # sparse-branch base data kept its interleaving
+                    self.buffer_views[acc["bufferView"]]["byteStride"] = \
+                        entry["stride"]
             for part, raw in entry.get("sparse_data", {}).items():
                 acc["sparse"][part]["bufferView"] = self._add_buffer_view(raw)
             acc_map.append(self._add_accessor(**acc))

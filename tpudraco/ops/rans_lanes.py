@@ -562,9 +562,12 @@ def rans_decode_lanes(buffers: jnp.ndarray, nbytes: jnp.ndarray,
     L, cap = buffers.shape
     T = int(np.asarray(counts).max()) if np.asarray(counts).size else 0
     max_T = T if T > 0 else cap * 2
-    if precision <= 14:
+    if precision <= 14 and int(np.asarray(freqs).shape[-1]) <= (1 << 16):
         # packed-slot fast path: 2-3 gathers per symbol instead of ~6
-        # (fully fused to a single table gather for P=12 small alphabets)
+        # (fully fused to a single table gather for P=12 small alphabets).
+        # Alphabets wider than 2^16 (legal at low precision when only the
+        # occurrence COUNT is small) would truncate the u16 symbol table,
+        # so they take the generic int32 path.
         fuse = precision == 12 and int(np.asarray(freqs).shape[-1]) <= 256
         return _rans_decode_scan_packed(
             jnp.asarray(buffers), jnp.asarray(nbytes), jnp.asarray(freqs),

@@ -272,6 +272,11 @@ class BatchEncoder:
                     pre.update(normal_pre.get(k, {}))
                     out[i] = encode_with_topology(meshes[i], topo, cfg=cfg,
                                                   precomputed=pre)
+                # the topology cache outlives corpus windows: drop the
+                # device-resident gathers/combo matrix now that the group
+                # is done, or HBM grows with every distinct topology
+                topo._dev_gathers = None
+                topo._dev_combo_matrix = None
             except Exception:
                 if self.strict_device:
                     raise
@@ -311,6 +316,21 @@ class BatchEncoder:
 
         out: list[bytes | None] = [None] * len(meshes)
         for sig, idxs in groups.items():
+            try:
+                self._route_group(meshes, idxs, sig, out)
+            except Exception:
+                # per-group isolation (mirrors encode_meshes_device): a
+                # malformed group falls back to per-mesh host encodes
+                for i in idxs:
+                    if out[i] is None:
+                        out[i] = self._encode_one_safe(meshes[i])
+                self.routing_log.append(
+                    {"group": sig[:12], "meshes": len(idxs),
+                     "plane": "host", "reason": "group error"})
+        return out
+
+    def _route_group(self, meshes, idxs, sig, out) -> None:
+        if True:
             n = len(idxs)
             v = int(meshes[idxs[0]].position_attribute().num_points)
             entry = {"group": sig[:12], "meshes": n, "verts": v}
@@ -326,13 +346,13 @@ class BatchEncoder:
                 entry.update(plane="device-chunked" if huge else "host",
                              reason="single mesh (static)")
                 self.routing_log.append(entry)
-                continue
+                return
             if n < self.MIN_DEVICE_GROUP and v < self.CHUNKED_MIN_VERTS:
                 for i in idxs:
                     out[i] = self._encode_one_safe(meshes[i])
                 entry.update(plane="host", reason="small group")
                 self.routing_log.append(entry)
-                continue
+                return
             # probe: host on a few meshes (one, if they are huge) vs the
             # device batch on one small pow2-bucketed chunk of the group
             k = 1 if v >= self.CHUNKED_MIN_VERTS else min(4, n - 1)
@@ -348,8 +368,9 @@ class BatchEncoder:
                 entry.update(plane="host", reason="group cheaper than "
                              "probe", host_s_per_mesh=round(th, 4))
                 self.routing_log.append(entry)
-                continue
+                return
             chunk_ids = idxs[k:k + min(self.PROBE_CHUNK, n - k)]
+            fb0 = self.fallback_groups
             t0 = time.perf_counter()
             dev_blobs = self.encode_meshes_device(
                 [meshes[i] for i in chunk_ids])
@@ -358,7 +379,11 @@ class BatchEncoder:
                 if blob is not None:
                     out[i] = blob
             rest = [i for i in idxs if out[i] is None]
-            use_dev = td < th and not self.fallback_groups
+            # only THIS group's probe failures veto its device routing —
+            # a cumulative check would let one bad group disable the
+            # device plane for the rest of the corpus
+            probe_failed = self.fallback_groups > fb0
+            use_dev = td < th and not probe_failed
             if use_dev and rest:
                 for i, blob in zip(rest, self.encode_meshes_device(
                         [meshes[i] for i in rest])):
@@ -369,8 +394,9 @@ class BatchEncoder:
             entry.update(plane="device" if use_dev else "host",
                          host_s_per_mesh=round(th, 4),
                          device_s_per_mesh=round(td, 4))
+            if probe_failed:
+                entry["reason"] = "device probe fell back"
             self.routing_log.append(entry)
-        return out
 
     def _encode_one_safe(self, mesh: Mesh) -> bytes | None:
         try:
@@ -384,7 +410,14 @@ class BatchEncoder:
         except Exception:
             if self.strict_device:
                 raise
-            return self._encode_one_safe(mesh)
+            # surface the fallback in the corpus counters (same invariant
+            # as encode_meshes_device: a broken kernel must not hide
+            # behind correct-but-slow host re-encodes)
+            self.fallback_groups += 1
+            blob = self._encode_one_safe(mesh)
+            if blob is not None:
+                self.fallback_meshes += 1
+            return blob
 
     def _topo_for(self, mesh: Mesh) -> PreparedTopology:
         sig = topology_signature(mesh)

@@ -79,7 +79,13 @@ def transcode_corpus(inputs: list[str], out_dir: str,
         try:
             scene = load_gltf_to_scene(path)
             scenes[path] = scene
-            for _gi, _inst, _mat, sub in iter_scene_primitives(scene):
+            for _gi, inst, _mat, sub in iter_scene_primitives(scene):
+                if inst.morph_targets:
+                    # the writer stores morph-target primitives
+                    # UNCOMPRESSED (io/gltf.py) and never consults the
+                    # encoder hook — device-encoding them would be
+                    # discarded work
+                    continue
                 unique_subs.setdefault(mesh_content_key(sub), sub)
         except Exception as e:
             report["failed"].append({"path": path, "error": repr(e)})
