@@ -25,7 +25,10 @@ CONFIGS = {"standard": {}, "valence": {"traversal": 2},
            # AttributeType.POSITION == 0 as a plain dict key)
            "auto": {"symbol_coding": "auto"},
            "cl10": {"traversal": 2, "symbol_coding": "auto",
-                    "prediction": {0: 2}}}
+                    "prediction": {0: 2}},
+           # round-3 mode: delta-coded sequential indices (method id 0)
+           "seq_compressed": {"encoder_method": 0,
+                              "sequential_method": "compressed"}}
 
 
 def _digest(name: str, cfg_kwargs: dict) -> tuple[str, int]:
