@@ -188,3 +188,44 @@ def test_normalize_freq_counts_batch_matches_scalar():
         assert num_symbols[b] == len(ref), b
         assert np.array_equal(dist[b, :len(ref)], ref), b
         assert not dist[b, len(ref):].any(), b
+
+
+def test_serialize_rans_tables_batch_matches_scalar():
+    """Batched table serialization is byte-identical to the per-row
+    serializer across gap runs (incl. the >=65-zero degradation quirk),
+    multi-byte frequencies, and empty tables."""
+    import numpy as np
+
+    from tpudraco.entropy.rans import (serialize_rans_table,
+                                       serialize_rans_tables_batch)
+    from tpudraco.wire.byte_io import ByteWriter
+
+    rng = np.random.RandomState(3)
+    B, S = 40, 400
+    dist = np.zeros((B, S), np.int64)
+    ns = np.zeros(B, np.int64)
+    for b in range(B):
+        kind = b % 5
+        if kind == 0:    # dense small freqs
+            n = rng.randint(1, 60)
+            dist[b, :n] = rng.randint(1, 63, n)
+        elif kind == 1:  # long zero runs (> 64, the truncation quirk)
+            dist[b, 0] = 5
+            dist[b, 200] = 7
+            dist[b, 399] = 1
+        elif kind == 2:  # multi-byte freqs (2- and 3-byte tokens)
+            dist[b, 0] = 1 << 10
+            dist[b, 3] = 1 << 15
+            dist[b, 70] = (1 << 21) - 1
+        elif kind == 3:  # empty table
+            pass
+        else:            # random sparse
+            idxs = np.sort(rng.choice(S, rng.randint(1, 30), replace=False))
+            dist[b, idxs] = rng.randint(1, 1 << 16, len(idxs))
+        nz = np.flatnonzero(dist[b])
+        ns[b] = (nz[-1] + 1) if len(nz) else 0
+    got = serialize_rans_tables_batch(dist, ns)
+    for b in range(B):
+        w = ByteWriter()
+        serialize_rans_table(dist[b, :ns[b]], w)
+        assert got[b] == w.getvalue(), b

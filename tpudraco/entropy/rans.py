@@ -396,6 +396,82 @@ def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
     writer.write_bytes(out.tobytes())
 
 
+def serialize_rans_tables_batch(dist: np.ndarray,
+                                num_symbols: np.ndarray) -> list[bytes]:
+    """Batched serialize_rans_table over the rows of a (B, S) dist matrix
+    (row b's table is dist[b, :num_symbols[b]]). Byte-identical to the
+    per-row serializer (pinned by tests) in ONE vectorized pass over all
+    lanes — the per-row python/numpy call overhead dominates the device
+    batch encoder's assembly stage at B in the hundreds."""
+    dist = np.asarray(dist, dtype=np.int64)
+    B, S = dist.shape
+    ns = np.asarray(num_symbols, dtype=np.int64)
+    col = np.arange(S)
+    valid = (col[None, :] < ns[:, None]) & (dist > 0)
+    bidx, cols = np.nonzero(valid)          # row-major: lanes contiguous
+    freqs = dist[bidx, cols]
+    if len(freqs) and int(freqs.max()) >= (1 << 22):
+        raise ValueError("frequency too large for table serialization")
+    if (ns >= (1 << 21)).any():
+        raise ValueError("num_symbols too large for the batched leb128")
+    endz = (ns > 0) & (dist[np.arange(B), np.maximum(ns - 1, 0)] <= 0)
+    if endz.any():
+        raise ValueError("rANS table must end with a nonzero frequency")
+
+    first = np.ones(len(bidx), bool)
+    first[1:] = bidx[1:] != bidx[:-1]
+    prev = np.empty_like(cols)
+    prev[1:] = cols[:-1]
+    prev[first] = -1
+    gap = cols - prev - 1
+    run_len = np.where(gap > 64, gap - 63, (gap > 0).astype(np.int64))
+    extra = ((freqs >= (1 << 6)).astype(np.int64)
+             + (freqs >= (1 << 14)).astype(np.int64))
+    seg = run_len + 1 + extra
+
+    # leb128 prefix for num_symbols (1-3 bytes for ns < 2^21)
+    plen = 1 + (ns >= (1 << 7)) + (ns >= (1 << 14))
+    token_total = np.bincount(bidx, weights=seg, minlength=B).astype(
+        np.int64)
+    lane_len = plen + token_total
+    lane_start = np.concatenate([[0], np.cumsum(lane_len)[:-1]])
+    out = np.zeros(int(lane_len.sum()), dtype=np.uint8)
+
+    # prefixes
+    v = ns
+    out[lane_start] = (v & 0x7F) | np.where(plen > 1, 0x80, 0)
+    m2 = plen >= 2
+    out[lane_start[m2] + 1] = ((v[m2] >> 7) & 0x7F) \
+        | np.where(plen[m2] > 2, 0x80, 0)
+    m3 = plen >= 3
+    out[lane_start[m3] + 2] = (v[m3] >> 14) & 0x7F
+
+    # entry offsets: global exclusive cumsum of seg, re-based per lane
+    goff = np.concatenate([[0], np.cumsum(seg)[:-1]])
+    lane_tok0 = np.concatenate([[0], np.cumsum(token_total)[:-1]])
+    off = (lane_start + plen)[bidx] + (goff - lane_tok0[bidx])
+
+    if int(run_len.sum()):
+        starts = np.repeat(off, run_len)
+        intra = (np.arange(len(starts))
+                 - np.repeat(np.concatenate([[0], np.cumsum(run_len)[:-1]]),
+                             run_len))
+        out[starts + intra] = 3  # degraded single-zero tokens (the quirk)
+        has_run = gap > 0
+        tok = (((np.minimum(gap, 64) - 1) << 2) | 3) & 0xFF
+        out[(off + run_len - 1)[has_run]] = tok[has_run]
+    pos0 = off + run_len
+    out[pos0] = ((freqs << 2) | extra) & 0xFF
+    e1 = extra >= 1
+    out[pos0[e1] + 1] = (freqs[e1] >> 6) & 0xFF
+    e2 = extra == 2
+    out[pos0[e2] + 2] = (freqs[e2] >> 14) & 0xFF
+
+    ob = out.tobytes()
+    return [ob[lane_start[b]:lane_start[b] + lane_len[b]]
+            for b in range(B)]
+
+
 def parse_rans_table(reader: ByteReader) -> np.ndarray:
     """Inverse of serialize_rans_table (decode/entropy/rans.rs:162-188)."""
     num_symbols = leb128_read(reader)

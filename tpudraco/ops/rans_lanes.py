@@ -712,7 +712,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     and the compacted byte streams cross the tunnel. Bit-exact with
     `encode_symbols(..., DIRECT_CODED)` (pinned by tests)."""
     from ..entropy.rans import (normalize_freq_counts_batch,
-                                serialize_rans_table)
+                                serialize_rans_tables_batch)
     from ..entropy.symbol_coding import DIRECT_CODED, bit_length_u64
     from ..wire.byte_io import ByteWriter
     from ..wire.varint import leb128_write
@@ -795,12 +795,13 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
 
     if _timings is not None:
         t0 = _time.perf_counter()
+    tables = serialize_rans_tables_batch(dist, num_symbols)
     out: list[bytes] = []
     for i in range(B):
         w = ByteWriter()
         w.write_u8(DIRECT_CODED)
         w.write_u8(int(bls[i]))
-        serialize_rans_table(dist[i, :num_symbols[i]], w)
+        w.write_bytes(tables[i])
         leb128_write(len(blobs[i]), w)
         w.write_bytes(blobs[i])
         out.append(w.getvalue())
