@@ -723,23 +723,26 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     n_sym = T * C
     counts_dev = jnp.asarray(counts_dev)
     total_bins = int(counts_dev.shape[1])
-    # dispatch the reversed-feed flip BEFORE any sync so the device works
-    # through it while the host waits on the histogram
-    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
     # occupied-prefix histogram transfer: residuals concentrate near 0, so
     # shipping all hist_bins columns wastes most of the link. The prefix
     # width is guessed from the last batch (no extra max-bin sync — the
-    # tunnel charges ~100-180 ms latency per readback); a truncated guess
-    # shows up as a count deficit and retries at full width.
+    # tunnel charges ~31 ms latency per readback); a truncated guess
+    # shows up as a count deficit and retries at full width. The counts
+    # SLICE dispatches before the flip so its readback is not queued
+    # behind the (independent) flip on the serial device stream.
     hkey = (B, total_bins, n_sym)
     bins = min(total_bins, _HIST_BUCKET.get(hkey, 1024))
+    counts_job = _counts_prefix(counts_dev, bins, n_sym < (1 << 16))
+    # reversed-feed flip: dispatched after the counts slice, computed by
+    # the device while the host reads the histogram and builds tables
+    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
     for attempt in range(2):
-        counts = np.asarray(_counts_prefix(
-            counts_dev, bins, n_sym < (1 << 16))).astype(np.int64)
+        counts = np.asarray(counts_job).astype(np.int64)
         sums = counts.sum(axis=1)
         if np.all(sums == n_sym) or bins == total_bins:
             break
         bins = total_bins  # guess truncated an occupied bin: full retry
+        counts_job = _counts_prefix(counts_dev, bins, n_sym < (1 << 16))
     cols_any = (counts > 0).any(axis=0)
     maxbin = int(counts.shape[1] - 1 - np.argmax(cols_any[::-1])) \
         if cols_any.any() else 0
