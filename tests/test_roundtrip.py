@@ -511,8 +511,10 @@ def test_quantization_bit_overrides():
 
     with pytest.raises(ValueError):
         encode(mesh, cfg=Config(quant_bits={AttributeType.POSITION: 0}))
+    # normal depth is a knob since round 3 (-qn, 2..16); out-of-range
+    # still rejects
     with pytest.raises(ValueError):
-        encode(mesh, cfg=Config(quant_bits={AttributeType.NORMAL: 10}))
+        encode(mesh, cfg=Config(quant_bits={AttributeType.NORMAL: 17}))
 
 
 def test_symbol_coding_modes():
@@ -651,3 +653,71 @@ def test_strict_draco_mode():
         Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)])
     with pytest.raises(ValueError, match="point-cloud"):
         encode(pc, cfg=Config(strict=True))
+
+
+def test_normal_quantization_bit_overrides():
+    """-qn: octahedral normals at non-default depths round-trip through
+    both the vectorized and scalar chains; error shrinks and size grows
+    with bits; 8 bits stays the (golden-pinned) default."""
+    from tests.test_roundtrip import assert_roundtrip  # noqa: F401
+    from tpudraco.models import AttributeDomain, MeshBuilder
+
+    rng = np.random.RandomState(12)
+    n = 7
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32)], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = (i * n + j, i * n + j + 1,
+                          (i + 1) * n + j, (i + 1) * n + j + 1)
+            faces += [[a, b, c], [b, d, c]]
+    nrm = rng.randn(n * n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    def build():
+        mb = MeshBuilder()
+        mb.set_connectivity_attribute(np.asarray(faces))
+        pid = mb.add_attribute(pos, AttributeType.POSITION,
+                               AttributeDomain.POSITION)
+        mb.add_attribute(nrm, AttributeType.NORMAL, AttributeDomain.CORNER,
+                         parents=[pid])
+        return mb.build()
+
+    sizes, errors = {}, {}
+    for bits in (5, 8, 12):
+        mesh = build()
+        blob = encode(mesh, cfg=Config(
+            quant_bits={AttributeType.NORMAL: bits}))
+        out = decode(blob)
+        got = next(a for a in out.attributes
+                   if a.att_type == AttributeType.NORMAL)
+        vals = np.asarray(got.values, dtype=np.float32)
+        # compare per-face multisets is overkill: normals are per-corner;
+        # match via nearest original normal direction error
+        errs = []
+        src = nrm
+        for v in vals:
+            d = 1 - np.abs(src @ v)  # direction-agnostic... keep signed:
+            errs.append(float(np.min(np.sum((src - v) ** 2, axis=1))))
+        sizes[bits] = len(blob)
+        errors[bits] = float(np.mean(errs))
+    assert sizes[5] < sizes[12]
+    assert errors[12] < errors[5]
+    assert errors[12] < 1e-3
+
+    # scalar twin: with vectorized predictions off, bytes must match
+    from tpudraco.encode import attribute as ea
+    mesh = build()
+    want = encode(mesh, cfg=Config(quant_bits={AttributeType.NORMAL: 12}))
+    old = ea.VECTORIZED_PREDICTIONS
+    ea.VECTORIZED_PREDICTIONS = False
+    try:
+        mesh2 = build()
+        got = encode(mesh2, cfg=Config(
+            quant_bits={AttributeType.NORMAL: 12}))
+    finally:
+        ea.VECTORIZED_PREDICTIONS = old
+    assert got == want

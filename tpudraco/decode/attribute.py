@@ -253,7 +253,8 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
     if (values_by_vertex is None and scheme_id == PRED_NORMAL and parents
             and flips is not None and xform_id == XFORM_OCT_ORTHOGONAL):
         values_by_vertex = _decode_normals_vectorized(
-            view, sequence, symbols, flips, parents[0])
+            view, sequence, symbols, flips, parents[0],
+            xmeta.get("max_q", 255))
 
     if (values_by_vertex is None and scheme_id == PRED_TEX_COORDS
             and parents and orientations is not None
@@ -271,7 +272,8 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
             xmeta["min"], xmeta["max"], view.num_vertices)
 
     if values_by_vertex is None:
-        pred = make_prediction(scheme_id, view, parents, n)
+        pred = make_prediction(scheme_id, view, parents, n,
+                               normal_bits=port_meta.get("bits", 8))
         state = PredictionState(view.num_vertices)
         values_by_vertex = np.zeros((view.num_vertices, n), dtype=np.int64)
 
@@ -320,7 +322,7 @@ class _CornerIndexedParent:
 
 
 def _decode_normals_vectorized(view, sequence, symbols, flips,
-                               pos_parent) -> np.ndarray:
+                               pos_parent, max_q: int = 255) -> np.ndarray:
     """Whole-traversal normal decode: batched ring-sum prediction (the ring
     is traversal-state-independent) + batched oct-orthogonal inverse
     transform. Bit-identical to the scalar loop (pinned by round-trip
@@ -329,15 +331,17 @@ def _decode_normals_vectorized(view, sequence, symbols, flips,
     from ..shared.prediction import NormalPrediction
 
     T = len(sequence)
-    preds = NormalPrediction.predict_sequence(view, sequence, pos_parent)
+    bits = int(max_q).bit_length()  # max_q == 2^bits - 1
+    preds = NormalPrediction.predict_sequence(view, sequence, pos_parent,
+                                              bits=bits)
     fl = np.asarray(flips[:T], dtype=bool)
     preds = np.where(fl[:, None], -preds, preds)
     corr = np.asarray(symbols[:T], dtype=np.int64)
 
-    one = 255 // 2
+    one = max_q // 2
     p = preds - one
     flip = np.abs(p).sum(axis=1) > one
-    p = np.where(flip[:, None], invert_diamond(p), p)
+    p = np.where(flip[:, None], invert_diamond(p, one), p)
 
     # rotation count: smallest r in 0..3 with rot^r(p) in the third
     # quadrant (x < 0, y <= 0); zero vectors don't rotate
@@ -351,14 +355,15 @@ def _decode_normals_vectorized(view, sequence, symbols, flips,
     idx = np.arange(T)
     p_rot = rots[r, idx]
 
-    o = ((p_rot + corr + one) % 255) - one
+    o = ((p_rot + corr + one) % max_q) - one
     # undo rotations (inverse rot (x,y)->(y,-x) applied r times)
     outs = [o]
     for _ in range(3):
         q = outs[-1]
         outs.append(np.stack([q[:, 1], -q[:, 0]], axis=1))
     o = np.stack(outs)[r, idx]
-    o = np.where(flip[:, None], invert_diamond_inverse_batched(o), o)
+    o = np.where(flip[:, None],
+                 invert_diamond_inverse_batched(o, one), o)
     vals = o + one
 
     _opp, ctv, _lm = view.as_arrays()
@@ -449,39 +454,43 @@ def _make_inverse_transform(xform_id: int, meta: dict):
     if xform_id == XFORM_OCT_ORTHOGONAL:
         from ..shared.octahedral import invert_diamond, invert_diamond_inverse
 
+        mx = meta.get("max_q", 255)
+
         def inv(corr, pred):
-            one = 255 // 2
+            one = mx // 2
             p = pred.astype(np.int64) - one
             # replicate the encoder's forward canonicalization of pred
             flip = abs(int(p[0])) + abs(int(p[1])) > one
             if flip:
-                p = invert_diamond(p)
+                p = invert_diamond(p, one)
             rot = 0
             if p.any():
                 while p[0] >= 0 or p[1] > 0:
                     p = np.array([-p[1], p[0]], dtype=np.int64)
                     rot += 1
-            # o' == p' + corr (mod 255), canonicalized into [-127, 127]
-            o = ((p + corr + one) % 255) - one
+            # o' == p' + corr (mod max), canonicalized into [-center, center]
+            o = ((p + corr + one) % mx) - one
             # undo rotations (inverse of (x,y)->(-y,x) is (x,y)->(y,-x))
             for _ in range(rot):
                 o = np.array([o[1], -o[0]], dtype=np.int64)
             if flip:
-                o = invert_diamond_inverse(o)
+                o = invert_diamond_inverse(o, one)
             return o + one
         return inv
     if xform_id == XFORM_OCT_REFLECTION:
         from ..shared.octahedral import invert_diamond, invert_diamond_inverse
 
+        mx = meta.get("max_q", 255)
+
         def inv(corr, pred):
-            one = 255 // 2
+            one = mx // 2
             p = pred.astype(np.int64) - one
             flip = abs(int(p[0])) + abs(int(p[1])) > one
             if flip:
-                p = invert_diamond(p)
+                p = invert_diamond(p, one)
             o = p + unzigzag(corr.astype(np.uint64))
             if flip:
-                o = invert_diamond_inverse(o)
+                o = invert_diamond_inverse(o, one)
             return o + one
         return inv
     raise DecodeError(f"unsupported transform {xform_id}")

@@ -173,7 +173,7 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     # pure gathers on the encoder side and run vectorized; normal/texcoord
     # keep the reference per-vertex loop (value-dependent decisions).
     n = port_att.num_components
-    pred = make_prediction(scheme_id, view, parents, n)
+    pred = make_prediction(scheme_id, view, parents, n, normal_bits=bits)
     state = PredictionState(view.num_vertices)
     per_point = port_att.values[port_att.unique_indices()].astype(np.int64)
 
@@ -193,7 +193,8 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     elif scheme_id == PRED_NORMAL and len(sequence) and VECTORIZED_PREDICTIONS:
         # ring sums are traversal-state-independent -> fully batched
         from ..shared.prediction import NormalPrediction
-        preds = NormalPrediction.predict_sequence(view, sequence, parents[0])
+        preds = NormalPrediction.predict_sequence(view, sequence, parents[0],
+                                                  bits=bits)
         seq_arr = np.asarray(sequence, dtype=np.int64)
         pts = np.asarray(view.u.faces_points, dtype=np.int64).ravel()[seq_arr]
         origs = per_point[pts]
@@ -224,7 +225,7 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
             state.push(view.vertex(c))
             origs[k] = per_point[view.point(c)]
 
-    xform = make_transform(xform_id)
+    xform = make_transform(xform_id, normal_bits=bits)
     xbuf = _Buf()
     symbols = xform.squeeze(origs, preds, xbuf)
 

@@ -37,10 +37,12 @@ def default_portabilization_for(att_type: AttributeType,
     if quant_bits and att_type in quant_bits:
         bits = int(quant_bits[att_type])
         if att_type == AttributeType.NORMAL:
-            if bits != 8:
-                # the octahedral pipeline is 8-bit throughout (the
-                # reference hardcodes max=255, oct_orthogonal.rs metadata)
-                raise ValueError("octahedral normals are fixed at 8 bits")
+            if not 2 <= bits <= 16:
+                # oct coords and the OctOrthogonal mod-max arithmetic stay
+                # in int32 through 16 bits; the reference hardcodes 8
+                # (max=255) but the wire carries max/center, so other
+                # depths remain self-describing (draco_encoder's -qn)
+                raise ValueError("octahedral normal bits must be in 2..16")
         elif not 1 <= bits <= 30:
             raise ValueError(f"invalid quantization bits {bits} for "
                              f"{att_type.name}")

@@ -67,20 +67,25 @@ class WrappedDifferenceTransform:
 
 class OctOrthogonalTransform:
     """Octahedral orthogonal residual for oct-quantized normals
-    (oct_orthogonal.rs:23-85). Metadata: u32 max=255, u32 center=127."""
+    (oct_orthogonal.rs:23-85). Metadata: u32 max, u32 center — the
+    reference hardcodes 8-bit (255/127); other depths use the same
+    self-describing wire fields."""
     xform_id = XFORM_OCT_ORTHOGONAL
+
+    def __init__(self, bits: int = 8) -> None:
+        self.mx = (1 << bits) - 1
 
     def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
         from ..shared.octahedral import invert_diamond
-        one = 255 // 2
+        one = self.mx // 2
         orig = origs.astype(np.int64) - one
         pred = preds.astype(np.int64) - one
 
         # hemisphere flip when pred is outside the diamond (|p0|+|p1| > 127),
         # using draco's involutive InvertDiamond (see shared.octahedral)
         flip = (np.abs(pred).sum(axis=1)) > one
-        pred = np.where(flip[:, None], invert_diamond(pred), pred)
-        orig = np.where(flip[:, None], invert_diamond(orig), orig)
+        pred = np.where(flip[:, None], invert_diamond(pred, one), pred)
+        orig = np.where(flip[:, None], invert_diamond(orig, one), orig)
 
         # rotate in 90° steps until pred lands in the third quadrant
         # (p0 < 0 and p1 <= 0); at most 3 rotations, vectorized
@@ -95,9 +100,9 @@ class OctOrthogonalTransform:
             orig = np.where(todo[:, None], ro, orig)
 
         corr = orig - pred
-        corr = np.where(corr < 0, corr + 255, corr)
-        writer.write_u32(255)
-        writer.write_u32(255 // 2)
+        corr = np.where(corr < 0, corr + self.mx, corr)
+        writer.write_u32(self.mx)
+        writer.write_u32(one)
         return corr.astype(np.uint64)
 
 
@@ -114,15 +119,18 @@ class OctReflectionTransform:
     distinguishes OctOrthogonal)."""
     xform_id = XFORM_OCT_REFLECTION
 
+    def __init__(self, bits: int = 8) -> None:
+        self.mx = (1 << bits) - 1
+
     def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
         from ..shared.octahedral import invert_diamond
-        one = 255 // 2
+        one = self.mx // 2
         orig = origs.astype(np.int64) - one
         pred = preds.astype(np.int64) - one
         flip = (np.abs(pred).sum(axis=1)) > one
-        pred = np.where(flip[:, None], invert_diamond(pred), pred)
-        orig = np.where(flip[:, None], invert_diamond(orig), orig)
-        writer.write_u32(255)
+        pred = np.where(flip[:, None], invert_diamond(pred, one), pred)
+        orig = np.where(flip[:, None], invert_diamond(orig, one), orig)
+        writer.write_u32(self.mx)
         writer.write_u32(one)
         return zigzag(orig - pred)
 
@@ -141,15 +149,15 @@ class OrthogonalTransform:
             "octahedral normals")
 
 
-def make_transform(xform_id: int):
+def make_transform(xform_id: int, normal_bits: int = 8):
     if xform_id == XFORM_DIFFERENCE:
         return DifferenceTransform()
     if xform_id == XFORM_WRAPPED_DIFFERENCE:
         return WrappedDifferenceTransform()
     if xform_id == XFORM_OCT_ORTHOGONAL:
-        return OctOrthogonalTransform()
+        return OctOrthogonalTransform(normal_bits)
     if xform_id == XFORM_OCT_REFLECTION:
-        return OctReflectionTransform()
+        return OctReflectionTransform(normal_bits)
     if xform_id == XFORM_ORTHOGONAL:
         return OrthogonalTransform()
     if xform_id == XFORM_NONE:

@@ -55,14 +55,18 @@ def octahedral_inverse_transform(uv: np.ndarray) -> np.ndarray:
     return np.stack([x / norm, y / norm, z / norm], axis=-1).astype(np.float32)
 
 
-def into_faithful_oct_quantization(q: np.ndarray) -> np.ndarray:
+def into_faithful_oct_quantization(q: np.ndarray,
+                                   bits: int = 8) -> np.ndarray:
     """Edge fixups on quantized (..., 2) int oct coords (geom.rs:139-157).
-    Uses the hardcoded max=255 from the reference (8-bit normals)."""
+    The reference hardcodes bits=8 (max=255); the formulas generalize to
+    any depth with max = 2^bits - 1 (the wire carries max/center, so
+    other depths remain self-describing)."""
     q = np.asarray(q, dtype=np.int64)
     u, v = q[..., 0], q[..., 1]
-    mx, half = 255, 127
+    mx = (1 << bits) - 1
+    half = mx // 2
     x, y = u.copy(), v.copy()
-    corner = ((u == 0) & (v == 0)) | ((u == 255) & (v == 0)) | ((u == 0) & (v == 255))
+    corner = ((u == 0) & (v == 0)) | ((u == mx) & (v == 0)) | ((u == 0) & (v == mx))
     cond1 = (~corner) & (u == 0) & (v > half)
     y = np.where(cond1, half - (v - half), y)
     cond2 = (~corner) & (~cond1) & (u == mx) & (v < half)
@@ -102,7 +106,7 @@ def invert_diamond(v: np.ndarray, center: int = 127) -> np.ndarray:
     return np.stack([(ns + cs) // 2, (nt + ct) // 2], axis=-1)
 
 
-def invert_diamond_inverse(w) -> np.ndarray:
+def invert_diamond_inverse(w, center: int = 127) -> np.ndarray:
     """Exact preimage of invert_diamond where one exists.
 
     invert_diamond is an involution on generic points but not on the square
@@ -112,13 +116,13 @@ def invert_diamond_inverse(w) -> np.ndarray:
     side of ambiguous boundary points)."""
     w = np.asarray(w, dtype=np.int64)
     w0, w1 = int(w[0]), int(w[1])
-    cands = [invert_diamond(w),
-             np.array([127 - w1, 127 - w0], dtype=np.int64),
-             np.array([-w1 - 127, -w0 - 127], dtype=np.int64),
-             np.array([w1 + 127, w0 - 127], dtype=np.int64),
-             np.array([w1 - 127, w0 + 127], dtype=np.int64)]
+    cands = [invert_diamond(w, center),
+             np.array([center - w1, center - w0], dtype=np.int64),
+             np.array([-w1 - center, -w0 - center], dtype=np.int64),
+             np.array([w1 + center, w0 - center], dtype=np.int64),
+             np.array([w1 - center, w0 + center], dtype=np.int64)]
     for v in cands:
-        if np.array_equal(invert_diamond(v), w):
+        if np.array_equal(invert_diamond(v, center), w):
             return v
     return cands[0]
 
@@ -131,22 +135,23 @@ def oct_quantize_normals(vals: np.ndarray, bits: int) -> np.ndarray:
     scale = np.float32((1 << (bits - 1)) - 1)
     quantized = (oct.astype(np.float32) * scale).astype(np.float32)
     q = quantized.astype(np.int64)  # f32 -> int truncation toward zero
-    return into_faithful_oct_quantization(q).astype(np.int32)
+    return into_faithful_oct_quantization(q, bits).astype(np.int32)
 
 
-def invert_diamond_inverse_batched(w: np.ndarray) -> np.ndarray:
+def invert_diamond_inverse_batched(w: np.ndarray,
+                                   center: int = 127) -> np.ndarray:
     """Vectorized invert_diamond_inverse over (T, 2) points: evaluate all
     five candidate preimages, forward-map them in one batch, and take the
     first that maps to ``w`` (same preference order as the scalar form)."""
     w = np.asarray(w, dtype=np.int64)
     T = len(w)
     cands = np.stack([
-        invert_diamond(w),
-        np.stack([127 - w[:, 1], 127 - w[:, 0]], axis=1),
-        np.stack([-w[:, 1] - 127, -w[:, 0] - 127], axis=1),
-        np.stack([w[:, 1] + 127, w[:, 0] - 127], axis=1),
-        np.stack([w[:, 1] - 127, w[:, 0] + 127], axis=1),
+        invert_diamond(w, center),
+        np.stack([center - w[:, 1], center - w[:, 0]], axis=1),
+        np.stack([-w[:, 1] - center, -w[:, 0] - center], axis=1),
+        np.stack([w[:, 1] + center, w[:, 0] - center], axis=1),
+        np.stack([w[:, 1] - center, w[:, 0] + center], axis=1),
     ])                                                   # (5, T, 2)
-    ok = (invert_diamond(cands) == w[None]).all(axis=-1)  # (5, T)
+    ok = (invert_diamond(cands, center) == w[None]).all(axis=-1)  # (5, T)
     first = np.argmax(ok, axis=0)  # 0 when none match == scalar fallback
     return cands[first, np.arange(T)]

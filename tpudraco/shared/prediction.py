@@ -345,10 +345,11 @@ class NormalPrediction(BasePrediction):
     (mesh_normal_prediction.rs)."""
     scheme_id = PRED_NORMAL
 
-    def __init__(self, view, parents, n):
+    def __init__(self, view, parents, n, bits: int = 8):
         super().__init__(view, parents)
         assert parents, "normal prediction needs a position parent"
         self.pos = parents[0]
+        self.bits = bits  # octahedral depth (reference hardcodes 8)
         self.flips: list[bool] = []
         self.pending_flip: bool | None = None  # decoder injects stored flips
 
@@ -399,9 +400,11 @@ class NormalPrediction(BasePrediction):
             out = np.zeros(2, dtype=np.int64)
         else:
             oct = octahedral_transform(total.astype(np.int32)) + np.float32(1.0)
-            quant = (oct * np.float32((1 << 7) - 1)).astype(np.float32)
+            quant = (oct * np.float32((1 << (self.bits - 1)) - 1)) \
+                .astype(np.float32)
             q = quant.astype(np.int64)  # trunc toward zero
-            out = into_faithful_oct_quantization(q).astype(np.int64)
+            out = into_faithful_oct_quantization(q, self.bits) \
+                .astype(np.int64)
 
         if self.pending_flip is not None:
             if self.pending_flip:
@@ -418,7 +421,8 @@ class NormalPrediction(BasePrediction):
         return out
 
     @staticmethod
-    def predict_sequence(view: TableView, sequence, pos_parent) -> np.ndarray:
+    def predict_sequence(view: TableView, sequence, pos_parent,
+                         bits: int = 8) -> np.ndarray:
         """Vectorized ring-sum normal prediction for the whole traversal.
 
         The ring around each visited vertex is traversal-state-independent
@@ -471,9 +475,9 @@ class NormalPrediction(BasePrediction):
         total = np.where(nonzero[:, None], total,
                          np.array([1, 0, 0], dtype=np.int64))
         oct = octahedral_transform(total.astype(np.int32)) + np.float32(1.0)
-        quant = (oct * np.float32((1 << 7) - 1)).astype(np.float32)
+        quant = (oct * np.float32((1 << (bits - 1)) - 1)).astype(np.float32)
         out = into_faithful_oct_quantization(
-            quant.astype(np.int64)).astype(np.int64)
+            quant.astype(np.int64), bits).astype(np.int64)
         return np.where(nonzero[:, None], out, 0)
 
     def metadata_bytes(self, writer) -> None:
@@ -795,7 +799,8 @@ def write_tex_orientations(orientations, writer) -> None:
     writer.write_bytes(blob)
 
 
-def make_prediction(scheme_id: int, view: TableView, parents, n: int) -> BasePrediction:
+def make_prediction(scheme_id: int, view: TableView, parents, n: int,
+                    normal_bits: int = 8) -> BasePrediction:
     if scheme_id == PRED_DELTA:
         return DeltaPrediction(view, parents, n)
     if scheme_id == PRED_PARALLELOGRAM:
@@ -803,7 +808,7 @@ def make_prediction(scheme_id: int, view: TableView, parents, n: int) -> BasePre
     if scheme_id == PRED_MULTI_PARALLELOGRAM:
         return MultiParallelogramPrediction(view, parents, n)
     if scheme_id == PRED_NORMAL:
-        return NormalPrediction(view, parents, n)
+        return NormalPrediction(view, parents, n, bits=normal_bits)
     if scheme_id == PRED_TEX_COORDS:
         return TexCoordPrediction(view, parents, n)
     if scheme_id == PRED_NONE:

@@ -77,6 +77,11 @@ def main(argv=None) -> int:
                    help="position quantization bits (default 11)")
     p.add_argument("-qt", type=int, default=None, metavar="BITS",
                    help="texcoord quantization bits (default 10)")
+    p.add_argument("-qn", type=int, default=None, metavar="BITS",
+                   help="normal octahedral quantization bits, 2..16 "
+                        "(default 8 — the only depth the reference "
+                        "emits; the wire carries max/center, so other "
+                        "depths stay self-describing)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -112,6 +117,8 @@ def main(argv=None) -> int:
             quant_bits[AttributeType.POSITION] = args.qp
         if args.qt is not None:
             quant_bits[AttributeType.TEX_COORD] = args.qt
+        if args.qn is not None:
+            quant_bits[AttributeType.NORMAL] = args.qn
         from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
         if args.compression_level is not None:
             cfg = Config.from_level(args.compression_level)
