@@ -30,7 +30,10 @@ _HIST_BUCKET: dict = {}
 SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       batching K sequential symbols per step cuts the
 #                       iteration count 8x (the recurrence itself is
-#                       unchanged — still symbol-sequential within the body)
+#                       unchanged — still symbol-sequential within the
+#                       body). K=16/32 measured WITHIN the run-to-run noise
+#                       band on v5e (interleaved trials swing 734-1846 ms
+#                       on identical code); 8 keeps the compiled shapes.
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
