@@ -101,7 +101,9 @@ def test_decode_garbage_never_crashes():
             pass
 
 
-@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2)])
+@pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
+                                 Config(quant_bits={AttributeType.NORMAL: 12,
+                                                    AttributeType.TEX_COORD: 12})])
 def test_roundtrip_torture_textured(cfg):
     """Randomized textured meshes (positions + normals + seamed UVs) across
     traversals; exercises the vectorized normal/UV predictions and the

@@ -63,16 +63,18 @@ def assert_roundtrip(mesh: Mesh, cfg: Config | None = None):
     blob = encode(mesh, cfg=cfg)
     dec = decode(blob)
     assert dec.num_faces == mesh.num_faces
+    overrides = cfg.quant_bits if cfg is not None else {}
     for ty in (AttributeType.POSITION, AttributeType.NORMAL,
                AttributeType.TEX_COORD):
         src = mesh.attributes_of_type(ty)
         if not src:
             continue
         att = src[0]
+        bits = int(overrides.get(ty, BITS[ty]))
         if ty == AttributeType.NORMAL:
-            exp = dequant_oct(att.values)
+            exp = dequant_oct(att.values, bits)
         else:
-            exp = dequant_cw(att.values, BITS[ty])
+            exp = dequant_cw(att.values, bits)
         exp_pp = exp[att.unique_indices()]
         got_att = dec.attributes_of_type(ty)[0]
         got = _face_multiset(dec.faces, got_att.values_per_point())

@@ -23,8 +23,9 @@ import numpy as np
 MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 margin
 
 # adaptive readback widths per (shape, precision): the tunnel charges
-# ~100-180 ms latency PER readback, so the host guesses the occupied
-# prefix from the last batch and re-reads only on (rare) overflow
+# ~31 ms latency PER readback (BASELINE.md round-3 characterization), so
+# the host guesses the occupied prefix from the last batch and re-reads
+# only on (rare) overflow
 _WORD_BUCKET: dict = {}
 _HIST_BUCKET: dict = {}
 SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
@@ -147,7 +148,7 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     Returns ONE (L, 5 + WCAP) uint32 array — columns [nwords, partial
     byte count, partial word, packed flush state, flush byte count,
     words...] — so the host pays a SINGLE device->host readback (the axon
-    tunnel costs ~100-180 ms latency PER readback regardless of size;
+    tunnel costs ~31 ms latency PER readback regardless of size;
     separate per-lane metadata arrays quintupled that)."""
     L, T = symbols.shape
     l_base = (1 << precision) << 2
@@ -301,7 +302,7 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
         # compaction sorts 3x fewer elements and the transfer is the exact
         # payload (no slot padding). Meta rides in the words array: ONE
         # readback total, sized by an adaptive per-shape bucket (overflow
-        # costs one rare re-read; the tunnel's ~100-180 ms per-readback
+        # costs one rare re-read; the tunnel's ~31 ms per-readback
         # latency dwarfs the extra columns)
         combined = _rans_scan_lanes_words(
             jnp.asarray(symbols), jnp.asarray(freqs),
