@@ -661,7 +661,6 @@ def test_normal_quantization_bit_overrides():
     """-qn: octahedral normals at non-default depths round-trip through
     both the vectorized and scalar chains; error shrinks and size grows
     with bits; 8 bits stays the (golden-pinned) default."""
-    from tests.test_roundtrip import assert_roundtrip  # noqa: F401
     from tpudraco.models import AttributeDomain, MeshBuilder
 
     rng = np.random.RandomState(12)
@@ -702,7 +701,6 @@ def test_normal_quantization_bit_overrides():
         errs = []
         src = nrm
         for v in vals:
-            d = 1 - np.abs(src @ v)  # direction-agnostic... keep signed:
             errs.append(float(np.min(np.sum((src - v) ** 2, axis=1))))
         sizes[bits] = len(blob)
         errors[bits] = float(np.mean(errs))

@@ -221,6 +221,11 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
         _read_transform_meta(reader, xform_id, xmeta)
 
     port_meta = _read_port_meta(reader, h["port_type"], n)
+    if "max_q" in xmeta and h["port_type"] == PORT_OCTAHEDRAL \
+            and xmeta["max_q"] != (1 << port_meta["bits"]) - 1:
+        raise DecodeError(
+            f"octahedral transform max {xmeta['max_q']} inconsistent with "
+            f"portabilization depth {port_meta['bits']}")
 
     if collect_only and symbols is None:
         # stream-collection phase: the reader is positioned past this
@@ -425,7 +430,10 @@ def _read_port_meta(reader, port_type: int, n: int) -> dict:
             raise DecodeError(f"invalid quantization bits {bits}")
         return {"mins": mins, "delta_max": delta_max, "bits": bits}
     if port_type == PORT_OCTAHEDRAL:
-        return {"bits": reader.read_u8()}
+        bits = reader.read_u8()
+        if not 5 <= bits <= 16:  # mirror the encoder's accepted range
+            raise DecodeError(f"invalid octahedral bits {bits}")
+        return {"bits": bits}
     if port_type == PORT_TO_BITS:
         return {}
     raise DecodeError(f"unsupported portabilization {port_type}")
