@@ -40,7 +40,7 @@ def shard_corpus(inputs: list[str], process_id: int,
 
 def encode_corpus_multihost(inputs: list[str], out_dir: str,
                             resume: bool = True,
-                            use_device: bool = False,
+                            use_device: bool | str = False,
                             workers: int = 1) -> dict:
     """Encode a corpus across all participating hosts. Every host writes
     its own outputs (shared filesystem or per-host dirs both work); the
