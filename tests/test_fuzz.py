@@ -103,7 +103,8 @@ def test_decode_garbage_never_crashes():
 
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
                                  Config(quant_bits={AttributeType.NORMAL: 12,
-                                                    AttributeType.TEX_COORD: 12})])
+                                                    AttributeType.TEX_COORD: 12}),
+                                 Config(encoder_method=0)])
 def test_roundtrip_torture_textured(cfg):
     """Randomized textured meshes (positions + normals + seamed UVs) across
     traversals; exercises the vectorized normal/UV predictions and the

@@ -9,6 +9,7 @@ from ..entropy.symbol_coding import decode_symbols
 from ..models.attribute import Attribute, AttributeDomain, AttributeType
 from ..models.mesh import Mesh
 from ..wire.varint import leb128_read
+from .attribute import DecodeError
 
 
 def unzigzag(u: np.ndarray) -> np.ndarray:
@@ -33,7 +34,17 @@ def decode_sequential_attributes(reader, num_points: int) -> list:
         n_comp = reader.read_u8()
         unique_id = reader.read_u8()
         bits = reader.read_u8()
-        if bits:
+        if bits and att_type == AttributeType.NORMAL and n_comp == 3:
+            # octahedral normals (2 coords, no mins/delta metadata)
+            from ..shared.octahedral import octahedral_inverse_transform
+            if not 5 <= bits <= 16:
+                raise DecodeError(f"invalid octahedral bits {bits}")
+            q = decode_symbols(num_points * 2, 2, reader)
+            q = q.astype(np.float32).reshape(num_points, 2)
+            scale = np.float32((1 << (bits - 1)) - 1)
+            uv = (q / scale - np.float32(1.0)).astype(np.float32)
+            values = octahedral_inverse_transform(uv).astype(np.float32)
+        elif bits:
             mins = np.asarray([reader.read_f32() for _ in range(n_comp)],
                               dtype=np.float32)
             delta_max = np.float32(reader.read_f32())

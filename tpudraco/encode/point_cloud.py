@@ -64,14 +64,29 @@ def encode_sequential_attributes(atts, num_points: int, writer,
         vals = vals.reshape(num_points, n_comp)
         is_float = np.issubdtype(vals.dtype, np.floating)
         bits = DEFAULT_BITS.get(att_type, 11) if is_float else 0
+        oct_normal = is_float and att_type == AttributeType.NORMAL \
+            and n_comp == 3
         if is_float and quant_bits and att_type in quant_bits:
             bits = int(quant_bits[att_type])
-            if not 1 <= bits <= 30:
+            if oct_normal:
+                if not 5 <= bits <= 16:
+                    raise ValueError(
+                        "octahedral normal bits must be in 5..16")
+            elif not 1 <= bits <= 30:
                 raise ValueError(f"invalid quantization bits {bits}")
         writer.write_u8(int(att_type))
         writer.write_u8(n_comp)
         writer.write_u8((unique_id or 0) & 0xFF)
         writer.write_u8(bits)
+        if oct_normal and bits:
+            # normals ride the octahedral pipeline (2 coords, no
+            # mins/delta metadata) — same portabilization as the
+            # edgebreaker plane instead of 3-component coordinate-wise
+            from ..shared.octahedral import oct_quantize_normals
+            q = oct_quantize_normals(vals.astype(np.float32), bits)
+            syms = q.astype(np.uint64).ravel()
+            encode_symbols(syms, 2, LENGTH_CODED, writer)
+            continue
         if bits:
             v = vals.astype(np.float32)
             zero = np.float32(0.0)
