@@ -82,6 +82,11 @@ def main(argv=None) -> int:
                         "(default 8 — the only depth the reference "
                         "emits; the wire carries max/center, so other "
                         "depths stay self-describing)")
+    p.add_argument("--point-cloud", action="store_true",
+                   help="encode as a point cloud (drop connectivity; "
+                        "draco_encoder's -point_cloud). Face-less inputs "
+                        "switch automatically. WARNING: tpudraco dialect "
+                        "(see README)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -152,7 +157,14 @@ def main(argv=None) -> int:
                          or "direct")
         cfg.strict = args.strict_draco
         # face-less inputs (e.g. point-cloud PLY): encode() itself flips
-        # the config to geometry type 0
+        # the config to geometry type 0; --point-cloud forces it by
+        # dropping connectivity
+        if args.point_cloud and mesh.num_faces:
+            import numpy as np
+
+            from tpudraco.models.mesh import Mesh
+            mesh = Mesh(faces=np.zeros((0, 3), dtype=np.int64),
+                        attributes=mesh.attributes)
         rec = EvalRecorder() if args.eval_json else None
         try:
             blob = encode(mesh, cfg=cfg, recorder=rec)
