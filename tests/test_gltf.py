@@ -922,3 +922,75 @@ def test_sparse_strided_accessor_carry(tmp_path):
     vv = g2["bufferViews"][out_acc["sparse"]["values"]["bufferView"]]
     assert b2[0][iv["byteOffset"]:iv["byteOffset"] + 2] == sp_idx.tobytes()
     assert b2[0][vv["byteOffset"]:vv["byteOffset"] + 4] == sp_val.tobytes()
+
+
+def test_sparse_primitive_accessor_loads(tmp_path):
+    """Sparse PRIMITIVE accessors resolve via substitution (glTF 2.0
+    §3.6.2.3) — the reference rejects sparse accessors outright
+    (decode.rs:774-811)."""
+    from tpudraco.io import load_gltf
+
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    sp_idx = np.array([2], np.uint16)
+    sp_val = np.array([[5, 5, 5]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    chunks, views, off = [], [], 0
+    for data in (base.tobytes(), idx.tobytes(), sp_idx.tobytes(),
+                 sp_val.tobytes()):
+        pad = (-off) % 4
+        chunks.append(b"\0" * pad + data)
+        off += pad
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(data)})
+        off += len(data)
+    gltf = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"mode": 4, "indices": 1,
+                                    "attributes": {"POSITION": 0}}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3", "min": [0, 0, 0], "max": [5, 5, 5],
+             "sparse": {"count": 1,
+                        "indices": {"bufferView": 2,
+                                    "componentType": 5123},
+                        "values": {"bufferView": 3}}},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": views, "buffers": [{"byteLength": off}],
+    }
+    src = str(tmp_path / "sp.glb")
+    with open(src, "wb") as f:
+        f.write(_glb_from_json(gltf, b"".join(chunks)))
+    m = load_gltf(src)
+    pos = np.asarray(m.position_attribute().values, np.float32)
+    assert [5.0, 5.0, 5.0] in pos.tolist()  # substitution applied
+
+
+def test_transcoder_config_options(tmp_path):
+    """DracoTranscoder(cfg=...) applies per-primitive compression options
+    (the reference's DracoTranscodingOptions.geometry): lower position
+    bits shrink the GLB; the CLI exposes the same knobs on --transcode."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+    from tpudraco.tools.cli import main as cli_main
+
+    src = DUCK
+    if not os.path.isfile(src):
+        pytest.skip("Duck fixture not mounted")
+    a = str(tmp_path / "a.glb")
+    b = str(tmp_path / "b.glb")
+    DracoTranscoder().transcode_file(src, a)
+    DracoTranscoder(cfg=Config(
+        quant_bits={AttributeType.POSITION: 7,
+                    AttributeType.TEX_COORD: 7})).transcode_file(src, b)
+    assert os.path.getsize(b) < os.path.getsize(a)
+    # reloads fine
+    from tpudraco.io import load_gltf as _lg
+    assert _lg(b).num_faces == _lg(a).num_faces
+
+    c = str(tmp_path / "c.glb")
+    assert cli_main(["--transcode", "-i", src, "-o", c, "-qp", "7",
+                     "-qt", "7", "-q"]) == 0
+    assert os.path.getsize(c) == os.path.getsize(b)

@@ -126,24 +126,48 @@ def _resolve_buffers(gltf: dict, base_dir: str, bin_chunk: bytes) -> list[bytes]
 
 def _read_accessor(gltf: dict, buffers: list[bytes], idx: int) -> np.ndarray:
     acc = gltf["accessors"][idx]
-    if "sparse" in acc:
-        raise GltfError("sparse accessors are not supported")
     n = acc["count"]
     ncomp = TYPE_COUNTS[acc["type"]]
     dtype = np.dtype(COMPONENT_DTYPES[acc["componentType"]]).newbyteorder("<")
     if "bufferView" not in acc:
-        return np.zeros((n, ncomp), dtype=dtype)
-    bv = gltf["bufferViews"][acc["bufferView"]]
-    buf = buffers[bv["buffer"]]
-    start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    stride = bv.get("byteStride", 0)
-    elem_size = dtype.itemsize * ncomp
-    if stride and stride != elem_size:
-        rows = [np.frombuffer(buf, dtype=dtype, count=ncomp,
-                              offset=start + i * stride) for i in range(n)]
-        return np.stack(rows)
-    return np.frombuffer(buf, dtype=dtype, count=n * ncomp,
-                         offset=start).reshape(n, ncomp).copy()
+        base = np.zeros((n, ncomp), dtype=dtype)
+    else:
+        bv = gltf["bufferViews"][acc["bufferView"]]
+        buf = buffers[bv["buffer"]]
+        start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = bv.get("byteStride", 0)
+        elem_size = dtype.itemsize * ncomp
+        if stride and stride != elem_size:
+            rows = [np.frombuffer(buf, dtype=dtype, count=ncomp,
+                                  offset=start + i * stride)
+                    for i in range(n)]
+            base = np.stack(rows)
+        else:
+            base = np.frombuffer(buf, dtype=dtype, count=n * ncomp,
+                                 offset=start).reshape(n, ncomp).copy()
+    sp = acc.get("sparse")
+    if sp:
+        # sparse substitution (glTF 2.0 §3.6.2.3) — the reference REJECTS
+        # sparse accessors outright (decode.rs:774-811); applying them
+        # here means such files transcode instead of failing
+        cnt = sp["count"]
+        ij = sp["indices"]
+        ibv = gltf["bufferViews"][ij["bufferView"]]
+        idtype = np.dtype(COMPONENT_DTYPES[ij["componentType"]])             .newbyteorder("<")
+        ioff = ibv.get("byteOffset", 0) + ij.get("byteOffset", 0)
+        sidx = np.frombuffer(buffers[ibv["buffer"]], dtype=idtype,
+                             count=cnt, offset=ioff).astype(np.int64)
+        vj = sp["values"]
+        vbv = gltf["bufferViews"][vj["bufferView"]]
+        voff = vbv.get("byteOffset", 0) + vj.get("byteOffset", 0)
+        svals = np.frombuffer(buffers[vbv["buffer"]], dtype=dtype,
+                              count=cnt * ncomp,
+                              offset=voff).reshape(cnt, ncomp)
+        if len(sidx) and (sidx.min() < 0 or sidx.max() >= n):
+            raise GltfError("sparse accessor index out of range")
+        base = np.ascontiguousarray(base)
+        base[sidx] = svals
+    return base
 
 
 def _bufferview_bytes(gltf: dict, buffers: list[bytes], idx: int) -> bytes:
@@ -725,11 +749,16 @@ class GlbWriter:
     consumers tuned to its output."""
 
     def __init__(self, compress: bool = True,
-                 khr_ids: str = "unique", encoder=None) -> None:
+                 khr_ids: str = "unique", encoder=None,
+                 cfg=None) -> None:
         if khr_ids not in ("unique", "reference"):
             raise ValueError(f"unknown khr_ids mode {khr_ids!r}")
         self.compress = compress
         self.khr_ids = khr_ids
+        # optional tpudraco.encode.Config for the per-primitive encodes
+        # (the reference's DracoTranscodingOptions.geometry,
+        # transcoder.rs:22-41); None = defaults
+        self.cfg = cfg
         # optional mesh -> draco bytes hook (the corpus transcoder injects
         # device-batched blobs here); None falls back to encode()
         self.encoder = encoder
@@ -770,7 +799,7 @@ class GlbWriter:
         semantics = assign_semantics(mesh.attributes)
         if self.compress and not force_raw:
             blob = (self.encoder(mesh) if self.encoder is not None
-                    else None) or draco_encode(mesh)
+                    else None) or draco_encode(mesh, cfg=self.cfg)
             bv = self._add_buffer_view(blob)
             prim["indices"] = self._add_accessor(
                 componentType=5125, count=int(mesh.faces.size),
@@ -1229,24 +1258,28 @@ def _write_glb(gltf: dict, bin_data: bytes, path: str) -> None:
 
 
 def save_scene_glb(scene: Scene, path: str, compress: bool = True,
-                   khr_ids: str = "unique", encoder=None) -> None:
+                   khr_ids: str = "unique", encoder=None,
+                   cfg=None) -> None:
     GlbWriter(compress=compress, khr_ids=khr_ids,
-              encoder=encoder).write_scene(scene, path)
+              encoder=encoder, cfg=cfg).write_scene(scene, path)
 
 
 class DracoTranscoder:
     """glTF -> glTF transcoder compressing every primitive with draco
-    (transcoder.rs:60-151)."""
+    (transcoder.rs:60-151). ``cfg`` is an optional tpudraco.encode.Config
+    applied to every primitive encode — the reference's
+    DracoTranscodingOptions.geometry (transcoder.rs:22-41)."""
 
     def __init__(self, compress: bool = True,
-                 khr_ids: str = "unique") -> None:
+                 khr_ids: str = "unique", cfg=None) -> None:
         self.compress = compress
         self.khr_ids = khr_ids
+        self.cfg = cfg
 
     def transcode_file(self, in_path: str, out_path: str) -> Scene:
         scene = load_gltf_to_scene(in_path)
         save_scene_glb(scene, out_path, compress=self.compress,
-                       khr_ids=self.khr_ids)
+                       khr_ids=self.khr_ids, cfg=self.cfg)
         return scene
 
     def transcode_buffer(self, data: bytes, out_path: str) -> Scene:

@@ -18,6 +18,54 @@ import sys
 import time
 
 
+def _build_config(args):
+    """Encoder Config from the CLI flags (shared by the .drc and
+    --transcode paths; explicit flags override -cl presets in both
+    directions since absent flags are None)."""
+    from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
+    from ..models import AttributeType
+    from ..shared.clers import EB_STANDARD, EB_VALENCE
+    from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
+
+    quant_bits = {}
+    if args.qp is not None:
+        quant_bits[AttributeType.POSITION] = args.qp
+    if args.qt is not None:
+        quant_bits[AttributeType.TEX_COORD] = args.qt
+    if args.qn is not None:
+        quant_bits[AttributeType.NORMAL] = args.qn
+    if args.compression_level is not None:
+        cfg = Config.from_level(args.compression_level)
+        cfg.quant_bits = quant_bits
+        if args.traversal is not None:
+            cfg.traversal = (EB_VALENCE if args.traversal == "valence"
+                             else EB_STANDARD)
+        if args.method is not None:
+            cfg.encoder_method = (METHOD_SEQUENTIAL
+                                  if args.method == "sequential"
+                                  else METHOD_EDGEBREAKER)
+        if args.prediction is not None:
+            cfg.prediction = (
+                {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
+                if args.prediction == "multi" else {})
+        if args.sequential_method is not None:
+            cfg.sequential_method = args.sequential_method
+    else:
+        prediction = {}
+        if args.prediction == "multi":
+            prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
+        cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
+                     else EB_STANDARD,
+                     encoder_method=METHOD_SEQUENTIAL
+                     if args.method == "sequential"
+                     else METHOD_EDGEBREAKER,
+                     quant_bits=quant_bits, prediction=prediction,
+                     sequential_method=args.sequential_method
+                     or "direct")
+    cfg.strict = args.strict_draco
+    return cfg
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tpudraco",
                                 description="TPU-native Draco codec")
@@ -97,7 +145,14 @@ def main(argv=None) -> int:
     if args.transcode or (in_ext in (".gltf", ".glb") and out_ext in (".gltf", ".glb")):
         from ..io import DracoTranscoder
         khr_ids = "reference" if args.strict_draco else args.khr_ids
-        DracoTranscoder(khr_ids=khr_ids).transcode_file(
+        # per-primitive compression options (the reference's
+        # DracoTranscodingOptions.geometry, transcoder.rs:22-41)
+        cfg = _build_config(args) if any(
+            v is not None for v in (args.qp, args.qt, args.qn,
+                                    args.traversal, args.prediction,
+                                    args.compression_level)) \
+            or args.strict_draco else None
+        DracoTranscoder(khr_ids=khr_ids, cfg=cfg).transcode_file(
             args.input, args.output)
     elif out_ext == ".drc":
         from ..encode import encode
@@ -114,48 +169,7 @@ def main(argv=None) -> int:
         else:
             print(f"unsupported input format {in_ext}", file=sys.stderr)
             return 2
-        from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
-        from ..shared.clers import EB_STANDARD, EB_VALENCE
-        from ..models import AttributeType
-        quant_bits = {}
-        if args.qp is not None:
-            quant_bits[AttributeType.POSITION] = args.qp
-        if args.qt is not None:
-            quant_bits[AttributeType.TEX_COORD] = args.qt
-        if args.qn is not None:
-            quant_bits[AttributeType.NORMAL] = args.qn
-        from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
-        if args.compression_level is not None:
-            cfg = Config.from_level(args.compression_level)
-            cfg.quant_bits = quant_bits
-            # explicit flags override the preset in BOTH directions
-            # (defaults are None, so "flag absent" is distinguishable)
-            if args.traversal is not None:
-                cfg.traversal = (EB_VALENCE if args.traversal == "valence"
-                                 else EB_STANDARD)
-            if args.method is not None:
-                cfg.encoder_method = (METHOD_SEQUENTIAL
-                                      if args.method == "sequential"
-                                      else METHOD_EDGEBREAKER)
-            if args.prediction is not None:
-                cfg.prediction = (
-                    {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
-                    if args.prediction == "multi" else {})
-            if args.sequential_method is not None:
-                cfg.sequential_method = args.sequential_method
-        else:
-            prediction = {}
-            if args.prediction == "multi":
-                prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
-            cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
-                         else EB_STANDARD,
-                         encoder_method=METHOD_SEQUENTIAL
-                         if args.method == "sequential"
-                         else METHOD_EDGEBREAKER,
-                         quant_bits=quant_bits, prediction=prediction,
-                         sequential_method=args.sequential_method
-                         or "direct")
-        cfg.strict = args.strict_draco
+        cfg = _build_config(args)
         # face-less inputs (e.g. point-cloud PLY): encode() itself flips
         # the config to geometry type 0; --point-cloud forces it by
         # dropping connectivity
