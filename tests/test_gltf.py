@@ -994,3 +994,28 @@ def test_transcoder_config_options(tmp_path):
     assert cli_main(["--transcode", "-i", src, "-o", c, "-qp", "7",
                      "-qt", "7", "-q"]) == 0
     assert os.path.getsize(c) == os.path.getsize(b)
+
+
+def test_gltf_json_output(tmp_path):
+    """Writing a .gltf path emits a JSON container with an external .bin
+    buffer (the reference's writer supports both forms); the pair reloads
+    and matches the GLB output geometry."""
+    from tpudraco.io import load_gltf, load_gltf_to_scene, save_scene_glb
+
+    if not os.path.isfile(DUCK):
+        pytest.skip("Duck fixture not mounted")
+    scene = load_gltf_to_scene(DUCK)
+    out_gltf = str(tmp_path / "duck.gltf")
+    out_glb = str(tmp_path / "duck.glb")
+    save_scene_glb(scene, out_gltf, compress=True)
+    save_scene_glb(scene, out_glb, compress=True)
+    assert os.path.isfile(str(tmp_path / "duck.bin"))
+    with open(out_gltf) as f:
+        j = json.load(f)
+    assert j["buffers"][0]["uri"] == "duck.bin"
+    a = load_gltf(out_gltf)
+    b = load_gltf(out_glb)
+    assert a.num_faces == b.num_faces
+    pa = a.position_attribute().values
+    pb = b.position_attribute().values
+    assert np.array_equal(np.sort(pa.ravel()), np.sort(pb.ravel()))

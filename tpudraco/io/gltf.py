@@ -1045,7 +1045,22 @@ class GlbWriter:
         if self.extensions_used:
             gltf["extensionsRequired"] = sorted(self.extensions_used)
 
-        _write_glb(gltf, bytes(self.bin), path)
+        if path.lower().endswith(".gltf"):
+            # JSON container with an external .bin buffer (the reference's
+            # writer emits both forms, encode.rs output_internal)
+            bin_name = os.path.splitext(os.path.basename(path))[0] + ".bin"
+            if self.bin:
+                gltf["buffers"] = [{"byteLength": len(self.bin),
+                                    "uri": bin_name}]
+                with open(os.path.join(os.path.dirname(path) or ".",
+                                       bin_name), "wb") as f:
+                    f.write(bytes(self.bin))
+            else:
+                gltf.pop("buffers", None)
+            with open(path, "w") as f:
+                json.dump(gltf, f, separators=(",", ":"))
+        else:
+            _write_glb(gltf, bytes(self.bin), path)
 
 
 _SEMANTIC_RE = re.compile(r"^(_[A-Za-z0-9_]+|[A-Z][A-Z0-9_]*)$")
