@@ -835,3 +835,20 @@ def test_encode_meshes_auto_routing(tmp_path):
         a = open(_os.path.join(tmp_path, "out", f"r{i}.drc"), "rb").read()
         b = open(_os.path.join(tmp_path, "oh", f"r{i}.drc"), "rb").read()
         assert a == b
+
+
+def test_device_entropy_sharded_byte_oracle():
+    """The lane-sharded word scan (entropy stage over a 'data' mesh) must
+    produce bytes identical to sequential encode() — the full pipeline
+    (step AND entropy) sharded (SURVEY §4d oracle)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    meshes = [_grid_mesh(9, s) for s in range(8)]
+    be = BatchEncoder(strict_device=True, mesh_axis=mesh)
+    blobs = be.encode_meshes_device(meshes, entropy="device")
+    for m, blob in zip(meshes, blobs):
+        assert blob == encode(m)

@@ -225,9 +225,11 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
             flags.append(fl)
         return carry, (jnp.stack(words), jnp.stack(flags))  # (K, L)
 
-    zeros = jnp.zeros((L,), jnp.uint32)
-    carry0 = (jnp.full((L,), l_base, dtype=jnp.uint32), zeros, zeros,
-              zeros)
+    # derive the carry from a (sharded) input so shard_map's varying-axis
+    # typing accepts the scan (a fresh constant would be unvarying while
+    # the body output varies over the lane axis)
+    zeros = (lengths * 0).astype(jnp.uint32)
+    carry0 = (zeros + jnp.uint32(l_base), zeros, zeros, zeros)
     (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
         step, carry0, jnp.arange(T_pad // K))
     words = wq.reshape(T_pad, L)[:T].T        # (L, T) symbol-major
@@ -253,9 +255,38 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     return jnp.concatenate([meta, compacted], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
+def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
+                                   precision: int, mesh_axis):
+    """Lane-sharded word scan over a 1-D ("data",) device mesh: each chip
+    runs the identical recurrence on its lane shard (lanes are
+    independent rANS streams), so the gathered result is bit-identical to
+    the single-device scan (byte oracle in tests + dryrun). Completes the
+    fully-sharded encode pipeline: step AND entropy scale over chips."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def scan_shard(sym, fq, cq, ln):
+        return _rans_scan_lanes_words.__wrapped__(
+            sym, fq, cq, ln, precision=precision)
+
+    per_lane_tables = freqs.ndim == 2
+    fn = shard_map(scan_shard, mesh=mesh_axis,
+                   in_specs=(P("data", None),
+                             P("data", None) if per_lane_tables else P(),
+                             P("data", None) if per_lane_tables else P(),
+                             P("data")),
+                   out_specs=P("data", None))
+    return fn(symbols, freqs, cums, lengths)
+
+
 def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                       cums: jnp.ndarray, lengths: jnp.ndarray,
-                      precision: int = 12, _timings: dict | None = None):
+                      precision: int = 12, _timings: dict | None = None,
+                      mesh_axis=None):
     """Encode L lanes of up to T symbols each.
 
     symbols: (L, T) int32, entries beyond lengths[l] ignored.
@@ -304,10 +335,16 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
         # readback total, sized by an adaptive per-shape bucket (overflow
         # costs one rare re-read; the tunnel's ~31 ms per-readback
         # latency dwarfs the extra columns)
-        combined = _rans_scan_lanes_words(
-            jnp.asarray(symbols), jnp.asarray(freqs),
-            jnp.asarray(cums), jnp.asarray(lengths),
-            precision=precision)
+        if mesh_axis is not None:
+            combined = _rans_scan_lanes_words_sharded(
+                jnp.asarray(symbols), jnp.asarray(freqs),
+                jnp.asarray(cums), jnp.asarray(lengths),
+                precision=precision, mesh_axis=mesh_axis)
+        else:
+            combined = _rans_scan_lanes_words(
+                jnp.asarray(symbols), jnp.asarray(freqs),
+                jnp.asarray(cums), jnp.asarray(lengths),
+                precision=precision)
         if _timings is not None:
             np.asarray(_slice_cols(combined, 1))  # forced tiny sync
             _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
@@ -708,7 +745,8 @@ def _counts_prefix(counts: jnp.ndarray, n: int, u16: bool) -> jnp.ndarray:
 
 
 def encode_group_entropy_device(symbols_dev, counts_dev,
-                                _timings: dict | None = None) -> list[bytes]:
+                                _timings: dict | None = None,
+                                mesh_axis=None) -> list[bytes]:
     """DirectCoded payloads for a topology-group batch with the symbols
     kept ON DEVICE end-to-end: `symbols_dev` (B, T, C) uint32/int32 from
     encode_step(_pallas), `counts_dev` (B, bins) int32 the device
@@ -796,7 +834,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
         bufs, nbytes = rans_encode_lanes(
             lanes_dev, jnp.asarray(freqs), jnp.asarray(cums),
             jnp.asarray(lengths), precision=int(prec),
-            _timings=_timings)
+            _timings=_timings, mesh_axis=mesh_axis)
         for i in np.flatnonzero(in_group):
             blobs[i] = bufs[i, :nbytes[i]].tobytes()
 

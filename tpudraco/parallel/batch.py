@@ -220,9 +220,13 @@ class BatchEncoder:
                     # the device (double-buffered dispatch below)
                     if entropy == "device":
                         # symbols stay on device; only the histogram +
-                        # compacted bytes cross the link
+                        # compacted bytes cross the link. Under a device
+                        # mesh the word scan shards over lanes too — the
+                        # WHOLE pipeline (step + entropy) scales across
+                        # chips, bytes unchanged (oracle in tests/dryrun)
                         payloads.extend(encode_group_entropy_device(
-                            dev_c["symbols"], dev_c["counts"]))
+                            dev_c["symbols"], dev_c["counts"],
+                            mesh_axis=self.mesh_axis))
                     else:
                         syms_np = np.asarray(dev_c["symbols"]).astype(
                             np.uint64)
