@@ -721,3 +721,18 @@ def test_normal_quantization_bit_overrides():
     finally:
         ea.VECTORIZED_PREDICTIONS = old
     assert got == want
+
+
+def test_non_finite_inputs_rejected():
+    """NaN/inf float attributes must fail loudly at encode time instead of
+    quantizing into silent garbage (structurally valid, wrong values)."""
+    import pytest
+    for bad in (np.nan, np.inf, -np.inf):
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                       np.float32)
+        pos[2, 1] = bad
+        att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+        mesh = Mesh(faces=np.asarray([[0, 1, 2], [1, 3, 2]]),
+                    attributes=[att])
+        with pytest.raises(ValueError, match="non-finite"):
+            encode(mesh)

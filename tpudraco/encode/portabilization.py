@@ -62,12 +62,24 @@ def _clone_with_values(att: Attribute, values: np.ndarray) -> Attribute:
     return out
 
 
+def _require_finite(att: Attribute) -> None:
+    """Non-finite float inputs would quantize into silent garbage (NaN ->
+    undefined int cast, inf -> degenerate range); fail at the source with
+    a clear error instead of emitting a structurally-valid-but-wrong
+    stream."""
+    if not np.isfinite(att.values).all():
+        raise ValueError(
+            f"attribute {att.att_type.name} contains non-finite values "
+            "(NaN/inf); refusing to quantize")
+
+
 def quantize_coordinate_wise(att: Attribute, bits: int, writer) -> Attribute:
     """Per reference (quantization_coordinate_wise.rs): min/max are seeded
     with ZERO (a reference quirk — min <= 0 and max >= 0 always), one shared
     delta_max over all components, value = trunc((v-min)/range * (2^bits-1)
     + 0.5), all math in float32. Metadata: min vec f32 LE, delta_max f32,
     u8 bits."""
+    _require_finite(att)
     vals = att.values.astype(np.float32)
     zero = np.float32(0.0)
     mins = np.minimum(vals.min(axis=0), zero).astype(np.float32) \
@@ -97,6 +109,7 @@ def quantize_octahedral(att: Attribute, bits: int, writer) -> Attribute:
     """Normal attribute -> 2-component octahedral ints
     (octahedral_quantization.rs). Metadata: u8 bits."""
     assert att.att_type == AttributeType.NORMAL
+    _require_finite(att)
     writer.write_u8(bits)
     q = oct_quantize_normals(att.values, bits)
     return _clone_with_values(att, q)
