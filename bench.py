@@ -178,24 +178,6 @@ def _build_meshes(positions, faces):
     return meshes
 
 
-def _host_e2e_mbps(positions, faces, trials=2):
-    """Host topology-cached encode loop over the same meshes (C++ entropy,
-    vectorized predictions) — the full .drc per mesh, a superset of the
-    device path's work."""
-    from tpudraco.parallel import BatchEncoder
-
-    meshes = _build_meshes(positions, faces)
-    enc = BatchEncoder()
-    enc.encode_mesh(meshes[0])  # warm the topology cache
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for m in meshes:
-            enc.encode_mesh(m)
-        best = min(best, time.perf_counter() - t0)
-    return positions.nbytes / best / 1e6
-
-
 def _e2e_step(gn, gathers):
     """The fused step for the e2e path: Pallas MXU combo-matrix kernel on
     real TPU (the gather formulation is ~10x slower there — gathers cost

@@ -736,3 +736,19 @@ def test_non_finite_inputs_rejected():
                     attributes=[att])
         with pytest.raises(ValueError, match="non-finite"):
             encode(mesh)
+
+
+def test_non_finite_rejected_on_sequential_plane():
+    """The sequential/point-cloud plane must reject NaN/inf like the
+    edgebreaker plane does (review-found gap: it quantized them into
+    silent garbage)."""
+    import pytest
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    pos[1, 2] = np.nan
+    att = Attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = Mesh(faces=np.asarray([[0, 1, 2], [1, 3, 2]]), attributes=[att])
+    with pytest.raises(ValueError, match="non-finite"):
+        encode(mesh, cfg=Config(encoder_method=0))
+    pc = Mesh(faces=np.zeros((0, 3), np.int64), attributes=[att])
+    with pytest.raises(ValueError, match="non-finite"):
+        encode(pc)

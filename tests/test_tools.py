@@ -211,3 +211,46 @@ def test_cli_explicit_flags_override_cl_preset(tmp_path):
     assert cli(["-i", src, "-o", out3, "-cl", "8", "-q"]) == 0
     # standard traversal + default prediction + auto coding == -cl 8
     assert open(out2, "rb").read() == open(out3, "rb").read()
+
+
+def test_cli_point_cloud_with_corner_attributes(tmp_path):
+    """--point-cloud expands corner-domain attributes to per-point rows
+    before dropping connectivity (mispaired unique-value rows would emit
+    structurally valid but wrong point clouds) and honors -qp."""
+    import numpy as np
+
+    from tpudraco.io import load_obj, load_ply
+    from tpudraco.models import AttributeType
+    from tpudraco.tools.cli import main as cli_main
+
+    src_path = os.path.join(REF_DATA, "sphere.obj")
+    if not os.path.isfile(src_path):
+        import pytest
+        pytest.skip("fixtures not mounted")
+    drc = str(tmp_path / "pc.drc")
+    ply = str(tmp_path / "pc.ply")
+    assert cli_main(["-i", src_path, "-o", drc, "--point-cloud",
+                     "-qp", "9", "-q"]) == 0
+    assert cli_main(["-i", drc, "-o", ply, "-q"]) == 0
+    src = load_obj(src_path)
+    out = load_ply(ply)
+    assert out.num_faces == 0
+    want = np.asarray(src.position_attribute().values_per_point(),
+                      np.float32)
+    got = np.asarray(out.position_attribute().values, np.float32)
+    assert want.shape == got.shape
+    extent = float(want.max() - want.min())
+    assert np.abs(want - got).max() < extent / 256  # rows pair up, 9-bit
+    wn = np.asarray(next(a for a in src.attributes
+                         if a.att_type == AttributeType.NORMAL)
+                    .values_per_point(), np.float32)
+    gn = np.asarray(next(a for a in out.attributes
+                         if a.att_type == AttributeType.NORMAL).values,
+                    np.float32)
+    assert float(np.median(np.abs((wn * gn).sum(axis=1)))) > 0.99
+
+    # -qp honored: 9-bit stream smaller than the 14-bit one
+    drc14 = str(tmp_path / "pc14.drc")
+    assert cli_main(["-i", src_path, "-o", drc14, "--point-cloud",
+                     "-qp", "14", "-q"]) == 0
+    assert os.path.getsize(drc) < os.path.getsize(drc14)

@@ -171,7 +171,7 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     if cfg.geometry_type == GEOMETRY_POINT_CLOUD:
         from .point_cloud import encode_point_cloud
         rec.scope_begin("point cloud", writer)
-        encode_point_cloud(mesh, writer)
+        encode_point_cloud(mesh, writer, quant_bits=cfg.quant_bits)
         rec.scope_end(writer)
         rec.scope_end(writer)
         return writer.getvalue()

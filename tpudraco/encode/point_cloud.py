@@ -40,7 +40,8 @@ def zigzag(v: np.ndarray) -> np.ndarray:
     return np.where(v >= 0, v << 1, ((-(v + 1)) << 1) + 1).astype(np.uint64)
 
 
-def encode_point_cloud(mesh: Mesh, writer) -> None:
+def encode_point_cloud(mesh: Mesh, writer,
+                       quant_bits: dict | None = None) -> None:
     atts = mesh.attributes
     num_points = len(atts[0].values) if atts else 0
     for a in atts:
@@ -49,7 +50,7 @@ def encode_point_cloud(mesh: Mesh, writer) -> None:
     leb128_write(num_points, writer)
     encode_sequential_attributes(
         [(a.att_type, a.unique_id, np.asarray(a.values)) for a in atts],
-        num_points, writer)
+        num_points, writer, quant_bits=quant_bits)
 
 
 def encode_sequential_attributes(atts, num_points: int, writer,
@@ -63,6 +64,12 @@ def encode_sequential_attributes(atts, num_points: int, writer,
         n_comp = vals.shape[1] if vals.ndim > 1 else 1
         vals = vals.reshape(num_points, n_comp)
         is_float = np.issubdtype(vals.dtype, np.floating)
+        if is_float and not np.isfinite(vals).all():
+            # same contract as the edgebreaker plane's _require_finite:
+            # NaN/inf would quantize into silent garbage
+            raise ValueError(
+                f"attribute {AttributeType(att_type).name} contains "
+                "non-finite values (NaN/inf); refusing to quantize")
         bits = DEFAULT_BITS.get(att_type, 11) if is_float else 0
         oct_normal = is_float and att_type == AttributeType.NORMAL \
             and n_comp == 3

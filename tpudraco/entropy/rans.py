@@ -368,104 +368,6 @@ def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
         dist[None, :], np.asarray([len(dist)]))[0])
 
 
-def normalize_freq_counts_batch(counts: np.ndarray,
-                                precisions: np.ndarray):
-    """Batched normalize_freq_counts over the rows of a (B, S) count
-    matrix with per-row precisions. Returns (dist (B, S) int64,
-    num_symbols (B,)): row i's table is dist[i, :num_symbols[i]].
-
-    Bit-identical to per-row normalize_freq_counts (pinned by tests); the
-    device batch encoder builds hundreds of per-mesh tables per dispatch,
-    where the per-row python call overhead dominates the actual math."""
-    counts = np.asarray(counts, dtype=np.int64)
-    B, S = counts.shape
-    precisions = np.broadcast_to(np.asarray(precisions, dtype=np.int64), (B,))
-    nz = counts > 0
-    if not nz.any(axis=1).all():
-        raise ValueError("cannot build rANS table from all-zero counts")
-    num_symbols = S - np.argmax(nz[:, ::-1], axis=1)  # last nonzero + 1
-    col = np.arange(S)
-    valid = col[None, :] < num_symbols[:, None]
-    f = np.where(valid, counts, 0)
-    total = f.sum(axis=1, dtype=np.int64).astype(np.float64)
-    rp = (np.int64(1) << precisions)
-    dist = np.floor(f.astype(np.float64) / total[:, None]
-                    * rp[:, None].astype(np.float64) + 0.5).astype(np.int64)
-    dist[(dist == 0) & (f > 0)] = 1
-    err = dist.sum(axis=1) - rp
-    if (err != 0).any():
-        # the scalar fixup targets entries by stable-ascending argsort of
-        # dist; padding sorts first under key -1, so the valid entries keep
-        # their relative (stable) order and occupy the tail
-        key = np.where(valid, dist, -1)
-        order = np.argsort(key, axis=1, kind="stable")
-        under = err < 0
-        if under.any():
-            dist[under, order[under, -1]] += -err[under]
-        over = err > 0
-        if over.any():
-            safe = err <= num_symbols  # one decrement per entry max
-            sel = over[:, None] & safe[:, None] & (
-                col[None, :] >= (S - np.maximum(err, 0))[:, None])
-            rows = np.broadcast_to(np.arange(B)[:, None], (B, S))
-            dist[rows[sel], order[sel]] -= 1
-            for b in np.flatnonzero(over & ~safe):  # pathological: scalar
-                d = normalize_freq_counts(counts[b, :num_symbols[b]],
-                                          int(precisions[b]))
-                dist[b] = 0
-                dist[b, :len(d)] = d
-    assert np.array_equal(dist.sum(axis=1), rp)
-    return dist, num_symbols
-
-
-def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
-    """Serialize a normalized frequency table (encode/entropy/rans.rs:194-230):
-    leb128 symbol count; per symbol one byte with a 2-bit token (0-2 = number
-    of extra bytes, 3 = zero-run with 6-bit offset).
-
-    Vectorized over zero runs + nonzero entries; byte-identical to the
-    reference's per-entry loop, including the >=65-zero-run quirk where the
-    reference writes ((64<<2)|3) truncated to u8 == 3 — i.e. long runs
-    degrade to single-zero tokens until <=64 zeros remain."""
-    dist = np.asarray(dist, dtype=np.int64)
-    num_symbols = len(dist)
-    leb128_write(num_symbols, writer)
-    if num_symbols == 0:
-        return
-    nz = np.flatnonzero(dist)
-    if len(nz) == 0 or nz[-1] != num_symbols - 1:
-        # the reference indexes dist[i+offset+1] past the end here (panic);
-        # normalized tables always end at their last nonzero frequency
-        raise ValueError("rANS table must end with a nonzero frequency")
-    freqs = dist[nz]
-    if int(freqs.max()) >= (1 << 22):
-        raise ValueError("frequency too large for table serialization")
-    extra = ((freqs >= (1 << 6)).astype(np.int64)
-             + (freqs >= (1 << 14)).astype(np.int64))
-    gap = np.diff(np.concatenate([[-1], nz])) - 1   # zeros before each entry
-    # a gap of L zeros costs max(L-64, 0) single-zero tokens + 1 run token
-    run_len = np.where(gap > 64, gap - 63, (gap > 0).astype(np.int64))
-    seg = run_len + 1 + extra
-    off = np.concatenate([[0], np.cumsum(seg)[:-1]])
-    out = np.zeros(int(seg.sum()), dtype=np.uint8)
-    if int(run_len.sum()):
-        starts = np.repeat(off, run_len)
-        intra = (np.arange(len(starts))
-                 - np.repeat(np.concatenate([[0], np.cumsum(run_len)[:-1]]),
-                             run_len))
-        out[starts + intra] = 3  # degraded single-zero tokens (the quirk)
-        has_run = gap > 0
-        tok = (((np.minimum(gap, 64) - 1) << 2) | 3) & 0xFF
-        out[(off + run_len - 1)[has_run]] = tok[has_run]
-    pos0 = off + run_len
-    out[pos0] = ((freqs << 2) | extra) & 0xFF
-    m1 = extra >= 1
-    out[pos0[m1] + 1] = (freqs[m1] >> 6) & 0xFF
-    m2 = extra == 2
-    out[pos0[m2] + 2] = (freqs[m2] >> 14) & 0xFF
-    writer.write_bytes(out.tobytes())
-
-
 def serialize_rans_tables_batch(dist: np.ndarray,
                                 num_symbols: np.ndarray) -> list[bytes]:
     """Batched serialize_rans_table over the rows of a (B, S) dist matrix

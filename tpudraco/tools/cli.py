@@ -150,7 +150,8 @@ def main(argv=None) -> int:
         cfg = _build_config(args) if any(
             v is not None for v in (args.qp, args.qt, args.qn,
                                     args.traversal, args.prediction,
-                                    args.compression_level)) \
+                                    args.compression_level, args.method,
+                                    args.sequential_method)) \
             or args.strict_draco else None
         DracoTranscoder(khr_ids=khr_ids, cfg=cfg).transcode_file(
             args.input, args.output)
@@ -176,9 +177,20 @@ def main(argv=None) -> int:
         if args.point_cloud and mesh.num_faces:
             import numpy as np
 
+            from tpudraco.models.attribute import Attribute
             from tpudraco.models.mesh import Mesh
+            # expand corner-domain attributes to per-point rows first:
+            # dropping connectivity orphans their unique-value layout
+            # (value rows would mispair with position rows)
+            expanded = [
+                Attribute(np.asarray(a.values_per_point()), a.att_type,
+                          a.domain, att_id=a.att_id, name=a.name,
+                          dedup=False)
+                for a in mesh.attributes]
+            for a, src in zip(expanded, mesh.attributes):
+                a.unique_id = src.unique_id
             mesh = Mesh(faces=np.zeros((0, 3), dtype=np.int64),
-                        attributes=mesh.attributes)
+                        attributes=expanded)
         rec = EvalRecorder() if args.eval_json else None
         try:
             blob = encode(mesh, cfg=cfg, recorder=rec)
