@@ -44,11 +44,17 @@ def mesh_content_key(mesh) -> str:
 
 def transcode_corpus(inputs: list[str], out_dir: str,
                      use_device: bool = True, resume: bool = True,
-                     khr_ids: str = "unique") -> dict:
+                     khr_ids: str = "unique", cfg=None) -> dict:
     """Transcode a corpus of glTF/GLB files to draco-compressed GLBs with
     the primitive encodes batched on the accelerator across ALL files
     (topology groups span the corpus; duplicate assets encode once).
+    ``cfg`` is an optional encoder Config applied to every primitive
+    (the reference's DracoTranscodingOptions.geometry); the device batch
+    computes default-config streams, so a non-None cfg routes every
+    primitive through the host encoder with those options instead.
     Returns a report dict."""
+    if cfg is not None:
+        use_device = False  # device batch blobs are default-config only
     from ..io.gltf import (iter_scene_primitives, load_gltf_to_scene,
                            save_scene_glb)
     from .batch import BatchEncoder, _drop_output_collisions
@@ -121,7 +127,7 @@ def transcode_corpus(inputs: list[str], out_dir: str,
             tmp = out_path + f".tmp{os.getpid()}"
             save_scene_glb(scenes[path], tmp,
                            encoder=encoder if use_device else None,
-                           khr_ids=khr_ids)
+                           khr_ids=khr_ids, cfg=cfg)
             os.replace(tmp, out_path)
             report["transcoded"] += 1
             report["total_in_bytes"] += os.path.getsize(path)

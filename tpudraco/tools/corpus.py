@@ -62,6 +62,21 @@ def main(argv=None) -> int:
                          "(bounded host RAM; default 256)")
     ap.add_argument("--fmt", default="obj", choices=("obj", "ply"),
                     help="decode output format")
+    ap.add_argument("--khr-ids", choices=("unique", "reference"),
+                    default="unique",
+                    help="transcode: KHR attribute-id mapping (see the "
+                         "single-file CLI)")
+    ap.add_argument("-cl", "--compression-level", type=int, default=None,
+                    choices=range(0, 11), metavar="N",
+                    help="transcode: compression preset for every "
+                         "primitive (disables the device batch, which "
+                         "computes default-config streams)")
+    ap.add_argument("-qp", type=int, default=None, metavar="BITS",
+                    help="transcode: position quantization bits")
+    ap.add_argument("-qt", type=int, default=None, metavar="BITS",
+                    help="transcode: texcoord quantization bits")
+    ap.add_argument("-qn", type=int, default=None, metavar="BITS",
+                    help="transcode: normal octahedral bits (5..16)")
     args = ap.parse_args(argv)
     resume = not args.no_resume
 
@@ -90,9 +105,23 @@ def main(argv=None) -> int:
     else:
         from ..parallel import transcode_corpus
         inputs = _expand(args.input, TRANSCODE_EXTS)
+        cfg = None
+        if any(v is not None for v in (args.qp, args.qt, args.qn,
+                                       args.compression_level)):
+            from ..encode import Config
+            from ..models import AttributeType
+            cfg = (Config.from_level(args.compression_level)
+                   if args.compression_level is not None else Config())
+            if args.qp is not None:
+                cfg.quant_bits[AttributeType.POSITION] = args.qp
+            if args.qt is not None:
+                cfg.quant_bits[AttributeType.TEX_COORD] = args.qt
+            if args.qn is not None:
+                cfg.quant_bits[AttributeType.NORMAL] = args.qn
         report = transcode_corpus(inputs, args.output,
                                   use_device=not args.host_only,
-                                  resume=resume)
+                                  resume=resume, khr_ids=args.khr_ids,
+                                  cfg=cfg)
 
     json.dump(report, sys.stdout, indent=1)
     sys.stdout.write("\n")
