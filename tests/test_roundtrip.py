@@ -688,7 +688,7 @@ def test_normal_quantization_bit_overrides():
         return mb.build()
 
     sizes, errors = {}, {}
-    for bits in (5, 8, 12):
+    for bits in (7, 8, 12):
         mesh = build()
         blob = encode(mesh, cfg=Config(
             quant_bits={AttributeType.NORMAL: bits}))
@@ -704,8 +704,8 @@ def test_normal_quantization_bit_overrides():
             errs.append(float(np.min(np.sum((src - v) ** 2, axis=1))))
         sizes[bits] = len(blob)
         errors[bits] = float(np.mean(errs))
-    assert sizes[5] < sizes[12]
-    assert errors[12] < errors[5]
+    assert sizes[7] < sizes[12]
+    assert errors[12] < errors[7]
     assert errors[12] < 1e-3
 
     # scalar twin: with vectorized predictions off, bytes must match

@@ -431,7 +431,7 @@ def _read_port_meta(reader, port_type: int, n: int) -> dict:
         return {"mins": mins, "delta_max": delta_max, "bits": bits}
     if port_type == PORT_OCTAHEDRAL:
         bits = reader.read_u8()
-        if not 5 <= bits <= 16:  # mirror the encoder's accepted range
+        if not 7 <= bits <= 16:  # mirror the encoder's accepted range
             raise DecodeError(f"invalid octahedral bits {bits}")
         return {"bits": bits}
     if port_type == PORT_TO_BITS:

@@ -37,7 +37,7 @@ def decode_sequential_attributes(reader, num_points: int) -> list:
         if bits and att_type == AttributeType.NORMAL and n_comp == 3:
             # octahedral normals (2 coords, no mins/delta metadata)
             from ..shared.octahedral import octahedral_inverse_transform
-            if not 5 <= bits <= 16:
+            if not 7 <= bits <= 16:
                 raise DecodeError(f"invalid octahedral bits {bits}")
             q = decode_symbols(num_points * 2, 2, reader)
             q = q.astype(np.float32).reshape(num_points, 2)

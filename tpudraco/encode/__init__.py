@@ -34,7 +34,7 @@ class Config:
     # shared/connectivity/edgebreaker/mod.rs:20-53)
     traversal: int = 0
     # per-AttributeType quantization bit overrides (draco_encoder's
-    # -qp/-qt/-qn; octahedral normals accept 5..16 bits, default 8)
+    # -qp/-qt/-qn; octahedral normals accept 7..16 bits, default 8)
     quant_bits: dict = field(default_factory=dict)
     # attribute residual symbol coding: "direct" (reference-faithful),
     # "length", or "auto" (LengthCoded for wide alphabets)

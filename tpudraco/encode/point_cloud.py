@@ -76,9 +76,9 @@ def encode_sequential_attributes(atts, num_points: int, writer,
         if is_float and quant_bits and att_type in quant_bits:
             bits = int(quant_bits[att_type])
             if oct_normal:
-                if not 5 <= bits <= 16:
+                if not 7 <= bits <= 16:
                     raise ValueError(
-                        "octahedral normal bits must be in 5..16")
+                        "octahedral normal bits must be in 7..16")
             elif not 1 <= bits <= 30:
                 raise ValueError(f"invalid quantization bits {bits}")
         writer.write_u8(int(att_type))

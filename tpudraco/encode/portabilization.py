@@ -37,16 +37,20 @@ def default_portabilization_for(att_type: AttributeType,
     if quant_bits and att_type in quant_bits:
         bits = int(quant_bits[att_type])
         if att_type == AttributeType.NORMAL:
-            if not 5 <= bits <= 16:
+            if not 7 <= bits <= 16:
                 # oct coords and the OctOrthogonal mod-max arithmetic stay
                 # in int32 through 16 bits; the reference hardcodes 8
                 # (max=255) but the wire carries max/center, so other
                 # depths remain self-describing (draco_encoder's -qn).
-                # Depths below 5 are REJECTED: the diamond-inversion
-                # boundary ambiguity on a tiny code square loses
-                # information at encode time (round-trip verified clean
-                # for every depth 5..16, corrupt at 2..4)
-                raise ValueError("octahedral normal bits must be in 5..16")
+                # Depths below 7 are REJECTED: the wire's mod-max residual
+                # (a reference-inherited 2^bits-value domain over a
+                # (2^bits - 1)-modulus) loses information when |corr|
+                # approaches the modulus — the per-vertex flip bits keep
+                # predictions in the near hemisphere so real meshes never
+                # get close at >= 7 bits, but at tiny depths ring
+                # predictions reach the boundary (exhaustive pair checks
+                # + 900-trial mesh sweeps: corrupt at <= 6, clean at 7+)
+                raise ValueError("octahedral normal bits must be in 7..16")
         elif not 1 <= bits <= 30:
             raise ValueError(f"invalid quantization bits {bits} for "
                              f"{att_type.name}")

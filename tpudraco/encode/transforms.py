@@ -69,7 +69,15 @@ class OctOrthogonalTransform:
     """Octahedral orthogonal residual for oct-quantized normals
     (oct_orthogonal.rs:23-85). Metadata: u32 max, u32 center — the
     reference hardcodes 8-bit (255/127); other depths use the same
-    self-describing wire fields."""
+    self-describing wire fields.
+
+    Wire caveat (reference-inherited): the residual is taken mod max
+    over a (max+1)-value faithful-code domain, so (orig, pred) pairs
+    with |corr| at the modulus boundary are irrecoverably ambiguous —
+    the reference's own (never-shipped) decoder could not have noticed.
+    The per-vertex flip bits keep predictions in the near hemisphere,
+    which keeps |corr| far from the boundary on real meshes at >= 7
+    bits; the encoder rejects smaller depths (portabilization.py)."""
     xform_id = XFORM_OCT_ORTHOGONAL
 
     def __init__(self, bits: int = 8) -> None:

@@ -126,7 +126,7 @@ def main(argv=None) -> int:
     p.add_argument("-qt", type=int, default=None, metavar="BITS",
                    help="texcoord quantization bits (default 10)")
     p.add_argument("-qn", type=int, default=None, metavar="BITS",
-                   help="normal octahedral quantization bits, 5..16 "
+                   help="normal octahedral quantization bits, 7..16 "
                         "(default 8 — the only depth the reference "
                         "emits; the wire carries max/center, so other "
                         "depths stay self-describing)")

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     ap.add_argument("-qt", type=int, default=None, metavar="BITS",
                     help="transcode: texcoord quantization bits")
     ap.add_argument("-qn", type=int, default=None, metavar="BITS",
-                    help="transcode: normal octahedral bits (5..16)")
+                    help="transcode: normal octahedral bits (7..16)")
     args = ap.parse_args(argv)
     resume = not args.no_resume
 
