@@ -354,9 +354,53 @@ def bench_decode(positions, gathers):
                    host_msym)
 
 
+def bench_huge(n: int = 1024, chunk: int = 1 << 16):
+    """Single huge mesh (n x n grid, ~n^2 verts) through the O(chunk)
+    streaming device encode vs the host topology-cached encoder,
+    interleaved for a same-window ratio. Topology preparation is shared
+    and untimed (cached once per topology in production)."""
+    from tpudraco.models import (AttributeDomain, AttributeType,
+                                 MeshBuilder)
+    from tpudraco.parallel import BatchEncoder
+
+    rng = np.random.RandomState(3)
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32) * 4], axis=1)
+    # vectorized grid faces (a python loop takes minutes at 2M faces)
+    a = (np.arange(n - 1)[:, None] * n + np.arange(n - 1)[None, :]).ravel()
+    f1 = np.stack([a, a + 1, a + n], axis=1)
+    f2 = np.stack([a + 1, a + n + 1, a + n], axis=1)
+    faces = np.concatenate([f1, f2]).astype(np.int64)
+    mb = MeshBuilder()
+    mb.set_connectivity_attribute(faces)
+    mb.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = mb.build()
+
+    enc = BatchEncoder()
+    blob_h = enc.encode_mesh(mesh)        # warms topology + host path
+    blob_d = enc.encode_mesh_device_chunked(mesh, chunk=chunk)  # compiles
+    assert blob_d == blob_h, "chunked bytes diverge from host encode()"
+
+    best_d, best_h = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        enc.encode_mesh_device_chunked(mesh, chunk=chunk)
+        best_d = min(best_d, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        enc.encode_mesh(mesh)
+        best_h = min(best_h, time.perf_counter() - t0)
+    mbps = pos.nbytes / best_d / 1e6
+    host_mbps = pos.nbytes / best_h / 1e6
+    return _result("device_huge_mesh_chunked_throughput", mbps, "MB/s",
+                   host_mbps)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", choices=("e2e", "step", "decode", "all"),
+    ap.add_argument("--metric",
+                    choices=("e2e", "step", "decode", "huge", "all"),
                     default="e2e")
     ap.add_argument("--breakdown", action="store_true",
                     help="print the per-stage e2e wall decomposition")
@@ -372,6 +416,8 @@ def main():
         print(json.dumps(bench_step(positions, gn, gathers)))
     if args.metric in ("decode", "all"):
         print(json.dumps(bench_decode(positions, gathers)))
+    if args.metric in ("huge", "all"):
+        print(json.dumps(bench_huge()))
 
 
 if __name__ == "__main__":

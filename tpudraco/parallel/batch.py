@@ -483,11 +483,14 @@ class BatchEncoder:
                 yield jnp.asarray(rows)
 
         # pass 1: global min/max (exact reduces; float32 throughout,
-        # matching quantize_kernel's zero-seeded range semantics)
+        # matching quantize_kernel's zero-seeded range semantics).
+        # DISPATCH every chunk before the first readback: the tunnel
+        # charges ~31 ms latency per sync, so per-chunk syncs would
+        # serialize latency x chunk count (the per-chunk results are tiny)
         mins = np.full(N, np.inf, np.float32)
         maxs = np.full(N, -np.inf, np.float32)
-        for rows in vertex_chunks():
-            mn, mx = minmax_chunk_kernel(rows)
+        jobs = [minmax_chunk_kernel(rows) for rows in vertex_chunks()]
+        for mn, mx in jobs:
             mins = np.minimum(mins, np.asarray(mn))
             maxs = np.maximum(maxs, np.asarray(mx))
         mins = np.minimum(mins, np.float32(0)).astype(np.float32)
@@ -496,10 +499,11 @@ class BatchEncoder:
         jmins = jnp.asarray(mins)
         jdelta = jnp.asarray(delta_max)
 
-        # pass 2: global residual (quantized-value) range
+        # pass 2: global residual (quantized-value) range, dispatch-ahead
         vmin, vmax = np.iinfo(np.int32).max, np.iinfo(np.int32).min
-        for rows in vertex_chunks():
-            lo, hi = quantized_range_chunk_kernel(rows, jmins, jdelta, bits)
+        jobs = [quantized_range_chunk_kernel(rows, jmins, jdelta, bits)
+                for rows in vertex_chunks()]
+        for lo, hi in jobs:
             vmin = min(vmin, int(lo))
             vmax = max(vmax, int(hi))
 
@@ -511,6 +515,7 @@ class BatchEncoder:
         opp, fb = g["opp"], g["fallback"]
         can_para = np.asarray(g["can_para"], bool)
         has_fb = np.asarray(g["has_fallback"], bool)
+        pending = None
         for t0 in range(0, T, chunk):
             t1 = min(t0 + chunk, T)
             n_valid = t1 - t0
@@ -530,13 +535,22 @@ class BatchEncoder:
 
             active = np.zeros(chunk, bool)
             active[:n_valid] = True
-            sym, cnt = encode_step_chunk(
+            cur = encode_step_chunk(
                 rows_of(order), rows_of(nxt), rows_of(prv), rows_of(opp),
                 rows_of(fb), mask_of(can_para), mask_of(has_fb),
                 jnp.asarray(active), jmins, jdelta, vmin, vmax,
                 bits=bits, hist_bins=hist_bins)
+            # consume the PREVIOUS chunk while this one computes
+            # (double-buffered dispatch; ~31 ms sync latency per chunk)
+            if pending is not None:
+                sym, cnt, nv = pending
+                counts += np.asarray(cnt, dtype=np.int64)
+                sym_parts.append(np.asarray(sym)[:nv])
+            pending = (*cur, n_valid)
+        if pending is not None:
+            sym, cnt, nv = pending
             counts += np.asarray(cnt, dtype=np.int64)
-            sym_parts.append(np.asarray(sym)[:n_valid])
+            sym_parts.append(np.asarray(sym)[:nv])
 
         symbols = (np.concatenate(sym_parts) if sym_parts
                    else np.zeros((0, N), np.uint32))
