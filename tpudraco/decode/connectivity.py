@@ -16,7 +16,7 @@ import numpy as np
 
 from ..entropy.rans import RabsDecoder
 from ..entropy.symbol_coding import decode_symbols
-from ..models.corner_table import NONE, next_corner, prev_corner
+from ..models.corner_table import NONE, next_corner
 from ..shared.clers import EB_STANDARD, EB_VALENCE, ORIENTATION_RIGHT, crlight_decode
 from ..shared.spirale import (
     NUM_VALENCE_CONTEXTS, DecodedCornerTable, DecodeError,
