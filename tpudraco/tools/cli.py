@@ -34,6 +34,10 @@ def _build_config(args):
         quant_bits[AttributeType.TEX_COORD] = args.qt
     if args.qn is not None:
         quant_bits[AttributeType.NORMAL] = args.qn
+    if args.qg is not None:
+        for t in (AttributeType.COLOR, AttributeType.TANGENT,
+                  AttributeType.WEIGHT):
+            quant_bits[t] = args.qg
     if args.compression_level is not None:
         cfg = Config.from_level(args.compression_level)
         cfg.quant_bits = quant_bits
@@ -130,6 +134,10 @@ def main(argv=None) -> int:
                         "(default 8 — the only depth the reference "
                         "emits; the wire carries max/center, so other "
                         "depths stay self-describing)")
+    p.add_argument("-qg", type=int, default=None, metavar="BITS",
+                   help="generic float attribute quantization bits "
+                        "(COLOR/TANGENT/WEIGHT; draco_encoder's -qg; "
+                        "default 11)")
     p.add_argument("--point-cloud", action="store_true",
                    help="encode as a point cloud (drop connectivity; "
                         "draco_encoder's -point_cloud). Face-less inputs "
@@ -148,7 +156,7 @@ def main(argv=None) -> int:
         # per-primitive compression options (the reference's
         # DracoTranscodingOptions.geometry, transcoder.rs:22-41)
         cfg = _build_config(args) if any(
-            v is not None for v in (args.qp, args.qt, args.qn,
+            v is not None for v in (args.qp, args.qt, args.qn, args.qg,
                                     args.traversal, args.prediction,
                                     args.compression_level, args.method,
                                     args.sequential_method)) \
