@@ -129,6 +129,35 @@ def test_encode_direct_coded_streams_device_bit_exact():
         assert got[i] == w.getvalue(), f"stream {i}"
 
 
+def test_group_entropy_pipelined_chunks_bit_exact(monkeypatch):
+    """The lane-chunked pipelined group encoder (scan dispatch-ahead +
+    overlapped readbacks) must produce payloads byte-identical to host
+    encode_symbols AND to the one-shot (unchunked) device path."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(7)
+    B, T, C = 16, 40, 3
+    # skewed residual-like symbols so per-lane tables differ
+    syms = (rng.integers(0, 9, size=(B, T, C)) ** 2).astype(np.int32)
+    bins = 128
+    counts = np.stack([np.bincount(s.ravel(), minlength=bins)
+                       for s in syms]).astype(np.int32)
+
+    one_shot = rans_lanes.encode_group_entropy_device(
+        jnp.asarray(syms), jnp.asarray(counts))
+    monkeypatch.setattr(rans_lanes, "LANE_CHUNK", 4)  # forces 4 chunks
+    chunked = rans_lanes.encode_group_entropy_device(
+        jnp.asarray(syms), jnp.asarray(counts))
+    assert chunked == one_shot
+    for i in range(B):
+        w = ByteWriter()
+        encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                       DIRECT_CODED, w)
+        assert chunked[i] == w.getvalue(), f"lane {i}"
+
+
 def test_word_packed_scan_matches_dense(monkeypatch):
     """Fast-path/twin invariant for the entropy scan: the word-packed
     emission path (_rans_scan_lanes_words, default) and the dense

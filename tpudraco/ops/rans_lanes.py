@@ -28,6 +28,8 @@ MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 mar
 # only on (rare) overflow
 _WORD_BUCKET: dict = {}
 _HIST_BUCKET: dict = {}
+LANE_CHUNK = 128  # pipelined group encode: lanes per scan chunk (chunk
+#                   k's readback overlaps chunk k+1's device compute)
 SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       batching K sequential symbols per step cuts the
 #                       iteration count 8x (the recurrence itself is
@@ -255,6 +257,21 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     return jnp.concatenate([meta, compacted], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "ch"))
+def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
+                      precision: int, ch: int):
+    """Word scan over a CONTIGUOUS lane chunk [c0, c0+ch) of a resident
+    (L, T) symbol matrix. The chunk start is a traced scalar so every
+    chunk of a batch reuses ONE compiled program; the chunk width is
+    static. Used by the pipelined group encoder: chunk k+1's scan is
+    queued on the device while chunk k's payload readback rides the link
+    (the tunnel readback otherwise serializes behind the whole batch's
+    scan — BASELINE.md round-3 breakdown)."""
+    sym = jax.lax.dynamic_slice_in_dim(symbols, c0, ch, axis=0)
+    return _rans_scan_lanes_words.__wrapped__(
+        sym, freqs, cums, lengths, precision=precision)
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
 def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
                                    precision: int, mesh_axis):
@@ -345,51 +362,102 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
                 precision=precision)
-        if _timings is not None:
-            np.asarray(_slice_cols(combined, 1))  # forced tiny sync
-            _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
-                + _time.perf_counter() - t0
-            t0 = _time.perf_counter()
-        dev_cap = int(combined.shape[1]) - 5
-        key = (L, T, precision)
-        bucket = min(dev_cap, _WORD_BUCKET.get(key, max(256, T // 4)))
-        while True:
-            got = np.asarray(_slice_cols(combined, 5 + bucket)
-                             if bucket < dev_cap else combined)
-            nwords = got[:, 0].astype(np.int64)
-            max_w = int(nwords.max()) if L else 0
-            if max_w <= bucket or bucket >= dev_cap:
-                break
-            bucket = min(dev_cap, -(-max_w // 256) * 256)
-        _WORD_BUCKET[key] = min(dev_cap, -(-max(max_w, 1) // 256) * 256
-                                + 256)
-        naccs = got[:, 1].astype(np.int64)
-        partial = got[:, 2].astype(np.uint64)
-        packed = got[:, 3]
-        nflush = got[:, 4]
-        counts = 4 * nwords + naccs
-        buffers = np.zeros((L, cap), dtype=np.uint8)
-        nb4 = min((got.shape[1] - 5) * 4, cap)
-        # uint32 rows viewed little-endian ARE the byte streams
-        buffers[:, :nb4] = np.ascontiguousarray(
-            got[:, 5:]).view(np.uint8)[:, :nb4]
-        # partial-word tail: up to 3 bytes at columns 4*nwords + i
-        p_idx = np.arange(3, dtype=np.int64)[None, :]
-        pmask = p_idx < naccs[:, None]
-        prow = np.repeat(np.arange(L, dtype=np.int64)[:, None], 3, axis=1)
-        pcol = 4 * nwords[:, None] + p_idx
-        pval = ((partial[:, None] >> (8 * p_idx).astype(np.uint64))
-                & np.uint64(0xFF)).astype(np.uint8)
-        buffers[prow[pmask], pcol[pmask]] = pval[pmask]
+        buffers, counts, packed, nflush = _collect_words(
+            combined, L, T, precision, _timings=_timings, _t0=t0)
 
     packed = np.asarray(packed).astype(np.uint64)
     nflush = np.asarray(nflush).astype(np.int64)
+    nbytes = _append_flush(buffers, counts, packed, nflush)
+    return buffers, nbytes
+
+
+def _dispatch_words_readback(combined, L: int, T: int, precision: int,
+                             want_tiny: bool = False):
+    """Queue the readback slice ops for a word-scan output IMMEDIATELY
+    after its scan in the device stream. The tunnel executes strictly in
+    dispatch order but CAN overlap a D2H transfer with later queued
+    compute (benchmarks/probe_overlap.py, scenario C) — so the pipelined
+    group encoder dispatches scan0, slice0, scan1, slice1, ... and then
+    collects: chunk k's transfer rides the link while chunk k+1's scan
+    computes. A slice dispatched at collect time instead would queue
+    BEHIND every later scan (scenario B) and serialize the pipeline."""
+    dev_cap = int(combined.shape[1]) - 5
+    key = (L, T, precision)
+    bucket = min(dev_cap, _WORD_BUCKET.get(key, max(256, T // 4)))
+    sliced = (_slice_cols(combined, 5 + bucket) if bucket < dev_cap
+              else combined)
+    tiny = _slice_cols(combined, 1) if want_tiny else None
+    return (sliced, bucket, tiny)
+
+
+def _collect_words(combined, L: int, T: int, precision: int,
+                   _timings: dict | None = None, _t0: float | None = None,
+                   _pre=None):
+    """Readback + host unpack of one word-scan output: adaptive-bucket
+    occupied-prefix transfer, then the uint32 word rows viewed
+    little-endian become the byte streams. Returns (buffers (L, 2T+8)
+    uint8 WITHOUT the flush bytes, counts, packed flush states, flush
+    byte counts). ``_pre`` carries slice ops dispatched right after the
+    scan (see _dispatch_words_readback)."""
+    import time as _time
+
+    if _pre is None:
+        _pre = _dispatch_words_readback(combined, L, T, precision,
+                                        want_tiny=_timings is not None)
+    sliced, bucket, tiny = _pre
+    if _timings is not None:
+        if _t0 is None:
+            _t0 = _time.perf_counter()
+        if tiny is None:
+            tiny = _slice_cols(combined, 1)
+        np.asarray(tiny)  # forced tiny sync
+        _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
+            + _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
+    cap = 2 * T + 8
+    dev_cap = int(combined.shape[1]) - 5
+    key = (L, T, precision)
+    while True:
+        got = np.asarray(sliced)
+        nwords = got[:, 0].astype(np.int64)
+        max_w = int(nwords.max()) if L else 0
+        if max_w <= bucket or bucket >= dev_cap:
+            break
+        bucket = min(dev_cap, -(-max_w // 256) * 256)
+        sliced = (_slice_cols(combined, 5 + bucket) if bucket < dev_cap
+                  else combined)
+    _WORD_BUCKET[key] = min(dev_cap, -(-max(max_w, 1) // 256) * 256
+                            + 256)
+    naccs = got[:, 1].astype(np.int64)
+    partial = got[:, 2].astype(np.uint64)
+    packed = got[:, 3]
+    nflush = got[:, 4]
+    counts = 4 * nwords + naccs
+    buffers = np.zeros((L, cap), dtype=np.uint8)
+    nb4 = min((got.shape[1] - 5) * 4, cap)
+    # uint32 rows viewed little-endian ARE the byte streams
+    buffers[:, :nb4] = np.ascontiguousarray(
+        got[:, 5:]).view(np.uint8)[:, :nb4]
+    # partial-word tail: up to 3 bytes at columns 4*nwords + i
+    p_idx = np.arange(3, dtype=np.int64)[None, :]
+    pmask = p_idx < naccs[:, None]
+    prow = np.repeat(np.arange(L, dtype=np.int64)[:, None], 3, axis=1)
+    pcol = 4 * nwords[:, None] + p_idx
+    pval = ((partial[:, None] >> (8 * p_idx).astype(np.uint64))
+            & np.uint64(0xFF)).astype(np.uint8)
+    buffers[prow[pmask], pcol[pmask]] = pval[pmask]
     if _timings is not None:
         _timings["bytes_readback"] = _timings.get("bytes_readback", 0.0) \
-            + _time.perf_counter() - t0
+            + _time.perf_counter() - _t0
         _timings["bytes_mb"] = _timings.get("bytes_mb", 0.0) \
             + got.nbytes / 1e6
-    # vectorized flush append: up to 4 state bytes per lane
+    return buffers, counts, packed, nflush
+
+
+def _append_flush(buffers, counts, packed, nflush):
+    """Vectorized flush append (up to 4 state bytes per lane) into the
+    unpacked stream buffers; returns per-lane byte counts."""
+    L = buffers.shape[0]
     b_idx = np.arange(4, dtype=np.int64)[None, :]
     mask = b_idx < nflush[:, None]
     rows = np.repeat(np.arange(L, dtype=np.int64)[:, None], 4, axis=1)
@@ -397,8 +465,7 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     vals = ((packed[:, None] >> (8 * b_idx).astype(np.uint64))
             & np.uint64(0xFF)).astype(np.uint8)
     buffers[rows[mask], cols[mask]] = vals[mask]
-    nbytes = (counts + nflush).astype(np.int32)
-    return buffers, nbytes
+    return (counts + nflush).astype(np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "max_T"))
@@ -831,6 +898,38 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
         # single-precision groups (the common case) run as one device call
         # over ALL lanes; mixed groups mask out foreign lanes via length 0
         lengths = np.where(in_group, n_sym, 0).astype(np.int32)
+        ch = LANE_CHUNK
+        if mesh_axis is None and B % ch == 0 and B >= 2 * ch:
+            # pipelined lane chunks: queue every chunk's scan on the
+            # device FIRST (one compiled program — the chunk start is a
+            # traced scalar), then read back in order, so chunk k's
+            # payload readback rides the link while chunk k+1 computes.
+            # Lanes are independent rANS streams: bytes are identical to
+            # the one-shot scan (byte oracle in tests).
+            jobs = []
+            for c0 in range(0, B, ch):
+                combined = _words_scan_chunk(
+                    lanes_dev, np.int32(c0),
+                    jnp.asarray(freqs[c0:c0 + ch]),
+                    jnp.asarray(cums[c0:c0 + ch]),
+                    jnp.asarray(lengths[c0:c0 + ch]),
+                    precision=int(prec), ch=ch)
+                # readback slices dispatch NOW so they sit between scans
+                # in the in-order stream (probe_overlap.py scenario C)
+                pre = _dispatch_words_readback(
+                    combined, ch, n_sym, int(prec),
+                    want_tiny=_timings is not None)
+                jobs.append((c0, combined, pre))
+            for c0, combined, pre in jobs:
+                bufs, cnts, packed, nflush = _collect_words(
+                    combined, ch, n_sym, int(prec), _timings=_timings,
+                    _pre=pre)
+                nbytes = _append_flush(bufs, cnts,
+                                       packed.astype(np.uint64),
+                                       nflush.astype(np.int64))
+                for k in np.flatnonzero(in_group[c0:c0 + ch]):
+                    blobs[c0 + k] = bufs[k, :nbytes[k]].tobytes()
+            continue
         bufs, nbytes = rans_encode_lanes(
             lanes_dev, jnp.asarray(freqs), jnp.asarray(cums),
             jnp.asarray(lengths), precision=int(prec),
