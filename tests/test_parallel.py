@@ -575,6 +575,43 @@ def test_device_batch_encode_normals_bit_exact(monkeypatch):
     assert 2 in entries[0]  # texcoord attribute index 2
 
 
+def test_device_batch_quant_depth_overrides_bit_exact(monkeypatch):
+    """Every device chain honors -qp/-qn/-qt depths: batch bytes with
+    (bits=12, normal_bits=10, uv_bits=12) must equal sequential host
+    encode() under the same Config — positions, the ring-sum normal
+    chain at a non-default octahedral depth, and the UV chain all
+    included (no host fallback allowed)."""
+    from tpudraco.decode import decode
+    from tpudraco.encode import Config
+
+    meshes = [_grid_mesh_with_normals(7, s) for s in range(3)]
+    cfg = Config(quant_bits={AttributeType.POSITION: 12,
+                             AttributeType.NORMAL: 10,
+                             AttributeType.TEX_COORD: 12})
+    be = BatchEncoder(strict_device=True)
+
+    def no_fallback(self, mesh, cfg=None):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes, bits=12, normal_bits=10,
+                                  uv_bits=12)
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m, cfg=cfg)
+        assert decode(blob).num_faces == m.num_faces
+
+    # the device normal/UV entries really computed at those depths
+    import tpudraco.parallel.batch as bm
+    topo = be._topo_cache[topology_signature(meshes[0])]
+    entries = bm._device_extra_attribute_entries(
+        meshes, [0, 1, 2], topo, bits=12, chunk=4, normal_bits=10,
+        uv_bits=12)
+    assert 1 in entries[0] and 2 in entries[0]
+    # out-of-range normal depth routes normals to host (entry absent)
+    entries6 = bm._device_extra_attribute_entries(
+        meshes, [0, 1, 2], topo, bits=12, chunk=4, normal_bits=6)
+    assert 1 not in entries6.get(0, {})
+
+
 @needs_ref
 def test_device_batch_encode_fixtures_bit_exact(monkeypatch):
     """Device batch over the reference OBJ fixtures — boundaries
@@ -675,6 +712,49 @@ def test_transcode_corpus_device_matches_per_file(tmp_path):
     # resume skips everything
     rep2 = transcode_corpus(inputs, out, use_device=True)
     assert rep2["skipped"] == 3 and rep2["transcoded"] == 0
+
+
+@needs_ref
+def test_transcode_corpus_quant_cfg_stays_on_device(tmp_path):
+    """A quantization-only Config (-qp/-qn/-qt) keeps the device batch
+    (the chains honor the depths); bytes must equal the per-file host
+    transcoder under the same cfg. A cfg beyond the device config space
+    (-cl preset changing symbol coding etc.) falls back to host and
+    STILL matches."""
+    import shutil
+
+    from tpudraco.encode import Config
+    from tpudraco.io import DracoTranscoder
+    from tpudraco.parallel import transcode_corpus
+    from tpudraco.parallel.batch import _device_quant_bits
+
+    cfg = Config(quant_bits={AttributeType.POSITION: 12,
+                             AttributeType.TEX_COORD: 11})
+    assert _device_quant_bits(cfg) == {"bits": 12, "normal_bits": 8,
+                                       "uv_bits": 11}
+    assert _device_quant_bits(Config(symbol_coding="length")) is None
+    assert _device_quant_bits(None) == {"bits": 11, "normal_bits": 8,
+                                        "uv_bits": 10}
+
+    duck = os.path.join(REF_DATA, "Duck", "Duck.glb")
+    inputs = []
+    for i in range(2):
+        p = str(tmp_path / f"duck{i}.glb")
+        shutil.copy(duck, p)
+        inputs.append(p)
+    out = str(tmp_path / "out")
+    rep = transcode_corpus(inputs, out, use_device=True,
+                           cfg=Config(quant_bits=dict(cfg.quant_bits)))
+    assert rep["transcoded"] == 2
+    assert rep.get("device_fallback_groups") == 0
+    assert rep.get("encoder_hook_misses") == 0
+
+    ref_out = str(tmp_path / "ref.glb")
+    DracoTranscoder(cfg=cfg).transcode_file(inputs[0], ref_out)
+    want = open(ref_out, "rb").read()
+    for i in range(2):
+        got = open(os.path.join(out, f"duck{i}.glb"), "rb").read()
+        assert got == want
 
 
 def test_device_batch_random_topology_fuzz(monkeypatch):

@@ -118,6 +118,17 @@ def test_corpus_cli(tmp_path):
         with open(os.path.join(t_out, "transcode_report.json")) as f:
             assert json.load(f)["transcoded"] == 1
 
+    # -qp applies to the encode command too, host and device planes
+    # producing identical non-default-depth streams
+    from tpudraco.encode import Config, encode
+    want = encode(mesh, cfg=Config(
+        quant_bits={AttributeType.POSITION: 13}))
+    for extra in ([], ["--device"]):
+        qp_out = str(tmp_path / ("qp" + str(len(extra))))
+        assert corpus_main(["encode", "-i", str(src), "-o", qp_out,
+                            "-qp", "13"] + extra) == 0
+        assert open(os.path.join(qp_out, "m0.drc"), "rb").read() == want
+
 
 def test_corpus_cli_ply_and_collisions(tmp_path):
     """Self-review r3 regressions: .ply inputs encode via the dispatched

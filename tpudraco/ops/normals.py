@@ -64,12 +64,15 @@ def oct_transform_device(v: jnp.ndarray) -> jnp.ndarray:
                       jnp.where(neg, v_out, w)], axis=-1)
 
 
-def into_faithful_device(q: jnp.ndarray) -> jnp.ndarray:
-    """Edge fixups on quantized (..., 2) int oct coords (geom.rs:139-157,
-    hardcoded 8-bit max=255 as in the reference)."""
+def into_faithful_device(q: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
+    """Edge fixups on quantized (..., 2) int oct coords (geom.rs:139-157;
+    the reference hardcodes 8-bit max=255 — the formulas generalize to
+    max = 2^bits - 1 exactly as the host twin,
+    shared/octahedral.py into_faithful_oct_quantization)."""
     q = q.astype(jnp.int32)
     u, v = q[..., 0], q[..., 1]
-    mx, half = 255, 127
+    mx = (1 << bits) - 1
+    half = mx // 2
     x, y = u, v
     corner = (((u == 0) & (v == 0)) | ((u == mx) & (v == 0))
               | ((u == 0) & (v == mx)))
@@ -93,6 +96,13 @@ def oct_quantize_device(vals: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
     scale = jnp.float32((1 << (bits - 1)) - 1)
     # mul is exactly rounded; truncation toward zero matches the host
     return (oct * scale).astype(jnp.int32)
+
+
+def oct_quantize_faithful_device(vals: jnp.ndarray,
+                                 bits: int = 8) -> jnp.ndarray:
+    """oct_quantize_device + faithful fixups at a matching depth
+    (shared/octahedral.py oct_quantize_normals)."""
+    return into_faithful_device(oct_quantize_device(vals, bits), bits)
 
 
 def invert_diamond_device(v: jnp.ndarray, center: int = 127) -> jnp.ndarray:
@@ -131,6 +141,9 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     normals:  (B, Vn, 3) float32 normal values (unique values)
     tip_pt/next_pt/prev_pt/mask: ring precompute (collect_normal_rings)
     uo_point_pos / uo_point_nrm: (P,) point -> unique-value index maps
+    bits: octahedral depth (-qn, 7..16); every stage — quantization,
+          prediction, faithful fixups, squeeze — runs at this depth,
+          matching the host chain with Config.quant_bits[NORMAL]=bits.
 
     Returns (symbols (B, T, 2) int32, flips (B, T) bool).
     """
@@ -161,13 +174,13 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     safe_total = jnp.where(nonzero[..., None], total,
                            jnp.array([1, 0, 0], jnp.int32))
     oct = oct_transform_device(safe_total) + jnp.float32(1.0)
-    quant = (oct * jnp.float32((1 << 7) - 1)).astype(jnp.int32)
-    pred = into_faithful_device(quant)
+    quant = (oct * jnp.float32((1 << (bits - 1)) - 1)).astype(jnp.int32)
+    pred = into_faithful_device(quant, bits)
     pred = jnp.where(nonzero[..., None], pred, 0)       # (B, T, 2)
 
     # orig values: oct-quantize the normals, faithful fixups, traversal
     # gather (portabilization + per_point[pts] in the host path)
-    q_n = into_faithful_device(oct_quantize_device(normals, bits))
+    q_n = into_faithful_device(oct_quantize_device(normals, bits), bits)
     orig = q_n[:, uo_point_nrm[tip_pt], :]              # (B, T, 2)
 
     # flip selection (mesh_normal_prediction.rs:133-143)
@@ -177,12 +190,13 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     pred = jnp.where(flips[..., None], -pred, pred)
 
     # OctahedralOrthogonal squeeze (encode/transforms.py)
-    one = 255 // 2
+    mx = (1 << bits) - 1
+    one = mx // 2
     o = orig - one
     p = pred - one
     flip = jnp.abs(p).sum(-1) > one
-    p = jnp.where(flip[..., None], invert_diamond_device(p), p)
-    o = jnp.where(flip[..., None], invert_diamond_device(o), o)
+    p = jnp.where(flip[..., None], invert_diamond_device(p, one), p)
+    o = jnp.where(flip[..., None], invert_diamond_device(o, one), o)
     nonzero_p = (p != 0).any(-1)
     for _ in range(4):
         todo = nonzero_p & ((p[..., 0] >= 0) | (p[..., 1] > 0))
@@ -191,5 +205,5 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
         p = jnp.where(todo[..., None], rp, p)
         o = jnp.where(todo[..., None], ro, o)
     corr = o - p
-    corr = jnp.where(corr < 0, corr + 255, corr)
+    corr = jnp.where(corr < 0, corr + mx, corr)
     return corr.astype(jnp.int32), flips

@@ -94,6 +94,26 @@ def topology_signature(mesh: Mesh) -> str:
     return h.hexdigest()
 
 
+def _device_quant_bits(cfg: Config | None) -> dict | None:
+    """encode_meshes_device depth kwargs iff ``cfg`` differs from the
+    default Config ONLY in POSITION/NORMAL/TEX_COORD quantization depths
+    (the config space the device chains cover bit-exactly); None
+    otherwise. A None cfg is the default config."""
+    import dataclasses
+
+    if cfg is None:
+        return {"bits": 11, "normal_bits": 8, "uv_bits": 10}
+    allowed = {AttributeType.POSITION, AttributeType.NORMAL,
+               AttributeType.TEX_COORD}
+    if set(cfg.quant_bits) - allowed:
+        return None
+    if dataclasses.replace(cfg, quant_bits={}) != Config():
+        return None
+    return {"bits": cfg.quant_bits.get(AttributeType.POSITION, 11),
+            "normal_bits": cfg.quant_bits.get(AttributeType.NORMAL, 8),
+            "uv_bits": cfg.quant_bits.get(AttributeType.TEX_COORD, 10)}
+
+
 def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
                          cfg: Config | None = None,
                          precomputed: dict | None = None) -> bytes:
@@ -121,7 +141,8 @@ class BatchEncoder:
     device compute step sharded over a JAX device mesh."""
 
     def __init__(self, use_device: bool | str = False, devices=None,
-                 strict_device: bool = False, mesh_axis=None) -> None:
+                 strict_device: bool = False, mesh_axis=None,
+                 cfg: Config | None = None) -> None:
         # use_device routes encode_corpus through the topology-grouped
         # accelerator path (encode_meshes_device); the host path is the
         # default and the right choice behind high-latency links.
@@ -136,10 +157,16 @@ class BatchEncoder:
         # device step then runs shard_map'ed data-parallel over it; output
         # bytes stay identical to the single-device/sequential paths
         # (SURVEY.md §4d determinism oracle, pinned by tests).
+        # cfg: an optional encoder Config every plane honors (the
+        # reference Encoder owns its ConfigType the same way). Host
+        # planes apply it directly; device planes cover the
+        # quantization-depth subset (_device_quant_bits) and the corpus
+        # drivers route to host when cfg goes beyond it.
         if use_device not in (False, True, "auto"):
             raise ValueError(f"use_device must be bool or 'auto', "
                              f"got {use_device!r}")
         self.use_device = use_device
+        self.cfg = cfg
         self.devices = devices
         self.strict_device = strict_device
         self.mesh_axis = mesh_axis
@@ -148,32 +175,53 @@ class BatchEncoder:
         self.routing_log: list[dict] = []  # use_device="auto" decisions
         self._topo_cache: dict[str, PreparedTopology] = {}
 
-    def encode_mesh(self, mesh: Mesh) -> bytes:
+    def encode_mesh(self, mesh: Mesh, cfg: Config | None = None) -> bytes:
+        cfg = cfg if cfg is not None else self.cfg
         sig = topology_signature(mesh)
         topo = self._topo_cache.get(sig)
         if topo is None:
             topo = PreparedTopology(mesh)
             self._topo_cache[sig] = topo
-        return encode_with_topology(mesh, topo)
+        return encode_with_topology(mesh, topo, cfg=cfg)
 
     # fixed device batch width: jit compiles once per (topology, CHUNK)
     # instead of once per corpus size (XLA compiles through the remote
     # tunnel cost ~20s per shape); short groups pad up with copies
     DEVICE_CHUNK = 64
 
-    def encode_meshes_device(self, meshes: list[Mesh], bits: int = 11,
-                             entropy: str = "host") -> list[bytes | None]:
+    def encode_meshes_device(self, meshes: list[Mesh],
+                             bits: int | None = None,
+                             entropy: str = "host",
+                             normal_bits: int | None = None,
+                             uv_bits: int | None = None
+                             ) -> list[bytes | None]:
         """Device encode chain for the position attribute: meshes are
         grouped by topology; per group, quantize -> predict -> residual ->
         histogram runs batched on the accelerator (in fixed-size chunks,
         see DEVICE_CHUNK). Output bytes are identical to sequential
-        encode() (determinism oracle in tests).
+        encode() (determinism oracle in tests). ``bits``/``normal_bits``/
+        ``uv_bits`` are the -qp/-qn/-qt depths; every device chain honors
+        them (normal depths outside 7..16 raise the host path's canonical
+        error). Unset depths come from ``self.cfg``, which must then be
+        quantization-only (ValueError otherwise — the device batch cannot
+        honor other overrides).
 
         ``entropy`` picks the rANS coder for the symbol payloads:
         "host" (default) threads the C++ coder over meshes — the right
         choice when the chip sits behind a high-latency tunnel;
         "device" runs the multi-lane scan coder with symbols kept on
         device (the right choice on directly-attached chips)."""
+        if bits is None or normal_bits is None or uv_bits is None:
+            dflt = _device_quant_bits(self.cfg)
+            if dflt is None:
+                raise ValueError(
+                    "BatchEncoder.cfg goes beyond the device chains' "
+                    "config space (quantization depths only); encode "
+                    "these meshes on the host plane instead")
+            bits = dflt["bits"] if bits is None else bits
+            normal_bits = (dflt["normal_bits"] if normal_bits is None
+                           else normal_bits)
+            uv_bits = dflt["uv_bits"] if uv_bits is None else uv_bits
         from concurrent.futures import ThreadPoolExecutor
 
         from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
@@ -182,6 +230,18 @@ class BatchEncoder:
         groups: dict[str, list[int]] = {}
         for idx, m in enumerate(meshes):
             groups.setdefault(topology_signature(m), []).append(idx)
+
+        # keep the host-side portabilization metadata (and any host
+        # fallback re-encode) at the same bit depths the device
+        # quantizes with
+        qb = {}
+        if bits != 11:
+            qb[AttributeType.POSITION] = bits
+        if normal_bits != 8:
+            qb[AttributeType.NORMAL] = normal_bits
+        if uv_bits != 10:
+            qb[AttributeType.TEX_COORD] = uv_bits
+        cfg = Config(quant_bits=qb) if qb else None
 
         out: list[bytes | None] = [None] * len(meshes)
         for sig, idxs in groups.items():
@@ -259,11 +319,8 @@ class BatchEncoder:
                 # NORMAL and TEX_COORD attributes ride the device too
                 # (ops/normals.py ring chain, ops/texcoords.py UV chain)
                 normal_pre = _device_extra_attribute_entries(
-                    meshes, idxs, topo, bits=bits, chunk=chunk)
-                # keep the host-side portabilization metadata at the same
-                # bit depth the device quantized with
-                cfg = (Config(quant_bits={AttributeType.POSITION: bits})
-                       if bits != 11 else None)
+                    meshes, idxs, topo, bits=bits, chunk=chunk,
+                    normal_bits=normal_bits, uv_bits=uv_bits)
                 for k, i in enumerate(idxs):
                     w = ByteWriter()
                     w.write_u32(int(dev["vmin"][k]) & 0xFFFFFFFF)
@@ -285,11 +342,12 @@ class BatchEncoder:
                 if self.strict_device:
                     raise
                 # per-group error isolation: fall back to the host path
-                # (counted, so corpus reports surface device regressions)
+                # at the SAME depths (counted, so corpus reports surface
+                # device regressions)
                 self.fallback_groups += 1
                 for i in idxs:
                     try:
-                        out[i] = self.encode_mesh(meshes[i])
+                        out[i] = self.encode_mesh(meshes[i], cfg=cfg)
                         self.fallback_meshes += 1
                     except Exception:
                         out[i] = None
@@ -447,13 +505,20 @@ class BatchEncoder:
         meta.write_u32(int(vmax) & 0xFFFFFFFF)
         pos_idx = next(j for j, a in enumerate(mesh.attributes)
                        if a.att_type == AttributeType.POSITION)
-        cfg = (Config(quant_bits={AttributeType.POSITION: bits})
-               if bits != 11 else None)
+        # non-position attributes encode host-side inside
+        # encode_with_topology, so self.cfg's other quantization depths
+        # are honored here even though only positions were precomputed
+        qb = dict(self.cfg.quant_bits) if self.cfg is not None else {}
+        if bits != 11:
+            qb[AttributeType.POSITION] = bits
+        else:
+            qb.pop(AttributeType.POSITION, None)
+        cfg = Config(quant_bits=qb) if qb else None
         pre = {pos_idx: {"payload": payload,
                          "xform_meta": bytes(meta.getvalue())}}
         return encode_with_topology(mesh, topo, cfg=cfg, precomputed=pre)
 
-    def encode_mesh_device_chunked(self, mesh: Mesh, bits: int = 11,
+    def encode_mesh_device_chunked(self, mesh: Mesh, bits: int | None = None,
                                    chunk: int = 1 << 15) -> bytes:
         """Single-huge-mesh streaming encode (SURVEY §5.7): the device only
         ever holds O(chunk) rows — pass 1 streams vertex chunks for the
@@ -461,6 +526,7 @@ class BatchEncoder:
         pass 3 streams traversal segments (pre-gathered rows from host)
         through the fused quantize/predict/residual/histogram kernel.
         Output bytes are identical to host encode() (pinned by tests)."""
+        bits = self._resolve_pos_bits(bits)
         import jax.numpy as jnp
 
         from ..ops import (default_hist_bins, encode_step_chunk,
@@ -558,13 +624,27 @@ class BatchEncoder:
         return self._assemble_precomputed(mesh, topo, symbols, vmin, vmax,
                                           bits)
 
+    def _resolve_pos_bits(self, bits: int | None) -> int:
+        """Position depth for the single-mesh device paths: explicit arg
+        wins; otherwise self.cfg's -qp (the cfg must be quantization-only
+        — other overrides cannot ride the precomputed-positions
+        assembly)."""
+        dflt = _device_quant_bits(self.cfg)
+        if dflt is None:
+            raise ValueError(
+                "BatchEncoder.cfg goes beyond the device chains' config "
+                "space (quantization depths only); encode this mesh on "
+                "the host plane instead")
+        return dflt["bits"] if bits is None else bits
+
     def encode_mesh_device_stream_sharded(self, mesh: Mesh, device_mesh,
-                                          bits: int = 11) -> bytes:
+                                          bits: int | None = None) -> bytes:
         """Single-mesh cross-chip encode: the traversal (residual stream)
         shards over a 1-D ("stream",) device mesh — each chip computes its
         segment of the fused step from replicated positions; the histogram
         all-reduces over the stream axis (table broadcast). Bytes identical
         to host encode() (SURVEY §4d oracle, pinned by tests)."""
+        bits = self._resolve_pos_bits(bits)
         import jax
         import jax.numpy as jnp
 
@@ -635,7 +715,13 @@ class BatchEncoder:
                 {"path": path, "error": "output name collision"})
 
         device_blobs: dict[str, bytes | None] = {}
-        if self.use_device:
+        # a cfg beyond the device chains' quantization-depth space routes
+        # the whole corpus to the host plane (which honors every option)
+        dev_plane = (self.use_device
+                     and _device_quant_bits(self.cfg) is not None)
+        if self.use_device and not dev_plane:
+            report["device_disabled_by_cfg"] = True
+        if dev_plane:
             # stream in bounded windows: load W meshes, device-batch them
             # by topology group, keep only the (small) encoded blobs —
             # skipping inputs whose outputs already exist (resume), so a
@@ -723,7 +809,9 @@ def _attribute_eligible(meshes, idxs, att_idx, pos_id, n_comp):
 
 
 def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
-                                    bits: int, chunk: int) -> dict:
+                                    bits: int, chunk: int,
+                                    normal_bits: int = 8,
+                                    uv_bits: int = 10) -> dict:
     """Device-encode the NORMAL (ops/normals.py) and TEX_COORD
     (ops/texcoords.py) attributes of a topology group. Positions quantize
     ONCE per chunk and feed every chain. Returns
@@ -746,6 +834,11 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
     normal_idxs = []
     for ni, a in enumerate(mesh0.attributes):
         if a.att_type != AttributeType.NORMAL:
+            continue
+        # the wire rejects depths < 7 (OctOrthogonal mod-max ambiguity,
+        # portabilization.py); route out-of-range depths to the host
+        # path so its canonical error surfaces
+        if not 7 <= normal_bits <= 16:
             continue
         if not _attribute_eligible(meshes, idxs, ni, pos_id, 3):
             continue
@@ -805,7 +898,8 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
                 q_pos, jnp.asarray(nrm_batches[ni][c0:c0 + chunk]),
                 jnp.asarray(rings["tip_pt"]), jnp.asarray(rings["next_pt"]),
                 jnp.asarray(rings["prev_pt"]), jnp.asarray(rings["mask"]),
-                uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)))
+                uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)),
+                bits=normal_bits)
             syms, flips = np.asarray(s), np.asarray(f)
             r = results.setdefault(ni, {"syms": [], "flips": []})
             r["syms"].append(syms)
@@ -813,7 +907,7 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
         for ui in uv_idxs:
             a0 = mesh0.attributes[ui]
             q_uv = _jit_quantize(jnp.asarray(uv_batches[ui][c0:c0 + chunk]),
-                                 10)[0]
+                                 uv_bits)[0]
             syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
                 q_pos, q_uv, uv_gathers[ui], pos_att0.unique_indices(),
                 a0.unique_indices())
@@ -835,8 +929,9 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
             encode_symbols(syms[k].astype(np.uint64).ravel(), 2,
                            DIRECT_CODED, w)
             xw = ByteWriter()
-            xw.write_u32(255)
-            xw.write_u32(255 // 2)
+            n_mx = (1 << normal_bits) - 1
+            xw.write_u32(n_mx)
+            xw.write_u32(n_mx // 2)
             write_normal_flips(flips[k].tolist(), xw)
             out.setdefault(k, {})[ni] = {
                 "payload": w.getvalue(),

@@ -41,7 +41,7 @@ def shard_corpus(inputs: list[str], process_id: int,
 def encode_corpus_multihost(inputs: list[str], out_dir: str,
                             resume: bool = True,
                             use_device: bool | str = False,
-                            workers: int = 1) -> dict:
+                            workers: int = 1, cfg=None) -> dict:
     """Encode a corpus across all participating hosts. Every host writes
     its own outputs (shared filesystem or per-host dirs both work); the
     merged report is returned on every host, with cross-host totals
@@ -54,7 +54,7 @@ def encode_corpus_multihost(inputs: list[str], out_dir: str,
 
     pid, nproc = jax.process_index(), jax.process_count()
     mine = shard_corpus(inputs, pid, nproc)
-    report = BatchEncoder(use_device=use_device).encode_corpus(
+    report = BatchEncoder(use_device=use_device, cfg=cfg).encode_corpus(
         mine, out_dir, resume=resume, workers=workers)
 
     if nproc > 1:

@@ -49,15 +49,20 @@ def transcode_corpus(inputs: list[str], out_dir: str,
     the primitive encodes batched on the accelerator across ALL files
     (topology groups span the corpus; duplicate assets encode once).
     ``cfg`` is an optional encoder Config applied to every primitive
-    (the reference's DracoTranscodingOptions.geometry); the device batch
-    computes default-config streams, so a non-None cfg routes every
-    primitive through the host encoder with those options instead.
-    Returns a report dict."""
-    if cfg is not None:
-        use_device = False  # device batch blobs are default-config only
+    (the reference's DracoTranscodingOptions.geometry). Quantization-only
+    configs (-qp/-qt/-qn overrides, everything else default) stay on the
+    device batch — the device chains honor those depths bit-exactly; any
+    other override routes every primitive through the host encoder with
+    those options instead. Returns a report dict."""
     from ..io.gltf import (iter_scene_primitives, load_gltf_to_scene,
                            save_scene_glb)
-    from .batch import BatchEncoder, _drop_output_collisions
+    from .batch import (BatchEncoder, _device_quant_bits,
+                        _drop_output_collisions)
+
+    dev_bits = _device_quant_bits(cfg)
+    if dev_bits is None:
+        use_device = False  # beyond the device chains' config space
+        dev_bits = {}
 
     os.makedirs(out_dir, exist_ok=True)
     report = {"transcoded": 0, "skipped": 0, "failed": [],
@@ -101,7 +106,8 @@ def transcode_corpus(inputs: list[str], out_dir: str,
     be = BatchEncoder(use_device=use_device)
     if use_device and unique_subs:
         keys = list(unique_subs)
-        blobs = be.encode_meshes_device([unique_subs[k] for k in keys])
+        blobs = be.encode_meshes_device([unique_subs[k] for k in keys],
+                                        **dev_bits)
         for k, blob in zip(keys, blobs):
             if blob is not None:
                 blob_map[k] = blob

@@ -69,16 +69,31 @@ def main(argv=None) -> int:
     ap.add_argument("-cl", "--compression-level", type=int, default=None,
                     choices=range(0, 11), metavar="N",
                     help="transcode: compression preset for every "
-                         "primitive (disables the device batch, which "
-                         "computes default-config streams)")
+                         "primitive (routes primitives to the host "
+                         "encoder; -qp/-qt/-qn alone stay on device)")
     ap.add_argument("-qp", type=int, default=None, metavar="BITS",
-                    help="transcode: position quantization bits")
+                    help="position quantization bits (encode + transcode)")
     ap.add_argument("-qt", type=int, default=None, metavar="BITS",
-                    help="transcode: texcoord quantization bits")
+                    help="texcoord quantization bits (encode + transcode)")
     ap.add_argument("-qn", type=int, default=None, metavar="BITS",
-                    help="transcode: normal octahedral bits (7..16)")
+                    help="normal octahedral bits, 7..16 "
+                         "(encode + transcode)")
     args = ap.parse_args(argv)
     resume = not args.no_resume
+
+    cfg = None
+    if any(v is not None for v in (args.qp, args.qt, args.qn,
+                                   args.compression_level)):
+        from ..encode import Config
+        from ..models import AttributeType
+        cfg = (Config.from_level(args.compression_level)
+               if args.compression_level is not None else Config())
+        if args.qp is not None:
+            cfg.quant_bits[AttributeType.POSITION] = args.qp
+        if args.qt is not None:
+            cfg.quant_bits[AttributeType.TEX_COORD] = args.qt
+        if args.qn is not None:
+            cfg.quant_bits[AttributeType.NORMAL] = args.qn
 
     if args.command == "encode":
         inputs = _expand(args.input, ENCODE_EXTS)
@@ -88,12 +103,13 @@ def main(argv=None) -> int:
             report = encode_corpus_multihost(inputs, args.output,
                                              resume=resume,
                                              use_device=args.device,
-                                             workers=args.workers)
+                                             workers=args.workers, cfg=cfg)
         else:
             from ..parallel import BatchEncoder
             use_device = ("auto" if (args.device and args.route == "auto")
                           else args.device)
-            report = BatchEncoder(use_device=use_device).encode_corpus(
+            report = BatchEncoder(use_device=use_device,
+                                  cfg=cfg).encode_corpus(
                 inputs, args.output, resume=resume, workers=args.workers,
                 device_window=args.window)
     elif args.command == "decode":
@@ -105,19 +121,6 @@ def main(argv=None) -> int:
     else:
         from ..parallel import transcode_corpus
         inputs = _expand(args.input, TRANSCODE_EXTS)
-        cfg = None
-        if any(v is not None for v in (args.qp, args.qt, args.qn,
-                                       args.compression_level)):
-            from ..encode import Config
-            from ..models import AttributeType
-            cfg = (Config.from_level(args.compression_level)
-                   if args.compression_level is not None else Config())
-            if args.qp is not None:
-                cfg.quant_bits[AttributeType.POSITION] = args.qp
-            if args.qt is not None:
-                cfg.quant_bits[AttributeType.TEX_COORD] = args.qt
-            if args.qn is not None:
-                cfg.quant_bits[AttributeType.NORMAL] = args.qn
         report = transcode_corpus(inputs, args.output,
                                   use_device=not args.host_only,
                                   resume=resume, khr_ids=args.khr_ids,
