@@ -1,0 +1,84 @@
+"""A/B the pipelined lane-chunked group entropy encode vs the one-shot
+scan, back-to-back in ONE process (CLAUDE.md: never compare timings from
+different windows through this tunnel).
+
+The chunked path (rans_lanes.LANE_CHUNK) queues every chunk's word scan
+plus its readback slices up front so chunk k's D2H overlaps chunk k+1's
+compute (probe_overlap.py scenario C). Whether that wins depends on how
+the scan cost scales with lane width: if each scan step is fixed-overhead
+bound, C chunks cost ~C x the one-shot scan compute and the overlap
+saving drowns. This measures the real trade on the live backend.
+
+Usage: python benchmarks/ab_lane_chunk.py [B] [T]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "tests", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+from tpudraco.ops import rans_lanes  # noqa: E402
+
+
+def make_inputs(B, T, C=3, seed=7):
+    rng = np.random.default_rng(seed)
+    syms = (rng.integers(0, 9, size=(B, T, C)) ** 2).astype(np.int32)
+    counts = np.stack([np.bincount(s.ravel(), minlength=128)
+                       for s in syms]).astype(np.int32)
+    return jnp.asarray(syms), jnp.asarray(counts), syms
+
+
+def run(chunk, syms_dev, counts_dev, iters=3):
+    rans_lanes.LANE_CHUNK = chunk
+    rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)  # warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        blobs = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
+        best = min(best, time.perf_counter() - t0)
+    return best, blobs
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 4070
+    syms_dev, counts_dev, syms = make_inputs(B, T)
+    print(f"backend={jax.default_backend()} B={B} T={T}")
+
+    one_shot = 1 << 30  # never triggers the chunk condition
+    results = {}
+    # interleave trials so tunnel drift hits all settings equally
+    settings = [one_shot, 64, 128, 256, one_shot]
+    for ch in settings:
+        dt, blobs = run(ch, syms_dev, counts_dev)
+        label = "one-shot" if ch == one_shot else f"chunk={ch}"
+        results.setdefault(label, []).append(dt)
+        print(f"{label:>10}: {dt*1e3:8.1f} ms "
+              f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)")
+    base = min(results["one-shot"])
+    for label, ts in results.items():
+        if label != "one-shot":
+            print(f"{label}: {base/min(ts):.2f}x vs one-shot")
+    # byte sanity across settings
+    rans_lanes.LANE_CHUNK = 128
+    a = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
+    rans_lanes.LANE_CHUNK = one_shot
+    b = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
+    assert a == b, "chunked bytes != one-shot bytes"
+    print("bytes identical across settings")
+
+
+if __name__ == "__main__":
+    main()
