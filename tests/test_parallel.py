@@ -797,6 +797,23 @@ def test_device_batch_random_topology_fuzz(monkeypatch):
     for s, (m, blob) in enumerate(zip(meshes, got)):
         assert blob == encode(m), f"seed {s}"
 
+    # same irregular meshes at randomized depth combos (the depth args
+    # reach every chain: positions, ring normals, UVs)
+    from tpudraco.encode import Config
+    rng = np.random.RandomState(11)
+    for trial in range(2):  # each combo compiles fresh chain shapes
+        qp = int(rng.randint(8, 15))
+        qn = int(rng.randint(7, 17))
+        qt = int(rng.randint(8, 15))
+        cfg = Config(quant_bits={AttributeType.POSITION: qp,
+                                 AttributeType.NORMAL: qn,
+                                 AttributeType.TEX_COORD: qt})
+        got = be.encode_meshes_device(meshes, bits=qp, normal_bits=qn,
+                                      uv_bits=qt)
+        for s, (m, blob) in enumerate(zip(meshes, got)):
+            assert blob == encode(m, cfg=cfg), \
+                f"depths ({qp},{qn},{qt}) seed {s}"
+
 
 def test_decode_corpus_use_device(tmp_path):
     """decode_corpus(use_device=True) groups by connectivity prefix and
