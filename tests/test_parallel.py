@@ -612,6 +612,38 @@ def test_device_batch_quant_depth_overrides_bit_exact(monkeypatch):
     assert 1 not in entries6.get(0, {})
 
 
+def test_device_batch_generic_quant_passthrough(monkeypatch):
+    """A cfg quantizing a NON-device attribute type (-qg's COLOR) rides
+    the device batch: colors are host-encoded during assembly at the cfg
+    depth, device-computed positions at theirs — bytes equal host
+    encode(cfg)."""
+    from tpudraco.encode import Config
+
+    rng = np.random.RandomState(5)
+    meshes = []
+    for s in range(2):
+        m0 = _grid_mesh_with_normals(6, s)
+        b = MeshBuilder()
+        b.set_connectivity_attribute(m0.faces)
+        pid = b.add_attribute(m0.attributes[0].values,
+                              AttributeType.POSITION,
+                              AttributeDomain.POSITION)
+        b.add_attribute(rng.rand(m0.attributes[0].values.shape[0], 3)
+                        .astype(np.float32), AttributeType.COLOR,
+                        AttributeDomain.POSITION)
+        meshes.append(b.build())
+    cfg = Config(quant_bits={AttributeType.POSITION: 12,
+                             AttributeType.COLOR: 9})
+    be = BatchEncoder(strict_device=True, cfg=cfg)
+
+    def no_fallback(self, mesh, cfg=None):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    got = be.encode_meshes_device(meshes)
+    for m, blob in zip(meshes, got):
+        assert blob == encode(m, cfg=cfg)
+
+
 @needs_ref
 def test_device_batch_encode_fixtures_bit_exact(monkeypatch):
     """Device batch over the reference OBJ fixtures — boundaries

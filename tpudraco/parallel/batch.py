@@ -96,17 +96,15 @@ def topology_signature(mesh: Mesh) -> str:
 
 def _device_quant_bits(cfg: Config | None) -> dict | None:
     """encode_meshes_device depth kwargs iff ``cfg`` differs from the
-    default Config ONLY in POSITION/NORMAL/TEX_COORD quantization depths
-    (the config space the device chains cover bit-exactly); None
-    otherwise. A None cfg is the default config."""
+    default Config ONLY in quantization depths (the config space the
+    device batch covers bit-exactly: POSITION/NORMAL/TEX_COORD ride the
+    device chains at these depths, every other type's depth is honored
+    by the host-side assembly); None otherwise. A None cfg is the
+    default config."""
     import dataclasses
 
     if cfg is None:
         return {"bits": 11, "normal_bits": 8, "uv_bits": 10}
-    allowed = {AttributeType.POSITION, AttributeType.NORMAL,
-               AttributeType.TEX_COORD}
-    if set(cfg.quant_bits) - allowed:
-        return None
     if dataclasses.replace(cfg, quant_bits={}) != Config():
         return None
     return {"bits": cfg.quant_bits.get(AttributeType.POSITION, 11),
@@ -211,17 +209,16 @@ class BatchEncoder:
         choice when the chip sits behind a high-latency tunnel;
         "device" runs the multi-lane scan coder with symbols kept on
         device (the right choice on directly-attached chips)."""
-        if bits is None or normal_bits is None or uv_bits is None:
-            dflt = _device_quant_bits(self.cfg)
-            if dflt is None:
-                raise ValueError(
-                    "BatchEncoder.cfg goes beyond the device chains' "
-                    "config space (quantization depths only); encode "
-                    "these meshes on the host plane instead")
-            bits = dflt["bits"] if bits is None else bits
-            normal_bits = (dflt["normal_bits"] if normal_bits is None
-                           else normal_bits)
-            uv_bits = dflt["uv_bits"] if uv_bits is None else uv_bits
+        dflt = _device_quant_bits(self.cfg)
+        if dflt is None:
+            raise ValueError(
+                "BatchEncoder.cfg goes beyond the device batch's config "
+                "space (quantization depths only); encode these meshes "
+                "on the host plane instead")
+        bits = dflt["bits"] if bits is None else bits
+        normal_bits = (dflt["normal_bits"] if normal_bits is None
+                       else normal_bits)
+        uv_bits = dflt["uv_bits"] if uv_bits is None else uv_bits
         from concurrent.futures import ThreadPoolExecutor
 
         from ..entropy.symbol_coding import DIRECT_CODED, encode_symbols
@@ -233,14 +230,17 @@ class BatchEncoder:
 
         # keep the host-side portabilization metadata (and any host
         # fallback re-encode) at the same bit depths the device
-        # quantizes with
-        qb = {}
-        if bits != 11:
-            qb[AttributeType.POSITION] = bits
-        if normal_bits != 8:
-            qb[AttributeType.NORMAL] = normal_bits
-        if uv_bits != 10:
-            qb[AttributeType.TEX_COORD] = uv_bits
+        # quantizes with; self.cfg's OTHER quantization keys (e.g. -qg's
+        # COLOR/TANGENT/WEIGHT) pass through — those attributes are
+        # host-encoded during assembly
+        qb = dict(self.cfg.quant_bits) if self.cfg is not None else {}
+        for t, v, d in ((AttributeType.POSITION, bits, 11),
+                        (AttributeType.NORMAL, normal_bits, 8),
+                        (AttributeType.TEX_COORD, uv_bits, 10)):
+            if v != d:
+                qb[t] = v
+            else:
+                qb.pop(t, None)
         cfg = Config(quant_bits=qb) if qb else None
 
         out: list[bytes | None] = [None] * len(meshes)

@@ -59,10 +59,11 @@ def transcode_corpus(inputs: list[str], out_dir: str,
     from .batch import (BatchEncoder, _device_quant_bits,
                         _drop_output_collisions)
 
-    dev_bits = _device_quant_bits(cfg)
-    if dev_bits is None:
-        use_device = False  # beyond the device chains' config space
-        dev_bits = {}
+    if _device_quant_bits(cfg) is None:
+        use_device = False  # beyond the device batch's config space
+        cfg_for_batch = None
+    else:
+        cfg_for_batch = cfg  # depths resolve inside encode_meshes_device
 
     os.makedirs(out_dir, exist_ok=True)
     report = {"transcoded": 0, "skipped": 0, "failed": [],
@@ -103,11 +104,10 @@ def transcode_corpus(inputs: list[str], out_dir: str,
 
     # phase 2: device-batch encode the unique sub-meshes corpus-wide
     blob_map: dict[str, bytes] = {}
-    be = BatchEncoder(use_device=use_device)
+    be = BatchEncoder(use_device=use_device, cfg=cfg_for_batch)
     if use_device and unique_subs:
         keys = list(unique_subs)
-        blobs = be.encode_meshes_device([unique_subs[k] for k in keys],
-                                        **dev_bits)
+        blobs = be.encode_meshes_device([unique_subs[k] for k in keys])
         for k, blob in zip(keys, blobs):
             if blob is not None:
                 blob_map[k] = blob

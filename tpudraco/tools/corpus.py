@@ -78,11 +78,14 @@ def main(argv=None) -> int:
     ap.add_argument("-qn", type=int, default=None, metavar="BITS",
                     help="normal octahedral bits, 7..16 "
                          "(encode + transcode)")
+    ap.add_argument("-qg", type=int, default=None, metavar="BITS",
+                    help="generic float attribute bits "
+                         "(COLOR/TANGENT/WEIGHT; encode + transcode)")
     args = ap.parse_args(argv)
     resume = not args.no_resume
 
     cfg = None
-    if any(v is not None for v in (args.qp, args.qt, args.qn,
+    if any(v is not None for v in (args.qp, args.qt, args.qn, args.qg,
                                    args.compression_level)):
         from ..encode import Config
         from ..models import AttributeType
@@ -94,6 +97,10 @@ def main(argv=None) -> int:
             cfg.quant_bits[AttributeType.TEX_COORD] = args.qt
         if args.qn is not None:
             cfg.quant_bits[AttributeType.NORMAL] = args.qn
+        if args.qg is not None:
+            for t in (AttributeType.COLOR, AttributeType.TANGENT,
+                      AttributeType.WEIGHT):
+                cfg.quant_bits[t] = args.qg
 
     if args.command == "encode":
         inputs = _expand(args.input, ENCODE_EXTS)
