@@ -188,6 +188,56 @@ def test_load_obj_fixtures():
         assert mesh.attributes[0].att_type == AttributeType.POSITION
 
 
+def test_obj_vertex_colors_roundtrip(tmp_path):
+    """``v x y z r g b`` vertex colors (the draco/MeshLab OBJ extension;
+    the reference's tobj options drop them) round-trip through
+    save_obj/load_obj as a float32 COLOR attribute, and survive a full
+    encode->decode->save cycle."""
+    from tpudraco.decode import decode
+    from tpudraco.encode import encode
+    from tpudraco.io.obj import load_obj, save_obj
+    from tpudraco.models import AttributeDomain, MeshBuilder
+
+    rng = np.random.RandomState(0)
+    n = 5
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32)], 1)
+    col = rng.rand(n * n, 3).astype(np.float32)
+    faces = [[i * n + j, i * n + j + 1, i * n + j + n]
+             for i in range(n - 1) for j in range(n - 1)]
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces))
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    b.add_attribute(col, AttributeType.COLOR, AttributeDomain.POSITION)
+    mesh = b.build()
+
+    p = str(tmp_path / "c.obj")
+    save_obj(mesh, p)
+    back = load_obj(p)
+    cols = [a for a in back.attributes if a.att_type == AttributeType.COLOR]
+    assert len(cols) == 1
+    # per-point color values survive (point order may renumber vertices)
+    got = cols[0].values_per_point()
+    want = mesh.attributes[1].values_per_point()
+    assert got.shape == want.shape
+    assert np.allclose(np.sort(got, axis=0), np.sort(want, axis=0),
+                       atol=1e-6)
+
+    # encode -> decode -> save keeps a COLOR attribute in the obj text
+    dec = decode(encode(back))
+    p2 = str(tmp_path / "c2.obj")
+    save_obj(dec, p2)
+    line = open(p2).readline().split()
+    assert line[0] == "v" and len(line) == 7
+
+    # plain files (no colors) stay color-free
+    save_obj(load_obj(p2), str(tmp_path / "c3.obj"))
+    m3 = load_obj(str(tmp_path / "c3.obj"))
+    assert any(a.att_type == AttributeType.COLOR for a in m3.attributes)
+
+
 def test_diff_l2_norm_zero_for_identical():
     faces = np.array([[0, 1, 2]])
     att = _pos_att([[0, 0, 0], [1, 0, 0], [0, 1, 0]])

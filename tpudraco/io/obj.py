@@ -5,6 +5,10 @@ Replicates the reference's tobj usage with ``triangulate + single_index``
 point (in first-appearance order), polygons are fan-triangulated, positions
 load as a POSITION/Position-domain attribute, normals/texcoords as
 Corner-domain attributes with the position attribute as parent.
+
+Exceeds the reference: ``v x y z r g b`` vertex colors (the de-facto
+extension Google draco / MeshLab read and write — the reference's tobj
+options drop them) round-trip as a float32 COLOR attribute.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from ..models import AttributeDomain, AttributeType, Mesh, MeshBuilder
 
 def load_obj(path) -> Mesh:
     positions: list[list[float]] = []
+    colors: list[list[float] | None] = []
     texcoords: list[list[float]] = []
     normals: list[list[float]] = []
     triple_to_point: dict[tuple, int] = {}
@@ -37,6 +42,9 @@ def load_obj(path) -> Mesh:
             tag = parts[0]
             if tag == "v":
                 positions.append([float(x) for x in parts[1:4]])
+                # "v x y z r g b" vertex-color extension
+                colors.append([float(x) for x in parts[4:7]]
+                              if len(parts) >= 7 else None)
             elif tag == "vt":
                 texcoords.append([float(x) for x in parts[1:3]])
             elif tag == "vn":
@@ -63,6 +71,10 @@ def load_obj(path) -> Mesh:
     vi = np.asarray([t[0] for t in point_triples], dtype=np.int64)
     pos_id = builder.add_attribute(pos[vi], AttributeType.POSITION,
                                    AttributeDomain.POSITION)
+    if colors and all(c is not None for c in colors):
+        col = np.asarray(colors, dtype=np.float32)
+        builder.add_attribute(col[vi], AttributeType.COLOR,
+                              AttributeDomain.POSITION)
     has_n = normals and all(t[2] is not None for t in point_triples)
     if has_n:
         ni = np.asarray([t[2] for t in point_triples], dtype=np.int64)
@@ -79,15 +91,24 @@ def load_obj(path) -> Mesh:
 
 
 def save_obj(mesh: Mesh, path) -> None:
-    """Minimal OBJ writer (positions + faces, plus normals/texcoords when
-    present) — used by the analyzer round-trip tooling."""
+    """Minimal OBJ writer (positions + faces, plus normals/texcoords and
+    ``v x y z r g b`` vertex colors when present) — used by the analyzer
+    round-trip tooling."""
     pos = mesh.position_attribute()
     pos_vals = pos.values_per_point()
     normals = mesh.attributes_of_type(AttributeType.NORMAL)
     texs = mesh.attributes_of_type(AttributeType.TEX_COORD)
+    col_atts = [a for a in mesh.attributes_of_type(AttributeType.COLOR)
+                if a.num_components == 3
+                and np.issubdtype(a.values.dtype, np.floating)]
+    col_vals = col_atts[0].values_per_point() if col_atts else None
     with open(path, "w", encoding="utf-8") as f:
-        for v in pos_vals:
-            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        if col_vals is not None:
+            for v, c in zip(pos_vals, col_vals):
+                f.write(f"v {v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
+        else:
+            for v in pos_vals:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
         if texs:
             for t in texs[0].values_per_point():
                 f.write(f"vt {t[0]} {t[1]}\n")
