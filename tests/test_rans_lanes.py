@@ -285,3 +285,91 @@ def test_decode_wide_alphabet_low_precision():
         np.array([len(stream)], np.int64), precision=prec))
     assert got.dtype.itemsize >= 4  # generic path (no u16 truncation)
     assert np.array_equal(got[0].astype(np.int64), stream)
+
+
+def test_normalize_tables_device_bit_exact():
+    """_normalize_tables_x64 (pure int64 on device) must reproduce
+    normalize_freq_counts_batch (host f64 floor(f/total*rp + 0.5)) for
+    adversarial count matrices: interior zeros, exact rounding ties
+    (dyadic f*rp/total), single-symbol rows, extreme skew, and every
+    precision the schedule can pick. The module docstring's exactness
+    argument is the contract; this is its fuzz."""
+    import jax
+
+    from tpudraco.entropy.rans import normalize_freq_counts_batch
+    from tpudraco.entropy.symbol_coding import bit_length_u64
+    from tpudraco.ops.rans_lanes import _normalize_tables_x64
+
+    rng = np.random.default_rng(13)
+    S = 96
+    rows = []
+    # skewed random rows with interior zero gaps
+    for k in range(24):
+        r = (rng.integers(0, 40, size=S) ** 2) * rng.integers(
+            0, 2, size=S)
+        if r.sum() == 0:
+            r[0] = 1
+        rows.append(r)
+    # exact-tie construction: total a power of two, f*rp/total = k - 0.5
+    tie = np.zeros(S, dtype=np.int64)
+    tie[0] = 1
+    tie[1] = 3
+    tie[2] = 4  # total 8; with rp=2^12: 1*4096/8 = 512 exactly, no tie;
+    rows.append(tie)
+    tie2 = np.zeros(S, dtype=np.int64)
+    tie2[0] = 1
+    tie2[5] = 2047  # total 2048 (pow2): 1*rp/2048 at rp 2^12 -> 2.0;
+    rows.append(tie2)
+    one = np.zeros(S, dtype=np.int64)
+    one[7] = 5000  # single symbol -> dist[7] = rp
+    rows.append(one)
+    counts = np.stack(rows).astype(np.int64)
+
+    n_syms = counts.sum(axis=1)
+    # the group encoder derives precision from the zero bin; emulate the
+    # same schedule per row for the host reference
+    num_nonzero = (n_syms - counts[:, 0]).astype(np.uint64)
+    bls = np.clip(bit_length_u64(num_nonzero) + 1, 1, 18)
+    precisions = np.clip((3 * bls) // 2, 12, 20)
+    want_dist, want_ns = normalize_freq_counts_batch(counts, precisions)
+
+    # device path needs one shared n_sym; run row-by-row (B=1) so each
+    # row's schedule matches
+    for b in range(counts.shape[0]):
+        with jax.enable_x64(True):
+            dist, tiny = _normalize_tables_x64(
+                jnp.asarray(counts[b:b + 1].astype(np.int32)),
+                jnp.int32(int(n_syms[b])))
+        dist, tiny = np.asarray(dist), np.asarray(tiny)
+        assert tiny[0, 3] == 0, f"row {b} flagged pathological"
+        assert tiny[0, 1] == want_ns[b], f"row {b} num_symbols"
+        assert np.array_equal(dist[0].astype(np.int64),
+                              want_dist[b]), f"row {b}"
+
+
+def test_group_entropy_device_tables_twin(monkeypatch):
+    """DEVICE_TABLES on/off must produce identical payload lists (the
+    device-normalized flow vs the legacy host-table flow), both equal to
+    host encode_symbols."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(21)
+    B, T, C = 24, 50, 3
+    syms = (rng.integers(0, 11, size=(B, T, C)) ** 2).astype(np.int32)
+    counts = np.stack([np.bincount(s.ravel(), minlength=160)
+                       for s in syms]).astype(np.int32)
+
+    monkeypatch.setattr(rans_lanes, "DEVICE_TABLES", True)
+    dev = rans_lanes.encode_group_entropy_device(
+        jnp.asarray(syms), jnp.asarray(counts))
+    monkeypatch.setattr(rans_lanes, "DEVICE_TABLES", False)
+    host = rans_lanes.encode_group_entropy_device(
+        jnp.asarray(syms), jnp.asarray(counts))
+    assert dev == host
+    for i in range(B):
+        w = ByteWriter()
+        encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                       DIRECT_CODED, w)
+        assert dev[i] == w.getvalue(), f"lane {i}"

@@ -272,6 +272,21 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
         sym, freqs, cums, lengths, precision=precision)
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "ch"))
+def _words_scan_chunk_tables(symbols, c0, freqs, cums, lengths,
+                             precision: int, ch: int):
+    """_words_scan_chunk with the (L, S) tables and lengths ALSO resident
+    on device (the device-tables flow): every chunk input slices at the
+    traced c0, so all chunks of a batch share ONE compiled program — a
+    per-offset static slice would cost a fresh remote XLA compile per
+    chunk (~20-70 s each through the tunnel)."""
+    sl = functools.partial(jax.lax.dynamic_slice_in_dim, start_index=c0,
+                           slice_size=ch, axis=0)
+    return _rans_scan_lanes_words.__wrapped__(
+        sl(symbols), sl(freqs), sl(cums), sl(lengths),
+        precision=precision)
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
 def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
                                    precision: int, mesh_axis):
@@ -811,6 +826,106 @@ def _counts_prefix(counts: jnp.ndarray, n: int, u16: bool) -> jnp.ndarray:
     return c.astype(jnp.uint16) if u16 else c
 
 
+# Build the per-lane rANS tables ON DEVICE (normalize + fixups) so the
+# entropy scan can be dispatched without waiting for the histogram
+# readback; the host only syncs a tiny (B, 4) summary, and the full
+# table matrix rides back AFTER the scans are queued (the transfer
+# overlaps their compute — probe_overlap.py scenario C). Flip to False
+# to force the legacy host-table path (kept for the sharded mesh_axis
+# plane and as the A/B twin; byte oracle in tests).
+DEVICE_TABLES = True
+
+
+@jax.jit
+def _normalize_tables_x64(counts, n_sym_arr):
+    """Per-lane rANS table normalization on device, bit-identical to
+    entropy/rans.py normalize_freq_counts_batch (which replicates the
+    reference's f64 `floor(f/total*rp + 0.5)`, encode/entropy/rans.rs).
+
+    Exactness argument: rp is a power of two, so the f64 expression
+    rounds exactly once (the division; *rp and +0.5 are exact), with
+    absolute error <= rp * 2^-53. The exact value f*rp/total sits either
+    ON a half-integer boundary (then f/total is dyadic — denominator
+    divides 2^prec+1 — hence exact in f64, both forms agree) or at
+    distance >= 1/(2*total) >> rp*2^-53 from it. Therefore the pure
+    integer form floor((2*f*rp + total) / (2*total)) used here equals
+    the host's f64 computation for every input this encoder can see.
+
+    Runs under scoped x64 (int64 on this TPU is exact — see
+    ops/texcoords.py). Input counts (B, S) int32, n_sym_arr () int32.
+    Returns (dist (B, S) int32, tiny (B, 4) int32) where tiny rows are
+    [counts[:,0], num_symbols, total, pathological]."""
+    B, S = counts.shape
+    c = counts.astype(jnp.int64)
+    nz = c > 0
+    ns = (S - jnp.argmax(nz[:, ::-1], axis=1)).astype(jnp.int64)  # (B,)
+    col = jnp.arange(S, dtype=jnp.int64)
+    valid = col[None, :] < ns[:, None]
+    f = jnp.where(valid, c, 0)
+    total = f.sum(axis=1)                                        # (B,)
+    # per-lane precision schedule — MUST mirror the host formulas
+    # (bls from the zero-bin count, encode_group_entropy_device)
+    num_nonzero = n_sym_arr.astype(jnp.int64) - c[:, 0]
+    bl = (num_nonzero[:, None] >=
+          (jnp.int64(1) << jnp.arange(32, dtype=jnp.int64))[None, :]
+          ).sum(axis=1)
+    bls = jnp.clip(bl + 1, 1, 18)
+    prec = jnp.clip((3 * bls) // 2, 12, 20)
+    rp = (jnp.int64(1) << prec)                                  # (B,)
+    safe_total = jnp.maximum(total, 1)  # all-zero rows flagged by caller
+    dist = ((2 * f * rp[:, None] + safe_total[:, None])
+            // (2 * safe_total[:, None]))
+    dist = jnp.where((dist == 0) & (f > 0), jnp.int64(1), dist)
+    err = dist.sum(axis=1) - rp                                  # (B,)
+    # stable-ascending rank order == unique key (clamped dist, col):
+    # a clamped collision would need two entries summing > rp
+    key = jnp.where(valid, dist, -1)
+    kcl = jnp.clip(key + 1, 0, (1 << 20) - 1)
+    S_pad = 1
+    while S_pad < S:
+        S_pad *= 2
+    combined = kcl * jnp.int64(S_pad) + col[None, :]             # (B, S)
+    # under: add -err to the stable-order tail (largest combined key)
+    tgt = jnp.argmax(combined, axis=1)
+    dist = dist.at[jnp.arange(B), tgt].add(jnp.where(err < 0, -err, 0))
+    # over: decrement each of the top-err entries by one (keys unique,
+    # so exactly err entries clear the err-th descending threshold)
+    desc = -jnp.sort(-combined, axis=1)
+    e_ix = jnp.clip(err, 1, S) - 1
+    thresh = jnp.take_along_axis(desc, e_ix[:, None], axis=1)    # (B, 1)
+    dec = (err > 0)[:, None] & (combined >= thresh)
+    dist = dist - dec.astype(jnp.int64)
+    # the host's vectorized over-fixup only covers err <= num_symbols
+    # (one decrement per entry); flag the pathological rest for a host
+    # fallback instead of diverging
+    patho = (err > ns) | (total == 0)
+    tiny = jnp.stack([c[:, 0], ns, total, patho.astype(jnp.int64)],
+                     axis=1).astype(jnp.int32)
+    return dist.astype(jnp.int32), tiny
+
+
+@functools.partial(jax.jit, static_argnames=("S", "prec"))
+def _group_tables_device(dist, in_group, S: int, prec: int):
+    """freqs/cums for one precision group, ON DEVICE: slice (pad) the
+    normalized table matrix to the group's static width, substitute the
+    unit table for foreign lanes, exclusive-cumsum. Mirrors the legacy
+    host construction in encode_group_entropy_device byte-for-byte."""
+    B, W = dist.shape
+    sl = (dist[:, :S] if S <= W else
+          jnp.pad(dist, ((0, 0), (0, S - W)))).astype(jnp.uint32)
+    unit = jnp.zeros((S,), jnp.uint32).at[0].set(jnp.uint32(1 << prec))
+    freqs = jnp.where(in_group[:, None], sl, unit[None, :])
+    cums = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint32),
+         jnp.cumsum(freqs[:, :-1], axis=1, dtype=jnp.uint32)], axis=1)
+    return freqs, cums
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _dist_prefix(dist, n: int):
+    return dist[:, :n]
+
+
 def encode_group_entropy_device(symbols_dev, counts_dev,
                                 _timings: dict | None = None,
                                 mesh_axis=None) -> list[bytes]:
@@ -832,6 +947,13 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     n_sym = T * C
     counts_dev = jnp.asarray(counts_dev)
     total_bins = int(counts_dev.shape[1])
+    if DEVICE_TABLES and mesh_axis is None:
+        out = _group_entropy_device_tables(symbols_dev, counts_dev,
+                                           _timings=_timings)
+        if out is not None:
+            return out
+        # pathological normalization rows: fall through to the legacy
+        # host-table path (bit-exact, just not overlapped)
     # occupied-prefix histogram transfer: residuals concentrate near 0, so
     # shipping all hist_bins columns wastes most of the link. The prefix
     # width is guessed from the last batch (no extra max-bin sync — the
@@ -951,4 +1073,123 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
         out.append(w.getvalue())
     if _timings is not None:
         _timings["assembly"] = _time.perf_counter() - t0
+    return out
+
+
+def _group_entropy_device_tables(symbols_dev, counts_dev,
+                                 _timings: dict | None = None
+                                 ) -> list[bytes] | None:
+    """encode_group_entropy_device with the rANS tables ALSO built on
+    device (_normalize_tables_x64): the host syncs only a (B, 4) int32
+    summary before dispatching the scans, the full table matrix rides
+    back while they compute, and the wire-table serialization runs on
+    host in that same window. Byte-identical to the legacy host-table
+    path (oracle in tests). Returns None when any lane's normalization
+    is pathological (err > num_symbols; the caller falls back)."""
+    from ..entropy.rans import serialize_rans_tables_batch
+    from ..entropy.symbol_coding import DIRECT_CODED, bit_length_u64
+    from ..wire.byte_io import ByteWriter
+    from ..wire.varint import leb128_write
+    from .pallas_kernels import rans_scan_pallas_viable
+
+    import time as _time
+    t0 = _time.perf_counter()
+    B, T, C = symbols_dev.shape
+    n_sym = T * C
+    with jax.enable_x64(True):
+        dist_dev, tiny_job = _normalize_tables_x64(
+            jnp.asarray(counts_dev), jnp.int32(n_sym))
+    # the flip computes while the host waits on the tiny sync
+    lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
+    tiny = np.asarray(tiny_job).astype(np.int64)
+    if _timings is not None:
+        _timings["hist_sync"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+    counts0, ns, totals, patho = tiny.T
+    if patho.any():
+        return None
+    if not np.all(totals == n_sym):
+        # the device histogram DROPS out-of-range symbols — encoding
+        # with a table that never saw them would corrupt the bitstream
+        bad = int(np.flatnonzero(totals != n_sym)[0])
+        raise ValueError(
+            f"device histogram dropped symbols (lane {bad}: "
+            f"{int(totals[bad])}/{n_sym} binned) — hist_bins too small "
+            "for the symbol range")
+    # host mirror of the device precision schedule (same integer ops)
+    num_nonzero = (n_sym - counts0).astype(np.uint64)
+    bls = np.clip(bit_length_u64(num_nonzero) + 1, 1, 18)
+    precisions = np.clip((3 * bls) // 2, 12, 20)
+    # table readback dispatches BEFORE the scans: the transfer then
+    # rides the link while they compute (probe_overlap.py scenario C);
+    # exact occupied prefix (num_symbols is already on host), width
+    # bucketed to bound slice recompiles
+    maxS = min(int(dist_dev.shape[1]),
+               -(-max(int(ns.max()), 1) // 256) * 256)
+    dist_job = _dist_prefix(dist_dev, maxS)
+
+    blobs: list[bytes | None] = [None] * B
+    jobs = []       # (c0, combined, pre, in_group, prec) chunked scans
+    collected = []  # (in_group, bufs, nbytes) already-synced groups
+    for prec in sorted(set(precisions.tolist())):
+        in_group = precisions == prec
+        S = 16
+        while S < int(ns[in_group].max()):
+            S *= 2
+        freqs_dev, cums_dev = _group_tables_device(
+            dist_dev, jnp.asarray(in_group), S=S, prec=int(prec))
+        lengths = np.where(in_group, n_sym, 0).astype(np.int32)
+        ch = LANE_CHUNK
+        if (B % ch == 0 and B >= 2 * ch
+                and not rans_scan_pallas_viable(B, n_sym)):
+            lengths_dev = jnp.asarray(lengths)
+            for c0 in range(0, B, ch):
+                combined = _words_scan_chunk_tables(
+                    lanes_dev, np.int32(c0), freqs_dev, cums_dev,
+                    lengths_dev, precision=int(prec), ch=ch)
+                pre = _dispatch_words_readback(
+                    combined, ch, n_sym, int(prec),
+                    want_tiny=_timings is not None)
+                jobs.append((c0, combined, pre, in_group, int(prec)))
+        else:
+            # small/odd batches and the Pallas-twin path: the shared
+            # encoder (its internal sync overlaps only the table work)
+            bufs, nbytes = rans_encode_lanes(
+                lanes_dev, freqs_dev, cums_dev, jnp.asarray(lengths),
+                precision=int(prec), _timings=_timings)
+            collected.append((in_group, bufs, nbytes))
+
+    # host work overlapping the queued scans: read the tables (their
+    # transfer was dispatched first) and serialize them for the wire
+    dist = np.asarray(dist_job).astype(np.int64)
+    tables = serialize_rans_tables_batch(dist, ns)
+    if _timings is not None:
+        _timings["table_build"] = _time.perf_counter() - t0
+
+    for c0, combined, pre, in_group, prec in jobs:
+        bufs, cnts, packed, nflush = _collect_words(
+            combined, LANE_CHUNK, n_sym, prec, _timings=_timings,
+            _pre=pre)
+        nbytes = _append_flush(bufs, cnts, packed.astype(np.uint64),
+                               nflush.astype(np.int64))
+        for k in np.flatnonzero(in_group[c0:c0 + LANE_CHUNK]):
+            blobs[c0 + k] = bufs[k, :nbytes[k]].tobytes()
+    for in_group, bufs, nbytes in collected:
+        for i in np.flatnonzero(in_group):
+            blobs[i] = bufs[i, :nbytes[i]].tobytes()
+
+    if _timings is not None:
+        t0 = _time.perf_counter()
+    out: list[bytes] = []
+    for i in range(B):
+        w = ByteWriter()
+        w.write_u8(DIRECT_CODED)
+        w.write_u8(int(bls[i]))
+        w.write_bytes(tables[i])
+        leb128_write(len(blobs[i]), w)
+        w.write_bytes(blobs[i])
+        out.append(w.getvalue())
+    if _timings is not None:
+        _timings["assembly"] = _timings.get("assembly", 0.0) \
+            + _time.perf_counter() - t0
     return out
