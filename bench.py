@@ -397,6 +397,29 @@ def bench_huge(n: int = 1024, chunk: int = 1 << 16):
                    host_mbps)
 
 
+def _probe_backend(timeout_s: float = 180.0) -> str | None:
+    """Confirm the accelerator answers a trivial round-trip before the
+    benchmarks start. The axon tunnel can die outright (observed:
+    jax.devices() blocks forever) — a hung bench leaves the driver with
+    NO result line, so probe in a subprocess with a hard timeout and
+    report the failure as JSON instead."""
+    import subprocess
+    import sys
+
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "np.asarray(jnp.ones((8, 128)) * 2);"
+            "print(jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0:
+            return None
+        return f"backend probe failed: {r.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        return f"backend unreachable (probe timed out after {timeout_s}s)"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric",
@@ -404,7 +427,17 @@ def main():
                     default="e2e")
     ap.add_argument("--breakdown", action="store_true",
                     help="print the per-stage e2e wall decomposition")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the backend liveness probe")
     args = ap.parse_args()
+
+    if not args.no_probe:
+        err = _probe_backend()
+        if err is not None:
+            print(json.dumps({"metric": "device_encode_e2e_throughput",
+                              "value": 0, "unit": "MB/s",
+                              "vs_baseline": 0, "error": err}))
+            return
 
     positions, faces, gn, gathers = _setup()
     if args.breakdown:
