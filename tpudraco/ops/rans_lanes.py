@@ -937,9 +937,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     `encode_symbols(..., DIRECT_CODED)` (pinned by tests)."""
     from ..entropy.rans import (normalize_freq_counts_batch,
                                 serialize_rans_tables_batch)
-    from ..entropy.symbol_coding import DIRECT_CODED, bit_length_u64
-    from ..wire.byte_io import ByteWriter
-    from ..wire.varint import leb128_write
+    from ..entropy.symbol_coding import bit_length_u64
 
     import time as _time
     t0 = _time.perf_counter()
@@ -1062,18 +1060,40 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     if _timings is not None:
         t0 = _time.perf_counter()
     tables = serialize_rans_tables_batch(dist, num_symbols)
-    out: list[bytes] = []
-    for i in range(B):
-        w = ByteWriter()
-        w.write_u8(DIRECT_CODED)
-        w.write_u8(int(bls[i]))
-        w.write_bytes(tables[i])
-        leb128_write(len(blobs[i]), w)
-        w.write_bytes(blobs[i])
-        out.append(w.getvalue())
+    out = _assemble_payloads(bls, tables, blobs)
     if _timings is not None:
         _timings["assembly"] = _time.perf_counter() - t0
     return out
+
+
+def _leb128_bytes(n: int) -> bytes:
+    """leb128 as bytes (wire/varint.py leb128_write, loop-free for the
+    payload sizes this encoder emits)."""
+    if n < 0x80:
+        return bytes((n,))
+    if n < 0x4000:
+        return bytes((n & 0x7F | 0x80, n >> 7))
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n == 0:
+            out.append(b)
+            return bytes(out)
+        out.append(b | 0x80)
+
+
+def _assemble_payloads(bls, tables, blobs) -> list[bytes]:
+    """Final DirectCoded payload assembly: [tag, bit-length, table,
+    leb128(len), stream] per lane, as a single bytes-join per lane (a
+    ByteWriter per lane measurably dominates this stage at B in the
+    hundreds)."""
+    from ..entropy.symbol_coding import DIRECT_CODED
+
+    tag = bytes((DIRECT_CODED,))
+    return [b"".join((tag, bytes((int(bl),)), tb, _leb128_bytes(len(blob)),
+                      blob))
+            for bl, tb, blob in zip(bls, tables, blobs)]
 
 
 def _group_entropy_device_tables(symbols_dev, counts_dev,
@@ -1087,9 +1107,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
     path (oracle in tests). Returns None when any lane's normalization
     is pathological (err > num_symbols; the caller falls back)."""
     from ..entropy.rans import serialize_rans_tables_batch
-    from ..entropy.symbol_coding import DIRECT_CODED, bit_length_u64
-    from ..wire.byte_io import ByteWriter
-    from ..wire.varint import leb128_write
+    from ..entropy.symbol_coding import bit_length_u64
     from .pallas_kernels import rans_scan_pallas_viable
 
     import time as _time
@@ -1180,15 +1198,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
 
     if _timings is not None:
         t0 = _time.perf_counter()
-    out: list[bytes] = []
-    for i in range(B):
-        w = ByteWriter()
-        w.write_u8(DIRECT_CODED)
-        w.write_u8(int(bls[i]))
-        w.write_bytes(tables[i])
-        leb128_write(len(blobs[i]), w)
-        w.write_bytes(blobs[i])
-        out.append(w.getvalue())
+    out = _assemble_payloads(bls, tables, blobs)
     if _timings is not None:
         _timings["assembly"] = _timings.get("assembly", 0.0) \
             + _time.perf_counter() - t0
