@@ -40,8 +40,9 @@ def make_inputs(B, T, C=3, seed=7):
     return jnp.asarray(syms), jnp.asarray(counts), syms
 
 
-def run(chunk, syms_dev, counts_dev, iters=3):
+def run(chunk, tables_dev, syms_dev, counts_dev, iters=3):
     rans_lanes.LANE_CHUNK = chunk
+    rans_lanes.DEVICE_TABLES = tables_dev
     rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)  # warm
     best = float("inf")
     for _ in range(iters):
@@ -59,25 +60,32 @@ def main():
 
     one_shot = 1 << 30  # never triggers the chunk condition
     results = {}
-    # interleave trials so tunnel drift hits all settings equally
-    settings = [one_shot, 64, 128, 256, one_shot]
-    for ch in settings:
-        dt, blobs = run(ch, syms_dev, counts_dev)
-        label = "one-shot" if ch == one_shot else f"chunk={ch}"
+    # interleave trials so tunnel drift hits all settings equally; cover
+    # the {host,device}-tables x {one-shot,chunked} matrix twice
+    settings = [(one_shot, False), (one_shot, True), (64, True),
+                (128, True), (256, True), (128, False),
+                (one_shot, False), (one_shot, True)]
+    for ch, dtab in settings:
+        dt, blobs = run(ch, dtab, syms_dev, counts_dev)
+        label = (("dtab" if dtab else "htab") + "/"
+                 + ("one-shot" if ch == one_shot else f"chunk={ch}"))
         results.setdefault(label, []).append(dt)
-        print(f"{label:>10}: {dt*1e3:8.1f} ms "
+        print(f"{label:>16}: {dt*1e3:8.1f} ms "
               f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)")
-    base = min(results["one-shot"])
+    base = min(results["htab/one-shot"])
     for label, ts in results.items():
-        if label != "one-shot":
-            print(f"{label}: {base/min(ts):.2f}x vs one-shot")
-    # byte sanity across settings
-    rans_lanes.LANE_CHUNK = 128
-    a = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
-    rans_lanes.LANE_CHUNK = one_shot
-    b = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
-    assert a == b, "chunked bytes != one-shot bytes"
-    print("bytes identical across settings")
+        if label != "htab/one-shot":
+            print(f"{label}: {base/min(ts):.2f}x vs htab/one-shot")
+    # byte sanity across the matrix
+    ref = None
+    for ch, dtab in ((one_shot, False), (128, True), (128, False),
+                     (one_shot, True)):
+        rans_lanes.LANE_CHUNK = ch
+        rans_lanes.DEVICE_TABLES = dtab
+        got = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
+        assert ref is None or got == ref, f"bytes differ at {ch},{dtab}"
+        ref = got
+    print("bytes identical across the settings matrix")
 
 
 if __name__ == "__main__":
