@@ -337,14 +337,19 @@ def test_normalize_tables_device_bit_exact():
     # row's schedule matches
     for b in range(counts.shape[0]):
         with jax.enable_x64(True):
-            dist, tiny = _normalize_tables_x64(
+            dist, cums, prec, tiny = _normalize_tables_x64(
                 jnp.asarray(counts[b:b + 1].astype(np.int32)),
                 jnp.int32(int(n_syms[b])))
-        dist, tiny = np.asarray(dist), np.asarray(tiny)
+        dist, cums, tiny = (np.asarray(dist), np.asarray(cums),
+                            np.asarray(tiny))
         assert tiny[0, 3] == 0, f"row {b} flagged pathological"
         assert tiny[0, 1] == want_ns[b], f"row {b} num_symbols"
         assert np.array_equal(dist[0].astype(np.int64),
                               want_dist[b]), f"row {b}"
+        assert int(np.asarray(prec)[0]) == precisions[b], f"row {b} prec"
+        want_cums = np.concatenate([[0], np.cumsum(want_dist[b])[:-1]])
+        assert np.array_equal(cums[0].astype(np.int64), want_cums), \
+            f"row {b} cums"
 
 
 def test_group_entropy_device_tables_twin(monkeypatch):
@@ -358,6 +363,11 @@ def test_group_entropy_device_tables_twin(monkeypatch):
     rng = np.random.default_rng(21)
     B, T, C = 24, 50, 3
     syms = (rng.integers(0, 11, size=(B, T, C)) ** 2).astype(np.int32)
+    # force MIXED per-lane precisions: near-constant lanes get a tiny
+    # nonzero count (low precision), dense lanes keep the full alphabet
+    # — the vprec kernel runs them in ONE program, the legacy path in
+    # per-precision groups; bytes must still agree
+    syms[:8] = (rng.integers(0, 2, size=(8, T, C)) * 100).astype(np.int32)
     counts = np.stack([np.bincount(s.ravel(), minlength=160)
                        for s in syms]).astype(np.int32)
 

@@ -257,6 +257,123 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     return jnp.concatenate([meta, compacted], axis=1)
 
 
+@jax.jit
+def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
+                                 cums: jnp.ndarray, lengths: jnp.ndarray,
+                                 prec: jnp.ndarray):
+    """_rans_scan_lanes_words with PER-LANE precision as traced data.
+
+    The static kernel's precision only reaches three value-level spots —
+    the carry seed l_base = 4 << p, the state-update shift, and the
+    flush-frame subtract (the renorm limit is (4*f) << 8 for EVERY p,
+    since l_base >> p == 4) — so per-lane precisions vectorize without
+    touching the recurrence. This removes the last host sync before the
+    scan in the device-tables flow: precisions are computed on device by
+    _normalize_tables_x64, so step -> histogram -> normalize -> scan all
+    dispatch back-to-back and the host validates afterwards, overlapped.
+    Tables always ride the u32+u8 packing (valid for every p <= 20; the
+    u32-only p <= 14 packing would need the precision on host). Byte
+    streams are bit-identical to the static kernel per lane (tests)."""
+    L, T = symbols.shape
+    S = freqs.shape[-1]
+    prec = prec.astype(jnp.uint32)
+    l_base = jnp.uint32(4) << prec                       # (L,)
+
+    K = SYMBOLS_PER_STEP
+    T_pad = -(-T // K) * K
+    if T_pad != T:
+        symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
+
+    idx = jnp.clip(symbols, 0, S - 1)
+    fq = freqs.astype(jnp.uint32)
+    cq = cums.astype(jnp.uint32)
+
+    def take(tbl):
+        return (jnp.take_along_axis(tbl, idx, axis=1)
+                if tbl.ndim == 2 else tbl[idx])
+
+    # u32+u8 packed pair (f-1, c < 2^20), as in the static p <= 20 branch
+    g32 = take(((fq - 1) & jnp.uint32(0xFFFF))
+               | ((cq & jnp.uint32(0xFFFF)) << jnp.uint32(16)))
+    g8 = take(((((fq - 1) >> jnp.uint32(16)) & jnp.uint32(0xF))
+               | ((cq >> jnp.uint32(16)) << jnp.uint32(4)))
+              .astype(jnp.uint8)).astype(jnp.uint32)
+    fs = ((g32 & jnp.uint32(0xFFFF))
+          | ((g8 & jnp.uint32(0xF)) << jnp.uint32(16))) + jnp.uint32(1)
+    cs = (g32 >> jnp.uint32(16)) | ((g8 >> jnp.uint32(4))
+                                    << jnp.uint32(16))
+
+    u8_ = jnp.uint32(8)
+
+    def one_symbol(carry, f, cum, active):
+        states, lo, hi, nacc = carry
+        limit = (jnp.uint32(4) * f) << u8_
+        for _ in range(MAX_RENORM_PER_SYMBOL):
+            do = active & (states >= limit)
+            b = states & jnp.uint32(0xFF)
+            in_lo = nacc < 4
+            sh_lo = u8_ * jnp.where(in_lo, nacc, 0)
+            sh_hi = u8_ * jnp.where(in_lo, 0, nacc - 4)
+            lo = jnp.where(do & in_lo, lo | (b << sh_lo), lo)
+            hi = jnp.where(do & ~in_lo, hi | (b << sh_hi), hi)
+            nacc = nacc + do.astype(jnp.uint32)
+            states = jnp.where(do, states >> u8_, states)
+        new_states = ((states // f) << prec) + states % f + cum
+        states = jnp.where(active, new_states, states)
+        fl = nacc >= 4
+        word = lo
+        lo = jnp.where(fl, hi, lo)
+        hi = jnp.where(fl, jnp.uint32(0), hi)
+        nacc = jnp.where(fl, nacc - 4, nacc)
+        return (states, lo, hi, nacc), (word, fl)
+
+    def step(carry, s):
+        words, flags = [], []
+        for k in range(K):
+            i = s * K + k
+            carry, (w, fl) = one_symbol(carry, fs[:, i], cs[:, i],
+                                        i < lengths)
+            words.append(w)
+            flags.append(fl)
+        return carry, (jnp.stack(words), jnp.stack(flags))
+
+    zeros = (lengths * 0).astype(jnp.uint32)
+    carry0 = (zeros + l_base, zeros, zeros, zeros)
+    (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
+        step, carry0, jnp.arange(T_pad // K))
+    words = wq.reshape(T_pad, L)[:T].T
+    mask = flq.reshape(T_pad, L)[:T].T
+
+    st = states - l_base
+    nbytes_state = jnp.where(st < (1 << 6), 1,
+                             jnp.where(st < (1 << 14), 2,
+                                       jnp.where(st < (1 << 22), 3, 4)))
+    flag = (nbytes_state - 1).astype(jnp.uint32)
+    packed = st + (flag << (jnp.uint32(6)
+                            + u8_ * (nbytes_state - 1).astype(jnp.uint32)))
+
+    order = jnp.argsort(~mask, axis=1, stable=True)
+    compacted = jnp.take_along_axis(words, order, axis=1)
+    cap_w = min(T, (3 * T) // 4 + 2)
+    compacted = compacted[:, :cap_w]
+    nwords = mask.sum(axis=1).astype(jnp.uint32)
+    meta = jnp.stack([nwords, nacc, lo, packed,
+                      nbytes_state.astype(jnp.uint32)], axis=1)
+    return jnp.concatenate([meta, compacted], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ch",))
+def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
+                            ch: int):
+    """Chunked _rans_scan_lanes_words_vprec: every input slices at the
+    traced c0 so all chunks share one compiled program (a per-offset
+    static slice would cost a remote XLA compile per chunk)."""
+    sl = functools.partial(jax.lax.dynamic_slice_in_dim, start_index=c0,
+                           slice_size=ch, axis=0)
+    return _rans_scan_lanes_words_vprec.__wrapped__(
+        sl(symbols), sl(freqs), sl(cums), sl(lengths), sl(prec))
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "ch"))
 def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
                       precision: int, ch: int):
@@ -270,21 +387,6 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
     sym = jax.lax.dynamic_slice_in_dim(symbols, c0, ch, axis=0)
     return _rans_scan_lanes_words.__wrapped__(
         sym, freqs, cums, lengths, precision=precision)
-
-
-@functools.partial(jax.jit, static_argnames=("precision", "ch"))
-def _words_scan_chunk_tables(symbols, c0, freqs, cums, lengths,
-                             precision: int, ch: int):
-    """_words_scan_chunk with the (L, S) tables and lengths ALSO resident
-    on device (the device-tables flow): every chunk input slices at the
-    traced c0, so all chunks of a batch share ONE compiled program — a
-    per-offset static slice would cost a fresh remote XLA compile per
-    chunk (~20-70 s each through the tunnel)."""
-    sl = functools.partial(jax.lax.dynamic_slice_in_dim, start_index=c0,
-                           slice_size=ch, axis=0)
-    return _rans_scan_lanes_words.__wrapped__(
-        sl(symbols), sl(freqs), sl(cums), sl(lengths),
-        precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
@@ -853,8 +955,9 @@ def _normalize_tables_x64(counts, n_sym_arr):
 
     Runs under scoped x64 (int64 on this TPU is exact — see
     ops/texcoords.py). Input counts (B, S) int32, n_sym_arr () int32.
-    Returns (dist (B, S) int32, tiny (B, 4) int32) where tiny rows are
-    [counts[:,0], num_symbols, total, pathological]."""
+    Returns (dist (B, S) int32, cums (B, S) int32 exclusive cumulative,
+    prec (B,) int32 per-lane precisions, tiny (B, 4) int32) where tiny
+    rows are [counts[:,0], num_symbols, total, pathological]."""
     B, S = counts.shape
     c = counts.astype(jnp.int64)
     nz = c > 0
@@ -901,24 +1004,13 @@ def _normalize_tables_x64(counts, n_sym_arr):
     patho = (err > ns) | (total == 0)
     tiny = jnp.stack([c[:, 0], ns, total, patho.astype(jnp.int64)],
                      axis=1).astype(jnp.int32)
-    return dist.astype(jnp.int32), tiny
-
-
-@functools.partial(jax.jit, static_argnames=("S", "prec"))
-def _group_tables_device(dist, in_group, S: int, prec: int):
-    """freqs/cums for one precision group, ON DEVICE: slice (pad) the
-    normalized table matrix to the group's static width, substitute the
-    unit table for foreign lanes, exclusive-cumsum. Mirrors the legacy
-    host construction in encode_group_entropy_device byte-for-byte."""
-    B, W = dist.shape
-    sl = (dist[:, :S] if S <= W else
-          jnp.pad(dist, ((0, 0), (0, S - W)))).astype(jnp.uint32)
-    unit = jnp.zeros((S,), jnp.uint32).at[0].set(jnp.uint32(1 << prec))
-    freqs = jnp.where(in_group[:, None], sl, unit[None, :])
+    dist32 = dist.astype(jnp.int32)
+    # exclusive per-lane cumulative table, full width — the scan's cum
+    # input (the vprec flow never builds per-precision-group tables)
     cums = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.uint32),
-         jnp.cumsum(freqs[:, :-1], axis=1, dtype=jnp.uint32)], axis=1)
-    return freqs, cums
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(dist32[:, :-1], axis=1, dtype=jnp.int32)], axis=1)
+    return dist32, cums, prec.astype(jnp.int32), tiny
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -1099,102 +1191,110 @@ def _assemble_payloads(bls, tables, blobs) -> list[bytes]:
 def _group_entropy_device_tables(symbols_dev, counts_dev,
                                  _timings: dict | None = None
                                  ) -> list[bytes] | None:
-    """encode_group_entropy_device with the rANS tables ALSO built on
-    device (_normalize_tables_x64): the host syncs only a (B, 4) int32
-    summary before dispatching the scans, the full table matrix rides
-    back while they compute, and the wire-table serialization runs on
-    host in that same window. Byte-identical to the legacy host-table
-    path (oracle in tests). Returns None when any lane's normalization
-    is pathological (err > num_symbols; the caller falls back)."""
+    """encode_group_entropy_device with ZERO host syncs before the
+    entropy scans: the tables (and per-lane precisions) are built on
+    device (_normalize_tables_x64), the scans run the per-lane-precision
+    kernel (_rans_scan_lanes_words_vprec), so histogram -> normalize ->
+    scan dispatch back-to-back; the host then reads the tiny (B, 4)
+    summary and the table matrix while the scans compute (reading an
+    already-materialized buffer overlaps queued compute — probe_overlap
+    scenario A) and serializes the wire tables in the same window.
+    Byte-identical to the legacy host-table path (oracle in tests).
+    Returns None when any lane's normalization is pathological
+    (err > num_symbols; the caller falls back)."""
     from ..entropy.rans import serialize_rans_tables_batch
     from ..entropy.symbol_coding import bit_length_u64
-    from .pallas_kernels import rans_scan_pallas_viable
 
     import time as _time
     t0 = _time.perf_counter()
     B, T, C = symbols_dev.shape
     n_sym = T * C
     with jax.enable_x64(True):
-        dist_dev, tiny_job = _normalize_tables_x64(
+        dist_dev, cums_dev, prec_dev, tiny_job = _normalize_tables_x64(
             jnp.asarray(counts_dev), jnp.int32(n_sym))
-    # the flip computes while the host waits on the tiny sync
     lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
-    tiny = np.asarray(tiny_job).astype(np.int64)
-    if _timings is not None:
-        _timings["hist_sync"] = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-    counts0, ns, totals, patho = tiny.T
-    if patho.any():
-        return None
-    if not np.all(totals == n_sym):
-        # the device histogram DROPS out-of-range symbols — encoding
-        # with a table that never saw them would corrupt the bitstream
-        bad = int(np.flatnonzero(totals != n_sym)[0])
-        raise ValueError(
-            f"device histogram dropped symbols (lane {bad}: "
-            f"{int(totals[bad])}/{n_sym} binned) — hist_bins too small "
-            "for the symbol range")
-    # host mirror of the device precision schedule (same integer ops)
+    W = int(dist_dev.shape[1])
+
+    def read_tiny():
+        tiny = np.asarray(tiny_job).astype(np.int64)
+        counts0, ns, totals, patho = tiny.T
+        if patho.any():
+            return None
+        if not np.all(totals == n_sym):
+            # the device histogram DROPS out-of-range symbols — a table
+            # that never saw them would corrupt the bitstream
+            bad = int(np.flatnonzero(totals != n_sym)[0])
+            raise ValueError(
+                f"device histogram dropped symbols (lane {bad}: "
+                f"{int(totals[bad])}/{n_sym} binned) — hist_bins too "
+                "small for the symbol range")
+        return counts0, ns
+
+    wide = W > (1 << 14)
+    if wide:
+        # wide alphabets: reading the full-width table matrix would be
+        # enormous, so pay the summary sync up front and dispatch an
+        # occupied-prefix slice BEFORE the scans (it still overlaps them)
+        got = read_tiny()
+        if got is None:
+            return None
+        counts0, ns = got
+        if _timings is not None:
+            _timings["hist_sync"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+        maxS = min(W, -(-max(int(ns.max()), 1) // 256) * 256)
+        dist_job = _dist_prefix(dist_dev, maxS)
+
+    # dispatch every scan chunk (one compiled per-lane-precision
+    # program) with its readback slices interleaved — nothing here
+    # waits on the host
+    lengths_dev = jnp.full((B,), n_sym, jnp.int32)
+    jobs = []
+    ch = LANE_CHUNK
+    if B % ch == 0 and B >= 2 * ch:
+        for c0 in range(0, B, ch):
+            combined = _words_scan_chunk_vprec(
+                lanes_dev, np.int32(c0), dist_dev, cums_dev,
+                lengths_dev, prec_dev, ch=ch)
+            pre = _dispatch_words_readback(
+                combined, ch, n_sym, -1, want_tiny=_timings is not None)
+            jobs.append((c0, ch, combined, pre))
+    else:
+        combined = _rans_scan_lanes_words_vprec(
+            lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev)
+        pre = _dispatch_words_readback(
+            combined, B, n_sym, -1, want_tiny=_timings is not None)
+        jobs.append((0, B, combined, pre))
+
+    if not wide:
+        got = read_tiny()
+        if got is None:
+            return None
+        counts0, ns = got
+        if _timings is not None:
+            _timings["hist_sync"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+
+    # host mirror of the device precision schedule (same integer ops;
+    # only bls reaches the wire — the scan used the device copy)
     num_nonzero = (n_sym - counts0).astype(np.uint64)
     bls = np.clip(bit_length_u64(num_nonzero) + 1, 1, 18)
-    precisions = np.clip((3 * bls) // 2, 12, 20)
-    # table readback dispatches BEFORE the scans: the transfer then
-    # rides the link while they compute (probe_overlap.py scenario C);
-    # exact occupied prefix (num_symbols is already on host), width
-    # bucketed to bound slice recompiles
-    maxS = min(int(dist_dev.shape[1]),
-               -(-max(int(ns.max()), 1) // 256) * 256)
-    dist_job = _dist_prefix(dist_dev, maxS)
 
-    blobs: list[bytes | None] = [None] * B
-    jobs = []       # (c0, combined, pre, in_group, prec) chunked scans
-    collected = []  # (in_group, bufs, nbytes) already-synced groups
-    for prec in sorted(set(precisions.tolist())):
-        in_group = precisions == prec
-        S = 16
-        while S < int(ns[in_group].max()):
-            S *= 2
-        freqs_dev, cums_dev = _group_tables_device(
-            dist_dev, jnp.asarray(in_group), S=S, prec=int(prec))
-        lengths = np.where(in_group, n_sym, 0).astype(np.int32)
-        ch = LANE_CHUNK
-        if (B % ch == 0 and B >= 2 * ch
-                and not rans_scan_pallas_viable(B, n_sym)):
-            lengths_dev = jnp.asarray(lengths)
-            for c0 in range(0, B, ch):
-                combined = _words_scan_chunk_tables(
-                    lanes_dev, np.int32(c0), freqs_dev, cums_dev,
-                    lengths_dev, precision=int(prec), ch=ch)
-                pre = _dispatch_words_readback(
-                    combined, ch, n_sym, int(prec),
-                    want_tiny=_timings is not None)
-                jobs.append((c0, combined, pre, in_group, int(prec)))
-        else:
-            # small/odd batches and the Pallas-twin path: the shared
-            # encoder (its internal sync overlaps only the table work)
-            bufs, nbytes = rans_encode_lanes(
-                lanes_dev, freqs_dev, cums_dev, jnp.asarray(lengths),
-                precision=int(prec), _timings=_timings)
-            collected.append((in_group, bufs, nbytes))
-
-    # host work overlapping the queued scans: read the tables (their
-    # transfer was dispatched first) and serialize them for the wire
-    dist = np.asarray(dist_job).astype(np.int64)
+    # table matrix: already materialized on device before the scans, so
+    # this transfer rides the link under their compute
+    dist = np.asarray(dist_job if wide else dist_dev).astype(np.int64)
     tables = serialize_rans_tables_batch(dist, ns)
     if _timings is not None:
         _timings["table_build"] = _time.perf_counter() - t0
 
-    for c0, combined, pre, in_group, prec in jobs:
+    blobs: list[bytes | None] = [None] * B
+    for c0, ch_n, combined, pre in jobs:
         bufs, cnts, packed, nflush = _collect_words(
-            combined, LANE_CHUNK, n_sym, prec, _timings=_timings,
-            _pre=pre)
+            combined, ch_n, n_sym, -1, _timings=_timings, _pre=pre)
         nbytes = _append_flush(bufs, cnts, packed.astype(np.uint64),
                                nflush.astype(np.int64))
-        for k in np.flatnonzero(in_group[c0:c0 + LANE_CHUNK]):
+        for k in range(ch_n):
             blobs[c0 + k] = bufs[k, :nbytes[k]].tobytes()
-    for in_group, bufs, nbytes in collected:
-        for i in np.flatnonzero(in_group):
-            blobs[i] = bufs[i, :nbytes[i]].tobytes()
 
     if _timings is not None:
         t0 = _time.perf_counter()
