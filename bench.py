@@ -434,9 +434,16 @@ def main():
     if not args.no_probe:
         err = _probe_backend()
         if err is not None:
-            print(json.dumps({"metric": "device_encode_e2e_throughput",
-                              "value": 0, "unit": "MB/s",
-                              "vs_baseline": 0, "error": err}))
+            names = {"e2e": ["device_encode_e2e_throughput"],
+                     "step": ["device_encode_step_throughput"],
+                     "decode": ["device_rans_decode_throughput"],
+                     "huge": ["device_huge_mesh_chunked_throughput"]}
+            names["all"] = [m for k in ("e2e", "step", "decode", "huge")
+                            for m in names[k]]
+            for metric in names[args.metric]:
+                print(json.dumps({"metric": metric, "value": 0,
+                                  "unit": "MB/s", "vs_baseline": 0,
+                                  "error": err}))
             return
 
     positions, faces, gn, gathers = _setup()

@@ -232,10 +232,22 @@ def test_obj_vertex_colors_roundtrip(tmp_path):
     line = open(p2).readline().split()
     assert line[0] == "v" and len(line) == 7
 
-    # plain files (no colors) stay color-free
+    # colors survive a save of the re-loaded colored mesh
     save_obj(load_obj(p2), str(tmp_path / "c3.obj"))
     m3 = load_obj(str(tmp_path / "c3.obj"))
     assert any(a.att_type == AttributeType.COLOR for a in m3.attributes)
+
+    # and plain files (no colors) stay color-free end to end
+    plain = MeshBuilder()
+    plain.set_connectivity_attribute(np.asarray(faces))
+    plain.add_attribute(pos, AttributeType.POSITION,
+                        AttributeDomain.POSITION)
+    p4 = str(tmp_path / "plain.obj")
+    save_obj(plain.build(), p4)
+    assert len(open(p4).readline().split()) == 4  # "v x y z"
+    m4 = load_obj(p4)
+    assert not any(a.att_type == AttributeType.COLOR
+                   for a in m4.attributes)
 
 
 def test_diff_l2_norm_zero_for_identical():

@@ -383,3 +383,42 @@ def test_group_entropy_device_tables_twin(monkeypatch):
         encode_symbols(syms[i].ravel().astype(np.uint64), C,
                        DIRECT_CODED, w)
         assert dev[i] == w.getvalue(), f"lane {i}"
+
+
+def test_high_entropy_deep_precision_lanes():
+    """Regression (round-3 review): high-entropy lanes at precision >=
+    17 legally emit MORE than 2 bytes/symbol, overflowing the old 2T+8
+    host buffer cap (reproduced IndexError). Uniform symbols over a wide
+    alphabet force precision 20, the u8 table high bits, the wide
+    (W > 2^14) dist-prefix branch, AND > 2T output bytes; payloads must
+    byte-match host encode_symbols through both table flows."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(3)
+    B, T, C = 4, 6000, 3
+    W = 1 << 15  # uniform over 32k values -> ~15 bits/symbol, prec 20
+    syms = rng.integers(0, W, size=(B, T, C)).astype(np.int32)
+    counts = np.stack([np.bincount(s.ravel(), minlength=W)
+                       for s in syms]).astype(np.int32)
+
+    want = []
+    for i in range(B):
+        w = ByteWriter()
+        encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                       DIRECT_CODED, w)
+        want.append(w.getvalue())
+    # sanity: this workload really exceeds the old 2T+8 cap
+    assert max(len(b) for b in want) > 2 * T * C + 8
+
+    for dtab in (True, False):
+        prev = rans_lanes.DEVICE_TABLES
+        rans_lanes.DEVICE_TABLES = dtab
+        try:
+            got = rans_lanes.encode_group_entropy_device(
+                jnp.asarray(syms), jnp.asarray(counts))
+        finally:
+            rans_lanes.DEVICE_TABLES = prev
+        for i in range(B):
+            assert got[i] == want[i], f"tables={dtab} lane {i}"

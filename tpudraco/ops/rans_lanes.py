@@ -123,8 +123,9 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     not_byte = ~is_byte
     order = jnp.argsort(not_byte, axis=1, stable=True)
     compacted = jnp.take_along_axis(emitted, order, axis=1)
-    cap = 2 * T + 8
-    compacted = compacted[:, :cap]
+    # true bound: MAX_RENORM_PER_SYMBOL bytes/symbol + 4 flush bytes —
+    # high-entropy lanes at precision >= 17 legally exceed 2 bytes/symbol
+    cap = 3 * T + 8
     counts = is_byte.sum(axis=1).astype(jnp.int32)
     return compacted, counts, packed, nbytes_state.astype(jnp.int32)
 
@@ -134,67 +135,22 @@ def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
     return arr[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
-def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
-                           cums: jnp.ndarray, lengths: jnp.ndarray,
-                           precision: int = 12):
-    """Device scan with WORD-PACKED emissions: each lane packs its
-    renormalization bytes little-endian into uint32 words carried through
-    the scan (at most one full word flushes per symbol), so the on-device
-    stable-partition compaction sorts T word slots instead of 3T byte
-    slots — the argsort is the dominant on-chip cost of the entropy stage
-    (measured 251 ms of a 288 ms scan+compact on v5e at L=512, T=12288) —
-    and the host transfer carries the exact payload with no slot padding.
-    Byte streams are bit-identical to _rans_scan_lanes (pinned by tests).
-
-    Returns ONE (L, 5 + WCAP) uint32 array — columns [nwords, partial
-    byte count, partial word, packed flush state, flush byte count,
-    words...] — so the host pays a SINGLE device->host readback (the axon
-    tunnel costs ~31 ms latency PER readback regardless of size;
-    separate per-lane metadata arrays quintupled that)."""
-    L, T = symbols.shape
-    l_base = (1 << precision) << 2
-    base_sh = l_base >> precision
-    S = freqs.shape[-1]
-
+def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
+    """Shared body of the word-packed scan: the recurrence, word
+    packing, flush framing, and word-level compaction. ``l_base`` and
+    ``prec`` are uint32 scalars (static-precision kernel) or (L,)
+    vectors (_rans_scan_lanes_words_vprec) — the renorm limit
+    (4*f) << 8 is precision-independent (l_base >> p == 4), so the
+    recurrence itself never branches on which. fs/cs are the
+    pre-gathered per-symbol (freq, cum) tables over the K-padded
+    symbol axis."""
+    L, T_pad = fs.shape
     K = SYMBOLS_PER_STEP
-    T_pad = -(-T // K) * K
-    if T_pad != T:  # padding symbols land beyond every lane's length
-        symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
-
-    # hoist ALL table lookups out of the sequential loop (see
-    # _rans_scan_lanes) — through PACKED tables: gathers on this backend
-    # are bytes-bound (~260 MB/s), so (freq-1, cum) ride one u32 gather
-    # for P <= 14 and a u32 + u8 pair for P <= 20 instead of two u32s
-    # (the unpack is a few vector ops per symbol, off the critical path)
-    idx = jnp.clip(symbols, 0, S - 1)
-    fq = freqs.astype(jnp.uint32)
-    cq = cums.astype(jnp.uint32)
-
-    def take(tbl):
-        return (jnp.take_along_axis(tbl, idx, axis=1)
-                if tbl.ndim == 2 else tbl[idx])
-
-    if precision <= 14:
-        pk = take(((fq - 1) & jnp.uint32(0x3FFF)) | (cq << jnp.uint32(14)))
-        fs = (pk & jnp.uint32(0x3FFF)) + jnp.uint32(1)
-        cs = pk >> jnp.uint32(14)
-    else:  # f-1, c < 2^20: low 16 bits in the u32, high 4+4 in the u8
-        g32 = take(((fq - 1) & jnp.uint32(0xFFFF))
-                   | ((cq & jnp.uint32(0xFFFF)) << jnp.uint32(16)))
-        g8 = take(((((fq - 1) >> jnp.uint32(16)) & jnp.uint32(0xF))
-                   | ((cq >> jnp.uint32(16)) << jnp.uint32(4)))
-                  .astype(jnp.uint8)).astype(jnp.uint32)
-        fs = ((g32 & jnp.uint32(0xFFFF))
-              | ((g8 & jnp.uint32(0xF)) << jnp.uint32(16))) + jnp.uint32(1)
-        cs = (g32 >> jnp.uint32(16)) | ((g8 >> jnp.uint32(4))
-                                        << jnp.uint32(16))
-
     u8_ = jnp.uint32(8)
 
     def one_symbol(carry, f, cum, active):
         states, lo, hi, nacc = carry
-        limit = (jnp.uint32(base_sh) * f) << u8_
+        limit = (jnp.uint32(4) * f) << u8_
         for _ in range(MAX_RENORM_PER_SYMBOL):
             do = active & (states >= limit)
             b = states & jnp.uint32(0xFF)
@@ -205,8 +161,7 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
             hi = jnp.where(do & ~in_lo, hi | (b << sh_hi), hi)
             nacc = nacc + do.astype(jnp.uint32)
             states = jnp.where(do, states >> u8_, states)
-        new_states = ((states // f) << jnp.uint32(precision)) \
-            + states % f + cum
+        new_states = ((states // f) << prec) + states % f + cum
         states = jnp.where(active, new_states, states)
         # nacc <= 6 here (<= 3 carried in + <= 3 emitted): one flush
         # drains a full little-endian word and shifts the tail down
@@ -231,14 +186,14 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     # typing accepts the scan (a fresh constant would be unvarying while
     # the body output varies over the lane axis)
     zeros = (lengths * 0).astype(jnp.uint32)
-    carry0 = (zeros + jnp.uint32(l_base), zeros, zeros, zeros)
+    carry0 = (zeros + l_base, zeros, zeros, zeros)
     (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
         step, carry0, jnp.arange(T_pad // K))
     words = wq.reshape(T_pad, L)[:T].T        # (L, T) symbol-major
     mask = flq.reshape(T_pad, L)[:T].T
 
     # flush framing: final state with 2-bit size flag (rans.rs:48-68)
-    st = states - jnp.uint32(l_base)
+    st = states - l_base
     nbytes_state = jnp.where(st < (1 << 6), 1,
                              jnp.where(st < (1 << 14), 2,
                                        jnp.where(st < (1 << 22), 3, 4)))
@@ -257,33 +212,37 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     return jnp.concatenate([meta, compacted], axis=1)
 
 
-@jax.jit
-def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
-                                 cums: jnp.ndarray, lengths: jnp.ndarray,
-                                 prec: jnp.ndarray):
-    """_rans_scan_lanes_words with PER-LANE precision as traced data.
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
+                           cums: jnp.ndarray, lengths: jnp.ndarray,
+                           precision: int = 12):
+    """Device scan with WORD-PACKED emissions: each lane packs its
+    renormalization bytes little-endian into uint32 words carried through
+    the scan (at most one full word flushes per symbol), so the on-device
+    stable-partition compaction sorts T word slots instead of 3T byte
+    slots — the argsort is the dominant on-chip cost of the entropy stage
+    (measured 251 ms of a 288 ms scan+compact on v5e at L=512, T=12288) —
+    and the host transfer carries the exact payload with no slot padding.
+    Byte streams are bit-identical to _rans_scan_lanes (pinned by tests).
 
-    The static kernel's precision only reaches three value-level spots —
-    the carry seed l_base = 4 << p, the state-update shift, and the
-    flush-frame subtract (the renorm limit is (4*f) << 8 for EVERY p,
-    since l_base >> p == 4) — so per-lane precisions vectorize without
-    touching the recurrence. This removes the last host sync before the
-    scan in the device-tables flow: precisions are computed on device by
-    _normalize_tables_x64, so step -> histogram -> normalize -> scan all
-    dispatch back-to-back and the host validates afterwards, overlapped.
-    Tables always ride the u32+u8 packing (valid for every p <= 20; the
-    u32-only p <= 14 packing would need the precision on host). Byte
-    streams are bit-identical to the static kernel per lane (tests)."""
+    Returns ONE (L, 5 + WCAP) uint32 array — columns [nwords, partial
+    byte count, partial word, packed flush state, flush byte count,
+    words...] — so the host pays a SINGLE device->host readback (the axon
+    tunnel costs ~31 ms latency PER readback regardless of size;
+    separate per-lane metadata arrays quintupled that)."""
     L, T = symbols.shape
     S = freqs.shape[-1]
-    prec = prec.astype(jnp.uint32)
-    l_base = jnp.uint32(4) << prec                       # (L,)
 
     K = SYMBOLS_PER_STEP
     T_pad = -(-T // K) * K
-    if T_pad != T:
+    if T_pad != T:  # padding symbols land beyond every lane's length
         symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
 
+    # hoist ALL table lookups out of the sequential loop (see
+    # _rans_scan_lanes) — through PACKED tables: gathers on this backend
+    # are bytes-bound (~260 MB/s), so (freq-1, cum) ride one u32 gather
+    # for P <= 14 and a u32 + u8 pair for P <= 20 instead of two u32s
+    # (the unpack is a few vector ops per symbol, off the critical path)
     idx = jnp.clip(symbols, 0, S - 1)
     fq = freqs.astype(jnp.uint32)
     cq = cums.astype(jnp.uint32)
@@ -292,7 +251,22 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
         return (jnp.take_along_axis(tbl, idx, axis=1)
                 if tbl.ndim == 2 else tbl[idx])
 
-    # u32+u8 packed pair (f-1, c < 2^20), as in the static p <= 20 branch
+    if precision <= 14:
+        pk = take(((fq - 1) & jnp.uint32(0x3FFF)) | (cq << jnp.uint32(14)))
+        fs = (pk & jnp.uint32(0x3FFF)) + jnp.uint32(1)
+        cs = pk >> jnp.uint32(14)
+    else:
+        fs, cs = _take_packed_u32u8(fq, cq, take)
+
+    return _words_scan_core(fs, cs, lengths, T,
+                            jnp.uint32((1 << precision) << 2),
+                            jnp.uint32(precision))
+
+
+def _take_packed_u32u8(fq, cq, take):
+    """(f-1, c < 2^20) pre-gather through a u32 + u8 pair: low 16 bits
+    of each in the u32, high 4+4 in the u8 (valid for every precision
+    <= 20, draco's schedule cap)."""
     g32 = take(((fq - 1) & jnp.uint32(0xFFFF))
                | ((cq & jnp.uint32(0xFFFF)) << jnp.uint32(16)))
     g8 = take(((((fq - 1) >> jnp.uint32(16)) & jnp.uint32(0xF))
@@ -302,64 +276,46 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
           | ((g8 & jnp.uint32(0xF)) << jnp.uint32(16))) + jnp.uint32(1)
     cs = (g32 >> jnp.uint32(16)) | ((g8 >> jnp.uint32(4))
                                     << jnp.uint32(16))
+    return fs, cs
 
-    u8_ = jnp.uint32(8)
 
-    def one_symbol(carry, f, cum, active):
-        states, lo, hi, nacc = carry
-        limit = (jnp.uint32(4) * f) << u8_
-        for _ in range(MAX_RENORM_PER_SYMBOL):
-            do = active & (states >= limit)
-            b = states & jnp.uint32(0xFF)
-            in_lo = nacc < 4
-            sh_lo = u8_ * jnp.where(in_lo, nacc, 0)
-            sh_hi = u8_ * jnp.where(in_lo, 0, nacc - 4)
-            lo = jnp.where(do & in_lo, lo | (b << sh_lo), lo)
-            hi = jnp.where(do & ~in_lo, hi | (b << sh_hi), hi)
-            nacc = nacc + do.astype(jnp.uint32)
-            states = jnp.where(do, states >> u8_, states)
-        new_states = ((states // f) << prec) + states % f + cum
-        states = jnp.where(active, new_states, states)
-        fl = nacc >= 4
-        word = lo
-        lo = jnp.where(fl, hi, lo)
-        hi = jnp.where(fl, jnp.uint32(0), hi)
-        nacc = jnp.where(fl, nacc - 4, nacc)
-        return (states, lo, hi, nacc), (word, fl)
+@jax.jit
+def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
+                                 cums: jnp.ndarray, lengths: jnp.ndarray,
+                                 prec: jnp.ndarray):
+    """_rans_scan_lanes_words with PER-LANE precision as traced data.
 
-    def step(carry, s):
-        words, flags = [], []
-        for k in range(K):
-            i = s * K + k
-            carry, (w, fl) = one_symbol(carry, fs[:, i], cs[:, i],
-                                        i < lengths)
-            words.append(w)
-            flags.append(fl)
-        return carry, (jnp.stack(words), jnp.stack(flags))
+    The static kernel's precision only reaches three value-level spots —
+    the carry seed l_base = 4 << p, the state-update shift, and the
+    flush-frame subtract (the renorm limit is (4*f) << 8 for EVERY p,
+    since l_base >> p == 4) — so per-lane precisions vectorize through
+    the SHARED _words_scan_core without touching the recurrence. This
+    removes the last host sync before the scan in the device-tables
+    flow: precisions are computed on device by _normalize_tables_x64,
+    so step -> histogram -> normalize -> scan all dispatch back-to-back
+    and the host validates afterwards, overlapped. Tables always ride
+    the u32+u8 packing (valid for every p <= 20; the u32-only p <= 14
+    packing would need the precision on host). Byte streams are
+    bit-identical to the static kernel per lane (tests)."""
+    L, T = symbols.shape
+    S = freqs.shape[-1]
+    prec = prec.astype(jnp.uint32)
 
-    zeros = (lengths * 0).astype(jnp.uint32)
-    carry0 = (zeros + l_base, zeros, zeros, zeros)
-    (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
-        step, carry0, jnp.arange(T_pad // K))
-    words = wq.reshape(T_pad, L)[:T].T
-    mask = flq.reshape(T_pad, L)[:T].T
+    K = SYMBOLS_PER_STEP
+    T_pad = -(-T // K) * K
+    if T_pad != T:
+        symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
 
-    st = states - l_base
-    nbytes_state = jnp.where(st < (1 << 6), 1,
-                             jnp.where(st < (1 << 14), 2,
-                                       jnp.where(st < (1 << 22), 3, 4)))
-    flag = (nbytes_state - 1).astype(jnp.uint32)
-    packed = st + (flag << (jnp.uint32(6)
-                            + u8_ * (nbytes_state - 1).astype(jnp.uint32)))
+    idx = jnp.clip(symbols, 0, S - 1)
 
-    order = jnp.argsort(~mask, axis=1, stable=True)
-    compacted = jnp.take_along_axis(words, order, axis=1)
-    cap_w = min(T, (3 * T) // 4 + 2)
-    compacted = compacted[:, :cap_w]
-    nwords = mask.sum(axis=1).astype(jnp.uint32)
-    meta = jnp.stack([nwords, nacc, lo, packed,
-                      nbytes_state.astype(jnp.uint32)], axis=1)
-    return jnp.concatenate([meta, compacted], axis=1)
+    def take(tbl):
+        return (jnp.take_along_axis(tbl, idx, axis=1)
+                if tbl.ndim == 2 else tbl[idx])
+
+    fs, cs = _take_packed_u32u8(freqs.astype(jnp.uint32),
+                                cums.astype(jnp.uint32), take)
+    return _words_scan_core(fs, cs, lengths, T, jnp.uint32(4) << prec,
+                            prec)
 
 
 @functools.partial(jax.jit, static_argnames=("ch",))
@@ -437,7 +393,7 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     from .pallas_kernels import rans_scan_pallas_viable
 
     L, T = symbols.shape
-    cap = 2 * T + 8
+    cap = 3 * T + 8  # true bound (3 renorm bytes/symbol + flush)
     t0 = _time.perf_counter()
     if rans_scan_pallas_viable(L, T):
         # dense byte-slot path (the Pallas kernel emits that layout)
@@ -512,7 +468,7 @@ def _collect_words(combined, L: int, T: int, precision: int,
                    _pre=None):
     """Readback + host unpack of one word-scan output: adaptive-bucket
     occupied-prefix transfer, then the uint32 word rows viewed
-    little-endian become the byte streams. Returns (buffers (L, 2T+8)
+    little-endian become the byte streams. Returns (buffers (L, 3T+8)
     uint8 WITHOUT the flush bytes, counts, packed flush states, flush
     byte counts). ``_pre`` carries slice ops dispatched right after the
     scan (see _dispatch_words_readback)."""
@@ -531,7 +487,7 @@ def _collect_words(combined, L: int, T: int, precision: int,
         _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
             + _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
-    cap = 2 * T + 8
+    cap = 3 * T + 8  # true bound (3 renorm bytes/symbol + flush)
     dev_cap = int(combined.shape[1]) - 5
     key = (L, T, precision)
     while True:
@@ -1013,11 +969,6 @@ def _normalize_tables_x64(counts, n_sym_arr):
     return dist32, cums, prec.astype(jnp.int32), tiny
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _dist_prefix(dist, n: int):
-    return dist[:, :n]
-
-
 def encode_group_entropy_device(symbols_dev, counts_dev,
                                 _timings: dict | None = None,
                                 mesh_axis=None) -> list[bytes]:
@@ -1243,7 +1194,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
             _timings["hist_sync"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
         maxS = min(W, -(-max(int(ns.max()), 1) // 256) * 256)
-        dist_job = _dist_prefix(dist_dev, maxS)
+        dist_job = _slice_cols(dist_dev, maxS)
 
     # dispatch every scan chunk (one compiled per-lane-precision
     # program) with its readback slices interleaved — nothing here
