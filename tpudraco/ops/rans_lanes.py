@@ -345,6 +345,30 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
         sym, freqs, cums, lengths, precision=precision)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh_axis",))
+def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
+                                         prec, mesh_axis):
+    """Lane-sharded per-lane-precision word scan (the device-tables flow
+    under a 1-D ("data",) mesh): precisions shard with their lanes, the
+    recurrence is per-lane, so the gathered result is bit-identical to
+    the single-device vprec scan (dryrun + mesh tests byte-check)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def scan_shard(sym, fq, cq, ln, pr):
+        return _rans_scan_lanes_words_vprec.__wrapped__(sym, fq, cq,
+                                                        ln, pr)
+
+    fn = shard_map(scan_shard, mesh=mesh_axis,
+                   in_specs=(P("data", None), P("data", None),
+                             P("data", None), P("data"), P("data")),
+                   out_specs=P("data", None))
+    return fn(symbols, freqs, cums, lengths, prec)
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
 def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
                                    precision: int, mesh_axis):
@@ -988,9 +1012,10 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     n_sym = T * C
     counts_dev = jnp.asarray(counts_dev)
     total_bins = int(counts_dev.shape[1])
-    if DEVICE_TABLES and mesh_axis is None:
+    if DEVICE_TABLES:
         out = _group_entropy_device_tables(symbols_dev, counts_dev,
-                                           _timings=_timings)
+                                           _timings=_timings,
+                                           mesh_axis=mesh_axis)
         if out is not None:
             return out
         # pathological normalization rows: fall through to the legacy
@@ -1140,8 +1165,8 @@ def _assemble_payloads(bls, tables, blobs) -> list[bytes]:
 
 
 def _group_entropy_device_tables(symbols_dev, counts_dev,
-                                 _timings: dict | None = None
-                                 ) -> list[bytes] | None:
+                                 _timings: dict | None = None,
+                                 mesh_axis=None) -> list[bytes] | None:
     """encode_group_entropy_device with ZERO host syncs before the
     entropy scans: the tables (and per-lane precisions) are built on
     device (_normalize_tables_x64), the scans run the per-lane-precision
@@ -1151,8 +1176,11 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
     already-materialized buffer overlaps queued compute — probe_overlap
     scenario A) and serializes the wire tables in the same window.
     Byte-identical to the legacy host-table path (oracle in tests).
-    Returns None when any lane's normalization is pathological
-    (err > num_symbols; the caller falls back)."""
+    Under a 1-D ("data",) ``mesh_axis`` the scan lane-shards across
+    chips (precisions shard with their lanes) — the full pipeline scales
+    and bytes stay pinned (dryrun oracle). Returns None when any lane's
+    normalization is pathological (err > num_symbols; caller falls
+    back)."""
     from ..entropy.rans import serialize_rans_tables_batch
     from ..entropy.symbol_coding import bit_length_u64
 
@@ -1202,7 +1230,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
     lengths_dev = jnp.full((B,), n_sym, jnp.int32)
     jobs = []
     ch = LANE_CHUNK
-    if B % ch == 0 and B >= 2 * ch:
+    if mesh_axis is None and B % ch == 0 and B >= 2 * ch:
         for c0 in range(0, B, ch):
             combined = _words_scan_chunk_vprec(
                 lanes_dev, np.int32(c0), dist_dev, cums_dev,
@@ -1211,8 +1239,11 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
                 combined, ch, n_sym, -1, want_tiny=_timings is not None)
             jobs.append((c0, ch, combined, pre))
     else:
-        combined = _rans_scan_lanes_words_vprec(
-            lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev)
+        combined = (_rans_scan_lanes_words_vprec_sharded(
+            lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
+            mesh_axis=mesh_axis) if mesh_axis is not None else
+            _rans_scan_lanes_words_vprec(
+                lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev))
         pre = _dispatch_words_readback(
             combined, B, n_sym, -1, want_tiny=_timings is not None)
         jobs.append((0, B, combined, pre))
