@@ -422,3 +422,38 @@ def test_high_entropy_deep_precision_lanes():
             rans_lanes.DEVICE_TABLES = prev
         for i in range(B):
             assert got[i] == want[i], f"tables={dtab} lane {i}"
+
+
+def test_group_entropy_randomized_sweep(monkeypatch):
+    """Randomized property sweep over the sync-free device-tables flow:
+    random batch widths (odd sizes, chunk-divisible sizes), symbol
+    counts, alphabet widths, and skews — every payload must byte-match
+    host encode_symbols. Catches shape/precision corners the targeted
+    tests miss."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(99)
+    monkeypatch.setattr(rans_lanes, "LANE_CHUNK", 8)
+    for trial in range(6):
+        B = int(rng.integers(1, 40))
+        if trial == 5:
+            B = 16  # exercise the chunked branch (B % 8 == 0, B >= 16)
+        T = int(rng.integers(1, 120))
+        C = int(rng.choice([1, 2, 3]))
+        width = int(rng.choice([2, 17, 300, 5000]))
+        skew = float(rng.choice([0.5, 2.0, 8.0]))
+        u = rng.random(size=(B, T, C)) ** skew
+        syms = (u * width).astype(np.int32)
+        bins = 1 << int(np.ceil(np.log2(max(width, 2))))
+        counts = np.stack([np.bincount(s.ravel(), minlength=bins)
+                           for s in syms]).astype(np.int32)
+        got = rans_lanes.encode_group_entropy_device(
+            jnp.asarray(syms), jnp.asarray(counts))
+        for i in range(B):
+            w = ByteWriter()
+            encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                           DIRECT_CODED, w)
+            assert got[i] == w.getvalue(), \
+                f"trial {trial} (B={B} T={T} C={C} w={width}) lane {i}"
