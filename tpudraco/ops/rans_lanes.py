@@ -28,8 +28,16 @@ MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 mar
 # only on (rare) overflow
 _WORD_BUCKET: dict = {}
 _HIST_BUCKET: dict = {}
-LANE_CHUNK = 128  # pipelined group encode: lanes per scan chunk (chunk
-#                   k's readback overlaps chunk k+1's device compute)
+LANE_CHUNK = 1 << 30  # pipelined group encode: lanes per scan chunk
+# (chunk k's readback overlaps chunk k+1's device compute). DISABLED by
+# default: the scan is iteration-overhead-bound (~70 us/step regardless
+# of lane width — the same fact that motivated the 8-symbol unroll), so
+# C chunks cost ~C x the scan compute while hiding only the payload
+# readback; with the round-3 breakdown (scan 105 ms, readback 204 ms)
+# one-shot = 309 ms vs 4 chunks = ~470 ms. Re-evaluate on hardware with
+# benchmarks/ab_lane_chunk.py (it sweeps this knob, byte-checked) — if
+# the scan turns out lane-width-bound the chunked path wins and this
+# default should drop to 128.
 SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       batching K sequential symbols per step cuts the
 #                       iteration count 8x (the recurrence itself is
