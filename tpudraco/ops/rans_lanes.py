@@ -976,12 +976,16 @@ def _normalize_tables_x64(counts, n_sym_arr):
     while S_pad < S:
         S_pad *= 2
     combined = kcl * jnp.int64(S_pad) + col[None, :]             # (B, S)
+    if S_pad <= (1 << 12):
+        # key < 2^20 * 2^12 + 2^12 <= 2^32: sort in uint32 (an int64
+        # sort on TPU costs a multiple of a u32 sort; values are exact)
+        combined = combined.astype(jnp.uint32)
     # under: add -err to the stable-order tail (largest combined key)
     tgt = jnp.argmax(combined, axis=1)
     dist = dist.at[jnp.arange(B), tgt].add(jnp.where(err < 0, -err, 0))
     # over: decrement each of the top-err entries by one (keys unique,
     # so exactly err entries clear the err-th descending threshold)
-    desc = -jnp.sort(-combined, axis=1)
+    desc = jnp.flip(jnp.sort(combined, axis=1), axis=1)
     e_ix = jnp.clip(err, 1, S) - 1
     thresh = jnp.take_along_axis(desc, e_ix[:, None], axis=1)    # (B, 1)
     dec = (err > 0)[:, None] & (combined >= thresh)
