@@ -610,6 +610,15 @@ def test_device_batch_quant_depth_overrides_bit_exact(monkeypatch):
     entries6 = bm._device_extra_attribute_entries(
         meshes, [0, 1, 2], topo, bits=12, chunk=4, normal_bits=6)
     assert 1 not in entries6.get(0, {})
+    # ...and the public API raises up front instead of returning silent
+    # Nones through the per-group fallback (round-3 review)
+    with pytest.raises(ValueError, match="7..16"):
+        BatchEncoder().encode_meshes_device(meshes, normal_bits=5)
+    # an out-of-range quant-only cfg is "beyond the device space": the
+    # corpus drivers route it to the host plane where the canonical
+    # error surfaces per file
+    assert bm._device_quant_bits(
+        Config(quant_bits={AttributeType.NORMAL: 5})) is None
 
 
 def test_device_batch_generic_quant_passthrough(monkeypatch):

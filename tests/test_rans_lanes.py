@@ -148,14 +148,19 @@ def test_group_entropy_pipelined_chunks_bit_exact(monkeypatch):
     one_shot = rans_lanes.encode_group_entropy_device(
         jnp.asarray(syms), jnp.asarray(counts))
     monkeypatch.setattr(rans_lanes, "LANE_CHUNK", 4)  # forces 4 chunks
-    chunked = rans_lanes.encode_group_entropy_device(
-        jnp.asarray(syms), jnp.asarray(counts))
-    assert chunked == one_shot
-    for i in range(B):
-        w = ByteWriter()
-        encode_symbols(syms[i].ravel().astype(np.uint64), C,
-                       DIRECT_CODED, w)
-        assert chunked[i] == w.getvalue(), f"lane {i}"
+    # ... through BOTH table flows: the vprec device-tables branch and
+    # the legacy static-precision host-tables branch (each has its own
+    # chunk dispatch loop)
+    for dtab in (True, False):
+        monkeypatch.setattr(rans_lanes, "DEVICE_TABLES", dtab)
+        chunked = rans_lanes.encode_group_entropy_device(
+            jnp.asarray(syms), jnp.asarray(counts))
+        assert chunked == one_shot, f"tables={dtab}"
+        for i in range(B):
+            w = ByteWriter()
+            encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                           DIRECT_CODED, w)
+            assert chunked[i] == w.getvalue(), f"tables={dtab} lane {i}"
 
 
 def test_word_packed_scan_matches_dense(monkeypatch):

@@ -131,9 +131,6 @@ def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
     not_byte = ~is_byte
     order = jnp.argsort(not_byte, axis=1, stable=True)
     compacted = jnp.take_along_axis(emitted, order, axis=1)
-    # true bound: MAX_RENORM_PER_SYMBOL bytes/symbol + 4 flush bytes —
-    # high-entropy lanes at precision >= 17 legally exceed 2 bytes/symbol
-    cap = 3 * T + 8
     counts = is_byte.sum(axis=1).astype(jnp.int32)
     return compacted, counts, packed, nbytes_state.astype(jnp.int32)
 
@@ -1147,20 +1144,15 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
 
 
 def _leb128_bytes(n: int) -> bytes:
-    """leb128 as bytes (wire/varint.py leb128_write, loop-free for the
-    payload sizes this encoder emits)."""
+    """leb128 as bytes: loop-free for the payload sizes this encoder
+    emits, delegating bigger values to the wire module (one source of
+    truth for the varint framing)."""
     if n < 0x80:
         return bytes((n,))
     if n < 0x4000:
         return bytes((n & 0x7F | 0x80, n >> 7))
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n == 0:
-            out.append(b)
-            return bytes(out)
-        out.append(b | 0x80)
+    from ..wire.varint import leb128_bytes
+    return leb128_bytes(n)
 
 
 def _assemble_payloads(bls, tables, blobs) -> list[bytes]:

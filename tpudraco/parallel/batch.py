@@ -94,22 +94,59 @@ def topology_signature(mesh: Mesh) -> str:
     return h.hexdigest()
 
 
+# default wire depths (portabilization/mod.rs:116-143): POSITION 11,
+# NORMAL 8 (octahedral), TEX_COORD 10 — single source for every merge
+DEFAULT_DEPTHS = {"bits": 11, "normal_bits": 8, "uv_bits": 10}
+_DEPTH_TYPES = (("bits", AttributeType.POSITION),
+                ("normal_bits", AttributeType.NORMAL),
+                ("uv_bits", AttributeType.TEX_COORD))
+
+
 def _device_quant_bits(cfg: Config | None) -> dict | None:
     """encode_meshes_device depth kwargs iff ``cfg`` differs from the
     default Config ONLY in quantization depths (the config space the
     device batch covers bit-exactly: POSITION/NORMAL/TEX_COORD ride the
     device chains at these depths, every other type's depth is honored
-    by the host-side assembly); None otherwise. A None cfg is the
-    default config."""
+    by the host-side assembly) AND every depth is in-range; None
+    otherwise — out-of-range depths route to the host plane so its
+    canonical per-file error surfaces instead of a doomed device
+    attempt per window. A None cfg is the default config."""
     import dataclasses
 
     if cfg is None:
-        return {"bits": 11, "normal_bits": 8, "uv_bits": 10}
+        return dict(DEFAULT_DEPTHS)
     if dataclasses.replace(cfg, quant_bits={}) != Config():
         return None
-    return {"bits": cfg.quant_bits.get(AttributeType.POSITION, 11),
-            "normal_bits": cfg.quant_bits.get(AttributeType.NORMAL, 8),
-            "uv_bits": cfg.quant_bits.get(AttributeType.TEX_COORD, 10)}
+    out = {k: cfg.quant_bits.get(t, DEFAULT_DEPTHS[k])
+           for k, t in _DEPTH_TYPES}
+    if not _depths_in_range(**out):
+        return None
+    return out
+
+
+def _depths_in_range(bits: int, normal_bits: int, uv_bits: int) -> bool:
+    """The device chains' (and the wire's) accepted depth ranges:
+    normals 7..16 (OctOrthogonal mod-max ambiguity below 7 —
+    portabilization.py), position/UV 1..30 (int ranges)."""
+    return (7 <= normal_bits <= 16 and 1 <= bits <= 30
+            and 1 <= uv_bits <= 30)
+
+
+def _merged_quant_cfg(base_cfg: Config | None, bits: int,
+                      normal_bits: int, uv_bits: int) -> Config | None:
+    """The assembly/fallback Config for device-encoded meshes: the
+    resolved depths override base_cfg's quantization entries (set when
+    non-default, dropped when default — both spell identical bytes),
+    every other quantization key passes through (those attributes are
+    host-encoded during assembly)."""
+    qb = dict(base_cfg.quant_bits) if base_cfg is not None else {}
+    vals = {"bits": bits, "normal_bits": normal_bits, "uv_bits": uv_bits}
+    for k, t in _DEPTH_TYPES:
+        if vals[k] != DEFAULT_DEPTHS[k]:
+            qb[t] = vals[k]
+        else:
+            qb.pop(t, None)
+    return Config(quant_bits=qb) if qb else None
 
 
 def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
@@ -228,20 +265,16 @@ class BatchEncoder:
         for idx, m in enumerate(meshes):
             groups.setdefault(topology_signature(m), []).append(idx)
 
+        if not _depths_in_range(bits, normal_bits, uv_bits):
+            raise ValueError(
+                f"quantization depths out of range (position {bits}, "
+                f"normal {normal_bits} [7..16], texcoord {uv_bits})")
         # keep the host-side portabilization metadata (and any host
         # fallback re-encode) at the same bit depths the device
         # quantizes with; self.cfg's OTHER quantization keys (e.g. -qg's
         # COLOR/TANGENT/WEIGHT) pass through — those attributes are
         # host-encoded during assembly
-        qb = dict(self.cfg.quant_bits) if self.cfg is not None else {}
-        for t, v, d in ((AttributeType.POSITION, bits, 11),
-                        (AttributeType.NORMAL, normal_bits, 8),
-                        (AttributeType.TEX_COORD, uv_bits, 10)):
-            if v != d:
-                qb[t] = v
-            else:
-                qb.pop(t, None)
-        cfg = Config(quant_bits=qb) if qb else None
+        cfg = _merged_quant_cfg(self.cfg, bits, normal_bits, uv_bits)
 
         out: list[bytes | None] = [None] * len(meshes)
         for sig, idxs in groups.items():
@@ -508,12 +541,9 @@ class BatchEncoder:
         # non-position attributes encode host-side inside
         # encode_with_topology, so self.cfg's other quantization depths
         # are honored here even though only positions were precomputed
-        qb = dict(self.cfg.quant_bits) if self.cfg is not None else {}
-        if bits != 11:
-            qb[AttributeType.POSITION] = bits
-        else:
-            qb.pop(AttributeType.POSITION, None)
-        cfg = Config(quant_bits=qb) if qb else None
+        dflt = _device_quant_bits(self.cfg) or dict(DEFAULT_DEPTHS)
+        cfg = _merged_quant_cfg(self.cfg, bits, dflt["normal_bits"],
+                                dflt["uv_bits"])
         pre = {pos_idx: {"payload": payload,
                          "xform_meta": bytes(meta.getvalue())}}
         return encode_with_topology(mesh, topo, cfg=cfg, precomputed=pre)

@@ -64,3 +64,10 @@ def unzigzag(u):
         return np.where((u & np.uint64(1)) == 0, half, -half - 1)
     u = int(u)
     return (u >> 1) if (u & 1) == 0 else -((u >> 1) + 1)
+
+
+def leb128_bytes(value: int) -> bytes:
+    """leb128_write as bytes (no writer)."""
+    w = ByteWriter()
+    leb128_write(value, w)
+    return bytes(w.getvalue())
