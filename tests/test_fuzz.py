@@ -104,11 +104,13 @@ def test_decode_garbage_never_crashes():
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
                                  Config(quant_bits={AttributeType.NORMAL: 12,
                                                     AttributeType.TEX_COORD: 12}),
+                                 Config(quant_bits={AttributeType.COLOR: 9}),
                                  Config(encoder_method=0)])
 def test_roundtrip_torture_textured(cfg):
-    """Randomized textured meshes (positions + normals + seamed UVs) across
-    traversals; exercises the vectorized normal/UV predictions and the
-    attribute corner tables on irregular topology."""
+    """Randomized textured meshes (positions + normals + seamed UVs +
+    colors) across traversals; exercises the vectorized normal/UV
+    predictions, -qg-style generic depths, and the attribute corner
+    tables on irregular topology."""
     from tests.test_roundtrip import assert_roundtrip
     from tpudraco.models import MeshBuilder
 
@@ -143,4 +145,6 @@ def test_roundtrip_torture_textured(cfg):
                         parents=[pid])
         b.add_attribute(uv, AttributeType.TEX_COORD, AttributeDomain.CORNER,
                         parents=[pid])
+        b.add_attribute(rng.random((n * n, 3)).astype(np.float32),
+                        AttributeType.COLOR, AttributeDomain.POSITION)
         assert_roundtrip(b.build(), cfg=cfg)
