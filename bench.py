@@ -239,9 +239,33 @@ def bench_e2e(positions, faces, gn, gathers):
     return _result("device_encode_e2e_throughput", mbps, "MB/s", host_mbps)
 
 
+def _measure_link():
+    """In-process D2H link probe: per-readback latency (tiny buffer) and
+    bulk bandwidth (8 MB buffer), best of 3 each. Same-window as the e2e
+    runs so the derived occupancy is honest (CLAUDE.md timing rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    big = jax.block_until_ready(jnp.zeros((8 << 20,), jnp.uint8))
+    tiny = jax.block_until_ready(jnp.zeros((4,), jnp.int32))
+    np.asarray(big), np.asarray(tiny)  # warm any transfer program
+    t_big = t_tiny = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(tiny)
+        t_tiny = min(t_tiny, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(big)
+        t_big = min(t_big, time.perf_counter() - t0)
+    bw = big.nbytes / 1e6 / max(t_big - t_tiny, 1e-9)  # MB/s
+    return bw, t_tiny * 1e3  # (MB/s, ms per readback)
+
+
 def bench_e2e_breakdown(positions, faces, gn, gathers):
     """Per-stage decomposition of the e2e wall (device compute vs link vs
-    host assembly) — the utilization evidence VERDICT r2 #1 asks for."""
+    host assembly) plus derived link occupancy — the utilization evidence
+    VERDICT r2 #1 asks for: wall ~= max(link, compute) with the link-busy
+    fraction reported against the SAME-WINDOW measured link."""
     import jax.numpy as jnp
 
     from tpudraco.ops.rans_lanes import encode_group_entropy_device
@@ -263,9 +287,23 @@ def bench_e2e_breakdown(positions, faces, gn, gathers):
         t["entropy_total"] = time.perf_counter() - t1
         if total < best:
             best, stages = total, t
-    out = {k: round(v * 1e3, 1) for k, v in stages.items()}
+    link_bw, link_lat_ms = _measure_link()
+    out = {k: (v if isinstance(v, int)
+               else round(v, 2) if k.endswith("_mb")
+               else round(v * 1e3, 1))
+           for k, v in stages.items()}
     out["total_ms"] = round(best * 1e3, 1)
     out["mbps"] = round(positions.nbytes / best / 1e6, 2)
+    out["link_bw_mbps"] = round(link_bw, 1)
+    out["link_latency_ms"] = round(link_lat_ms, 1)
+    d2h_mb = stages.get("d2h_mb", 0.0)
+    n_rb = stages.get("n_readbacks", 0)
+    link_floor_ms = d2h_mb / link_bw * 1e3 + n_rb * link_lat_ms
+    out["d2h_mb"] = round(d2h_mb, 2)
+    out["link_floor_ms"] = round(link_floor_ms, 1)
+    # fraction of the wall the D2H link is necessarily busy; the timed
+    # run pays n_timing_syncs extra tiny syncs the production path skips
+    out["link_busy_frac"] = round(link_floor_ms / (best * 1e3), 3)
     return out
 
 

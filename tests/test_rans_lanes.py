@@ -462,3 +462,34 @@ def test_group_entropy_randomized_sweep(monkeypatch):
                            DIRECT_CODED, w)
             assert got[i] == w.getvalue(), \
                 f"trial {trial} (B={B} T={T} C={C} w={width}) lane {i}"
+
+
+def test_dist_prefix_deficit_retry():
+    """The zero-sync occupied-prefix readback of the device-built table
+    matrix (_DIST_BUCKET) trains its guess on the previous batch of the
+    same shape; a following batch with a wider occupied range must hit
+    the deficit retry and still serialize byte-exact tables."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(41)
+    B, T, C, bins = 6, 150, 3, 4096
+
+    def check(width):
+        syms = rng.integers(0, width, size=(B, T, C)).astype(np.int32)
+        counts = np.stack([np.bincount(s.ravel(), minlength=bins)
+                           for s in syms]).astype(np.int32)
+        got = rans_lanes.encode_group_entropy_device(
+            jnp.asarray(syms), jnp.asarray(counts))
+        for i in range(B):
+            w = ByteWriter()
+            encode_symbols(syms[i].ravel().astype(np.uint64), C,
+                           DIRECT_CODED, w)
+            assert got[i] == w.getvalue(), f"width {width} lane {i}"
+
+    rans_lanes._DIST_BUCKET.pop((B, bins), None)
+    check(16)    # trains a ~512-column guess
+    assert rans_lanes._DIST_BUCKET.get((B, bins), bins) < bins
+    check(3500)  # occupied range far past the guess: deficit path
+    assert rans_lanes._DIST_BUCKET[(B, bins)] >= 3500

@@ -28,6 +28,7 @@ MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 mar
 # only on (rare) overflow
 _WORD_BUCKET: dict = {}
 _HIST_BUCKET: dict = {}
+_DIST_BUCKET: dict = {}
 LANE_CHUNK = 1 << 30  # pipelined group encode: lanes per scan chunk
 # (chunk k's readback overlaps chunk k+1's device compute). DISABLED by
 # default: the scan is iteration-overhead-bound (~70 us/step regardless
@@ -512,7 +513,9 @@ def _collect_words(combined, L: int, T: int, precision: int,
             _t0 = _time.perf_counter()
         if tiny is None:
             tiny = _slice_cols(combined, 1)
-        np.asarray(tiny)  # forced tiny sync
+        np.asarray(tiny)  # forced tiny sync (timing-only; not counted
+        # in n_readbacks — the untimed path never issues it)
+        _timings["n_timing_syncs"] = _timings.get("n_timing_syncs", 0) + 1
         _timings["scan_compute"] = _timings.get("scan_compute", 0.0) \
             + _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
@@ -553,6 +556,8 @@ def _collect_words(combined, L: int, T: int, precision: int,
             + _time.perf_counter() - _t0
         _timings["bytes_mb"] = _timings.get("bytes_mb", 0.0) \
             + got.nbytes / 1e6
+        _timings["d2h_mb"] = _timings.get("d2h_mb", 0.0) + got.nbytes / 1e6
+        _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
     return buffers, counts, packed, nflush
 
 
@@ -1043,7 +1048,12 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
     # the device while the host reads the histogram and builds tables
     lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
     for attempt in range(2):
-        counts = np.asarray(counts_job).astype(np.int64)
+        raw_counts = np.asarray(counts_job)
+        if _timings is not None:
+            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                  + raw_counts.nbytes / 1e6)
+            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+        counts = raw_counts.astype(np.int64)
         sums = counts.sum(axis=1)
         if np.all(sums == n_sym) or bins == total_bins:
             break
@@ -1200,6 +1210,10 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
 
     def read_tiny():
         tiny = np.asarray(tiny_job).astype(np.int64)
+        if _timings is not None:
+            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                  + tiny.nbytes / 2e6)  # int64 view of i32
+            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
         counts0, ns, totals, patho = tiny.T
         if patho.any():
             return None
@@ -1227,6 +1241,15 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
             t0 = _time.perf_counter()
         maxS = min(W, -(-max(int(ns.max()), 1) // 256) * 256)
         dist_job = _slice_cols(dist_dev, maxS)
+    else:
+        # narrow alphabets still waste the link at full width (residuals
+        # concentrate near 0: e.g. 4096 bins with ~128 occupied is 8 MB
+        # for a ~0.25 MB table at B=512). Same zero-sync trick as
+        # _HIST_BUCKET: slice to the cached occupied-prefix guess from
+        # the previous batch of this shape, verify against ns after the
+        # tiny sync, and re-read full width on the rare deficit.
+        guess = min(W, _DIST_BUCKET.get((B, W), W))
+        dist_job = _slice_cols(dist_dev, guess) if guess < W else dist_dev
 
     # dispatch every scan chunk (one compiled per-lane-precision
     # program) with its readback slices interleaved — nothing here
@@ -1268,7 +1291,24 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
 
     # table matrix: already materialized on device before the scans, so
     # this transfer rides the link under their compute
-    dist = np.asarray(dist_job if wide else dist_dev).astype(np.int64)
+    dist32 = np.asarray(dist_job)
+    if _timings is not None:
+        _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                              + dist32.nbytes / 1e6)
+        _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+    if not wide:
+        need = int(ns.max()) if B else 1
+        if dist32.shape[1] < need:
+            # prefix guess truncated an occupied column: full re-read
+            # (dist_dev is still materialized; rare by construction)
+            dist32 = np.asarray(dist_dev)
+            if _timings is not None:
+                _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                      + dist32.nbytes / 1e6)
+                _timings["n_readbacks"] = _timings.get("n_readbacks",
+                                                       0) + 1
+        _DIST_BUCKET[(B, W)] = min(W, -(-max(need, 1) // 256) * 256 + 256)
+    dist = dist32.astype(np.int64)
     tables = serialize_rans_tables_batch(dist, ns)
     if _timings is not None:
         _timings["table_build"] = _time.perf_counter() - t0
