@@ -141,6 +141,14 @@ def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
     return arr[:, :n]
 
 
+@functools.partial(jax.jit, static_argnames=("g",))
+def _concat_tiny_dist(tiny: jnp.ndarray, dist: jnp.ndarray,
+                      g: int) -> jnp.ndarray:
+    """[tiny summary | occupied-prefix of the table matrix] as one buffer
+    so the device-tables flow pays a single readback for both."""
+    return jnp.concatenate([tiny, dist[:, :g]], axis=1)
+
+
 def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
     """Shared body of the word-packed scan: the recurrence, word
     packing, flush framing, and word-level compaction. ``l_base`` and
@@ -1208,13 +1216,8 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
     lanes_dev = _flip_lanes(jnp.asarray(symbols_dev))
     W = int(dist_dev.shape[1])
 
-    def read_tiny():
-        tiny = np.asarray(tiny_job).astype(np.int64)
-        if _timings is not None:
-            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
-                                  + tiny.nbytes / 2e6)  # int64 view of i32
-            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
-        counts0, ns, totals, patho = tiny.T
+    def check_tiny(tiny):
+        counts0, ns, totals, patho = tiny.astype(np.int64).T
         if patho.any():
             return None
         if not np.all(totals == n_sym):
@@ -1226,6 +1229,14 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
                 f"{int(totals[bad])}/{n_sym} binned) — hist_bins too "
                 "small for the symbol range")
         return counts0, ns
+
+    def read_tiny():
+        tiny = np.asarray(tiny_job)
+        if _timings is not None:
+            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                  + tiny.nbytes / 1e6)
+            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+        return check_tiny(tiny)
 
     wide = W > (1 << 14)
     if wide:
@@ -1247,9 +1258,11 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         # for a ~0.25 MB table at B=512). Same zero-sync trick as
         # _HIST_BUCKET: slice to the cached occupied-prefix guess from
         # the previous batch of this shape, verify against ns after the
-        # tiny sync, and re-read full width on the rare deficit.
+        # sync, and re-read full width on the rare deficit. The tiny
+        # summary rides as 4 leading columns so summary + tables cost
+        # ONE readback (~31 ms tunnel latency each — BASELINE.md).
         guess = min(W, _DIST_BUCKET.get((B, W), W))
-        dist_job = _slice_cols(dist_dev, guess) if guess < W else dist_dev
+        combo_job = _concat_tiny_dist(tiny_job, dist_dev, guess)
 
     # dispatch every scan chunk (one compiled per-lane-precision
     # program) with its readback slices interleaved — nothing here
@@ -1276,27 +1289,21 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         jobs.append((0, B, combined, pre))
 
     if not wide:
-        got = read_tiny()
+        # ONE readback: [tiny summary | dist prefix], materialized before
+        # the scans so the transfer rides the link under their compute
+        raw = np.asarray(combo_job)
+        if _timings is not None:
+            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                  + raw.nbytes / 1e6)
+            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+        got = check_tiny(raw[:, :4])
         if got is None:
             return None
         counts0, ns = got
         if _timings is not None:
             _timings["hist_sync"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-
-    # host mirror of the device precision schedule (same integer ops;
-    # only bls reaches the wire — the scan used the device copy)
-    num_nonzero = (n_sym - counts0).astype(np.uint64)
-    bls = np.clip(bit_length_u64(num_nonzero) + 1, 1, 18)
-
-    # table matrix: already materialized on device before the scans, so
-    # this transfer rides the link under their compute
-    dist32 = np.asarray(dist_job)
-    if _timings is not None:
-        _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
-                              + dist32.nbytes / 1e6)
-        _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
-    if not wide:
+        dist32 = raw[:, 4:]
         need = int(ns.max()) if B else 1
         if dist32.shape[1] < need:
             # prefix guess truncated an occupied column: full re-read
@@ -1308,6 +1315,17 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
                 _timings["n_readbacks"] = _timings.get("n_readbacks",
                                                        0) + 1
         _DIST_BUCKET[(B, W)] = min(W, -(-max(need, 1) // 256) * 256 + 256)
+    else:
+        dist32 = np.asarray(dist_job)
+        if _timings is not None:
+            _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
+                                  + dist32.nbytes / 1e6)
+            _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+
+    # host mirror of the device precision schedule (same integer ops;
+    # only bls reaches the wire — the scan used the device copy)
+    num_nonzero = (n_sym - counts0).astype(np.uint64)
+    bls = np.clip(bit_length_u64(num_nonzero) + 1, 1, 18)
     dist = dist32.astype(np.int64)
     tables = serialize_rans_tables_batch(dist, ns)
     if _timings is not None:
