@@ -1,0 +1,47 @@
+#!/bin/bash
+# One-shot hardware validation of the round-3 pending items (CLAUDE.md):
+# run when the axon tunnel is back. Each stage logs to benchmarks/hw_logs/.
+#
+#   bash benchmarks/hw_validate.sh          # stages 1-3 (~15 min warm)
+#   bash benchmarks/hw_validate.sh suite    # + the full TPU test suite (~25 min)
+#
+# Stages:
+#  1. ab_lane_chunk.py  — DEVICE_TABLES x LANE_CHUNK matrix, interleaved,
+#                         byte-checked (tune/disable losers afterwards)
+#  2. bench.py          — e2e metric, then --breakdown (link occupancy),
+#                         then --metric all
+#  3. bench_mixed.py    — mixed-corpus routing ratios (host/device/auto)
+#  4. (opt) TPU suite   — TPUDRACO_TEST_TPU=1 pytest
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p benchmarks/hw_logs
+TS=$(date +%H%M%S)
+log() { echo "=== $1 ($(date +%T)) ==="; }
+
+log "liveness probe"
+timeout 120 python -c "import jax; print(jax.devices())" \
+    2>&1 | tail -1 || { echo "TUNNEL STILL DEAD"; exit 1; }
+
+log "stage 1: ab_lane_chunk matrix"
+timeout 1800 python benchmarks/ab_lane_chunk.py \
+    2>&1 | tee benchmarks/hw_logs/ab_${TS}.log | tail -20
+
+log "stage 2: bench e2e"
+timeout 1200 python bench.py 2>&1 | tee benchmarks/hw_logs/e2e_${TS}.log | tail -2
+log "stage 2: bench breakdown"
+timeout 1200 python bench.py --breakdown \
+    2>&1 | tee benchmarks/hw_logs/brk_${TS}.log | tail -2
+log "stage 2: bench all"
+timeout 1800 python bench.py --metric all \
+    2>&1 | tee benchmarks/hw_logs/all_${TS}.log | tail -4
+
+log "stage 3: mixed-corpus routing"
+timeout 1800 python benchmarks/bench_mixed.py \
+    2>&1 | tee benchmarks/hw_logs/mixed_${TS}.log | tail -10
+
+if [ "${1:-}" = "suite" ]; then
+    log "stage 4: TPU test suite"
+    TPUDRACO_TEST_TPU=1 timeout 3600 python -m pytest tests/ -q \
+        2>&1 | tee benchmarks/hw_logs/suite_${TS}.log | tail -3
+fi
+log "done — logs in benchmarks/hw_logs/"
