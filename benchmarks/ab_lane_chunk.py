@@ -40,9 +40,11 @@ def make_inputs(B, T, C=3, seed=7):
     return jnp.asarray(syms), jnp.asarray(counts), syms
 
 
-def run(chunk, tables_dev, syms_dev, counts_dev, iters=3):
+def run(chunk, tables_dev, syms_dev, counts_dev, iters=3, compact="sort"):
     rans_lanes.LANE_CHUNK = chunk
     rans_lanes.DEVICE_TABLES = tables_dev
+    if rans_lanes.WORDS_COMPACT != compact:
+        rans_lanes.set_words_compact(compact)
     rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)  # warm
     best = float("inf")
     for _ in range(iters):
@@ -61,30 +63,41 @@ def main():
     one_shot = 1 << 30  # never triggers the chunk condition
     results = {}
     # interleave trials so tunnel drift hits all settings equally; cover
-    # the {host,device}-tables x {one-shot,chunked} matrix twice
-    settings = [(one_shot, False), (one_shot, True), (64, True),
-                (128, True), (256, True), (128, False),
-                (one_shot, False), (one_shot, True)]
-    for ch, dtab in settings:
-        dt, blobs = run(ch, dtab, syms_dev, counts_dev)
+    # the {host,device}-tables x {one-shot,chunked} x {sort,marks}
+    # compaction matrix, the contested cells twice
+    settings = [(one_shot, False, "sort"), (one_shot, True, "sort"),
+                (one_shot, True, "marks"), (64, True, "sort"),
+                (128, True, "sort"), (128, True, "marks"),
+                (256, True, "sort"), (128, False, "sort"),
+                (one_shot, False, "marks"), (one_shot, False, "sort"),
+                (one_shot, True, "sort"), (one_shot, True, "marks")]
+    for ch, dtab, compact in settings:
+        dt, blobs = run(ch, dtab, syms_dev, counts_dev, compact=compact)
         label = (("dtab" if dtab else "htab") + "/"
-                 + ("one-shot" if ch == one_shot else f"chunk={ch}"))
+                 + ("one-shot" if ch == one_shot else f"chunk={ch}")
+                 + "/" + compact)
         results.setdefault(label, []).append(dt)
-        print(f"{label:>16}: {dt*1e3:8.1f} ms "
-              f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)")
-    base = min(results["htab/one-shot"])
+        print(f"{label:>22}: {dt*1e3:8.1f} ms "
+              f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)", flush=True)
+    base = min(results["htab/one-shot/sort"])
     for label, ts in results.items():
-        if label != "htab/one-shot":
-            print(f"{label}: {base/min(ts):.2f}x vs htab/one-shot")
+        if label != "htab/one-shot/sort":
+            print(f"{label}: {base/min(ts):.2f}x vs htab/one-shot/sort")
     # byte sanity across the matrix
     ref = None
-    for ch, dtab in ((one_shot, False), (128, True), (128, False),
-                     (one_shot, True)):
+    for ch, dtab, compact in ((one_shot, False, "sort"),
+                              (128, True, "sort"), (128, False, "sort"),
+                              (one_shot, True, "sort"),
+                              (one_shot, True, "marks"),
+                              (one_shot, False, "marks")):
         rans_lanes.LANE_CHUNK = ch
         rans_lanes.DEVICE_TABLES = dtab
+        rans_lanes.set_words_compact(compact)
         got = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
-        assert ref is None or got == ref, f"bytes differ at {ch},{dtab}"
+        assert ref is None or got == ref, \
+            f"bytes differ at {ch},{dtab},{compact}"
         ref = got
+    rans_lanes.set_words_compact("sort")
     print("bytes identical across the settings matrix")
 
 

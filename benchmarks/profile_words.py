@@ -92,10 +92,17 @@ def main():
                  cums_b)
     t_c = timeit("scan core (rec+sort)", core, fs, cs, lengths, prec_dev)
     t_s = timeit("sort proxy (L,T) u64", sort_proxy, keys)
-    t_f = timeit("full words kernel", rl._rans_scan_lanes_words_vprec,
-                 syms_dev, freqs_b, cums_b, lengths, prec_dev)
+    def full(compact):
+        return rl._rans_scan_lanes_words_vprec(
+            syms_dev, freqs_b, cums_b, lengths, prec_dev,
+            compact=compact)
+
+    t_f = timeit("full words kernel", full, "sort")
+    t_m = timeit("full kernel (marks)", full, "marks")
+    t_f2 = timeit("full kernel (sort, again)", full, "sort")
     print(f"shares of full: gather {t_g / t_f:.0%}, core {t_c / t_f:.0%} "
-          f"(sort proxy {t_s / t_f:.0%} of full)")
+          f"(sort proxy {t_s / t_f:.0%} of full); "
+          f"marks vs sort: {min(t_f, t_f2) / t_m:.2f}x")
 
 
 if __name__ == "__main__":

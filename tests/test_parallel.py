@@ -975,18 +975,26 @@ def test_encode_meshes_auto_routing(tmp_path):
         assert a == b
 
 
-def test_device_entropy_sharded_byte_oracle():
+@pytest.mark.parametrize("compact", ["sort", "marks"])
+def test_device_entropy_sharded_byte_oracle(compact):
     """The lane-sharded word scan (entropy stage over a 'data' mesh) must
     produce bytes identical to sequential encode() — the full pipeline
-    (step AND entropy) sharded (SURVEY §4d oracle)."""
+    (step AND entropy) sharded (SURVEY §4d oracle) — under both word
+    compaction strategies (the marks concat runs per shard)."""
     import jax
     from jax.sharding import Mesh
+
+    from tpudraco.ops import rans_lanes
 
     if len(jax.devices()) < 4:
         pytest.skip("needs a multi-device mesh")
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
     meshes = [_grid_mesh(9, s) for s in range(8)]
-    be = BatchEncoder(strict_device=True, mesh_axis=mesh)
-    blobs = be.encode_meshes_device(meshes, entropy="device")
+    rans_lanes.set_words_compact(compact)
+    try:
+        be = BatchEncoder(strict_device=True, mesh_axis=mesh)
+        blobs = be.encode_meshes_device(meshes, entropy="device")
+    finally:
+        rans_lanes.set_words_compact("sort")
     for m, blob in zip(meshes, blobs):
         assert blob == encode(m)

@@ -464,6 +464,53 @@ def test_group_entropy_randomized_sweep(monkeypatch):
                 f"trial {trial} (B={B} T={T} C={C} w={width}) lane {i}"
 
 
+def test_words_compact_marks_twin():
+    """WORDS_COMPACT="marks" (sort-free block compaction: in-register
+    per-step slots + scatter-max/cummax/gather concat) must be
+    byte-identical to the "sort" default through BOTH table flows, at
+    mixed per-lane precisions, and at high entropy (max flush density —
+    exercises the per-step block-slot bound BW and the cap_w edge)."""
+    from tpudraco.entropy.symbol_coding import DIRECT_CODED, encode_symbols
+    from tpudraco.ops import rans_lanes
+    from tpudraco.wire import ByteWriter
+
+    rng = np.random.default_rng(17)
+    cases = []
+    B, T, C = 24, 50, 3
+    syms = (rng.integers(0, 11, size=(B, T, C)) ** 2).astype(np.int32)
+    syms[:8] = (rng.integers(0, 2, size=(8, T, C)) * 100).astype(np.int32)
+    cases.append((syms, 160))
+    # high entropy: uniform over 2^13 values -> deep precision, ~2+
+    # bytes/symbol, the worst flush density the wire can produce
+    cases.append((rng.integers(0, 1 << 13,
+                               size=(4, 900, 3)).astype(np.int32),
+                  1 << 13))
+    try:
+        for syms, bins in cases:
+            counts = np.stack([np.bincount(s.reshape(-1), minlength=bins)
+                               for s in syms]).astype(np.int32)
+            outs = {}
+            for mode in ("sort", "marks"):
+                rans_lanes.set_words_compact(mode)
+                for dtab in (True, False):
+                    prev = rans_lanes.DEVICE_TABLES
+                    rans_lanes.DEVICE_TABLES = dtab
+                    try:
+                        outs[(mode, dtab)] = \
+                            rans_lanes.encode_group_entropy_device(
+                                jnp.asarray(syms), jnp.asarray(counts))
+                    finally:
+                        rans_lanes.DEVICE_TABLES = prev
+            ref = outs[("sort", True)]
+            assert all(v == ref for v in outs.values())
+            w = ByteWriter()
+            encode_symbols(syms[0].reshape(-1).astype(np.uint64),
+                           syms.shape[2], DIRECT_CODED, w)
+            assert ref[0] == w.getvalue()
+    finally:
+        rans_lanes.set_words_compact("sort")
+
+
 def test_dist_prefix_deficit_retry():
     """The zero-sync occupied-prefix readback of the device-built table
     matrix (_DIST_BUCKET) trains its guess on the previous batch of the

@@ -47,6 +47,21 @@ SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       band on v5e (interleaved trials swing 734-1846 ms
 #                       on identical code); 8 keeps the compiled shapes.
 
+# word-compaction strategy for the words scan: "sort" = stable-partition
+# argsort (round-3 default, measured), "marks" = in-register per-step
+# block packing + scatter-max/cummax/gather ragged concat (no sort; see
+# _words_scan_core docstring). The flag threads into the kernels as a
+# STATIC argument, so both variants coexist in the jit caches and
+# switching is free.
+WORDS_COMPACT = "sort"
+
+
+def set_words_compact(mode: str) -> None:
+    """Select the words-scan compaction strategy ("sort" | "marks")."""
+    global WORDS_COMPACT
+    assert mode in ("sort", "marks"), mode
+    WORDS_COMPACT = mode
+
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _rans_scan_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
@@ -149,7 +164,8 @@ def _concat_tiny_dist(tiny: jnp.ndarray, dist: jnp.ndarray,
     return jnp.concatenate([tiny, dist[:, :g]], axis=1)
 
 
-def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
+def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
+                     compact: str = "sort"):
     """Shared body of the word-packed scan: the recurrence, word
     packing, flush framing, and word-level compaction. ``l_base`` and
     ``prec`` are uint32 scalars (static-precision kernel) or (L,)
@@ -157,7 +173,17 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
     (4*f) << 8 is precision-independent (l_base >> p == 4), so the
     recurrence itself never branches on which. fs/cs are the
     pre-gathered per-symbol (freq, cum) tables over the K-padded
-    symbol axis."""
+    symbol axis.
+
+    ``compact`` (static, from the WORDS_COMPACT flag): "sort" is the
+    stable-partition argsort (the measured round-3 default); "marks"
+    packs each scan step's flushed words into per-step block slots IN
+    REGISTERS (static select network, no sort input at all) and
+    concatenates the ragged blocks with a small scatter-max + two
+    cummaxes + one gather — the argsort is the dominant on-chip cost of
+    the entropy stage (251 of 288 ms at L=512, T=12288 on v5e), so if
+    scatter/cummax lower acceptably this removes it. Byte streams are
+    identical (oracle in tests)."""
     L, T_pad = fs.shape
     K = SYMBOLS_PER_STEP
     u8_ = jnp.uint32(8)
@@ -186,7 +212,23 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
         nacc = jnp.where(fl, nacc - 4, nacc)
         return (states, lo, hi, nacc), (word, fl)
 
+    marks = compact == "marks"
+    # max full-word flushes per step: <= 3 carried bytes + K *
+    # MAX_RENORM_PER_SYMBOL emitted, one word per 4 bytes
+    BW = (3 + MAX_RENORM_PER_SYMBOL * K) // 4
+
     def step(carry, s):
+        if marks:
+            slots = [carry[0] * 0 for _ in range(BW)]
+            cnt = carry[0] * 0
+            for k in range(K):
+                i = s * K + k
+                carry, (w, fl) = one_symbol(carry, fs[:, i], cs[:, i],
+                                            i < lengths)
+                for b in range(BW):
+                    slots[b] = jnp.where(fl & (cnt == b), w, slots[b])
+                cnt = cnt + fl.astype(jnp.uint32)
+            return carry, (jnp.stack(slots), cnt)  # (BW, L), (L,)
         words, flags = [], []
         for k in range(K):
             i = s * K + k
@@ -203,8 +245,6 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
     carry0 = (zeros + l_base, zeros, zeros, zeros)
     (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
         step, carry0, jnp.arange(T_pad // K))
-    words = wq.reshape(T_pad, L)[:T].T        # (L, T) symbol-major
-    mask = flq.reshape(T_pad, L)[:T].T
 
     # flush framing: final state with 2-bit size flag (rans.rs:48-68)
     st = states - l_base
@@ -215,21 +255,55 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec):
     packed = st + (flag << (jnp.uint32(6)
                             + u8_ * (nbytes_state - 1).astype(jnp.uint32)))
 
-    # word-level stable partition (3x fewer sort elements than byte slots)
-    order = jnp.argsort(~mask, axis=1, stable=True)
-    compacted = jnp.take_along_axis(words, order, axis=1)
     cap_w = min(T, (3 * T) // 4 + 2)
-    compacted = compacted[:, :cap_w]
-    nwords = mask.sum(axis=1).astype(jnp.uint32)
+    if marks:
+        compacted, nwords = _compact_blocks_marks(
+            wq.transpose(2, 0, 1), flq.T.astype(jnp.int32), cap_w)
+    else:
+        words = wq.reshape(T_pad, L)[:T].T    # (L, T) symbol-major
+        mask = flq.reshape(T_pad, L)[:T].T
+        # word-level stable partition (3x fewer sort elements than byte
+        # slots)
+        order = jnp.argsort(~mask, axis=1, stable=True)
+        compacted = jnp.take_along_axis(words, order, axis=1)
+        compacted = compacted[:, :cap_w]
+        nwords = mask.sum(axis=1).astype(jnp.uint32)
     meta = jnp.stack([nwords, nacc, lo, packed,
                       nbytes_state.astype(jnp.uint32)], axis=1)
     return jnp.concatenate([meta, compacted], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+def _compact_blocks_marks(blocks, cnts, cap_w: int):
+    """Ragged-concatenate per-step word blocks without a sort: scatter a
+    (block-id, block-offset) mark at each block's start position,
+    forward-fill both with cummax (block starts are monotone), and
+    gather every output slot straight from (src block, p - offset).
+    blocks (L, G, BW) uint32, cnts (L, G) int32 with cnts[g] <= BW.
+    Returns (compacted (L, cap_w) uint32, nwords (L,) uint32)."""
+    L, G, BW = blocks.shape
+    off = jnp.cumsum(cnts, axis=1) - cnts              # exclusive (L, G)
+    nwords = (off[:, -1] + cnts[:, -1]).astype(jnp.uint32)
+    rows = jnp.arange(L, dtype=jnp.int32)[:, None]
+    gids = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32), (L, G))
+    # duplicate start positions (empty-block runs) resolve to the max
+    # block id = the run's single non-empty terminator; trailing empties
+    # scatter at position nwords and drop when out of range
+    zero = jnp.zeros((L, cap_w), jnp.int32)
+    gmark = zero.at[rows, off].max(gids, mode="drop")
+    omark = zero.at[rows, off].max(off, mode="drop")
+    src = jax.lax.cummax(gmark, axis=1)
+    offp = jax.lax.cummax(omark, axis=1)
+    p = jnp.arange(cap_w, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(src * BW + (p - offp), 0, G * BW - 1)
+    compacted = jnp.take_along_axis(blocks.reshape(L, G * BW), idx,
+                                    axis=1)
+    return compacted, nwords
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "compact"))
 def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
                            cums: jnp.ndarray, lengths: jnp.ndarray,
-                           precision: int = 12):
+                           precision: int = 12, compact: str = "sort"):
     """Device scan with WORD-PACKED emissions: each lane packs its
     renormalization bytes little-endian into uint32 words carried through
     the scan (at most one full word flushes per symbol), so the on-device
@@ -274,7 +348,7 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
 
     return _words_scan_core(fs, cs, lengths, T,
                             jnp.uint32((1 << precision) << 2),
-                            jnp.uint32(precision))
+                            jnp.uint32(precision), compact=compact)
 
 
 def _take_packed_u32u8(fq, cq, take):
@@ -293,10 +367,10 @@ def _take_packed_u32u8(fq, cq, take):
     return fs, cs
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("compact",))
 def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
                                  cums: jnp.ndarray, lengths: jnp.ndarray,
-                                 prec: jnp.ndarray):
+                                 prec: jnp.ndarray, compact: str = "sort"):
     """_rans_scan_lanes_words with PER-LANE precision as traced data.
 
     The static kernel's precision only reaches three value-level spots —
@@ -329,24 +403,25 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
     fs, cs = _take_packed_u32u8(freqs.astype(jnp.uint32),
                                 cums.astype(jnp.uint32), take)
     return _words_scan_core(fs, cs, lengths, T, jnp.uint32(4) << prec,
-                            prec)
+                            prec, compact=compact)
 
 
-@functools.partial(jax.jit, static_argnames=("ch",))
+@functools.partial(jax.jit, static_argnames=("ch", "compact"))
 def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
-                            ch: int):
+                            ch: int, compact: str = "sort"):
     """Chunked _rans_scan_lanes_words_vprec: every input slices at the
     traced c0 so all chunks share one compiled program (a per-offset
     static slice would cost a remote XLA compile per chunk)."""
     sl = functools.partial(jax.lax.dynamic_slice_in_dim, start_index=c0,
                            slice_size=ch, axis=0)
     return _rans_scan_lanes_words_vprec.__wrapped__(
-        sl(symbols), sl(freqs), sl(cums), sl(lengths), sl(prec))
+        sl(symbols), sl(freqs), sl(cums), sl(lengths), sl(prec),
+        compact=compact)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "ch"))
+@functools.partial(jax.jit, static_argnames=("precision", "ch", "compact"))
 def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
-                      precision: int, ch: int):
+                      precision: int, ch: int, compact: str = "sort"):
     """Word scan over a CONTIGUOUS lane chunk [c0, c0+ch) of a resident
     (L, T) symbol matrix. The chunk start is a traced scalar so every
     chunk of a batch reuses ONE compiled program; the chunk width is
@@ -356,12 +431,13 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
     scan — BASELINE.md round-3 breakdown)."""
     sym = jax.lax.dynamic_slice_in_dim(symbols, c0, ch, axis=0)
     return _rans_scan_lanes_words.__wrapped__(
-        sym, freqs, cums, lengths, precision=precision)
+        sym, freqs, cums, lengths, precision=precision, compact=compact)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh_axis",))
+@functools.partial(jax.jit, static_argnames=("mesh_axis", "compact"))
 def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
-                                         prec, mesh_axis):
+                                         prec, mesh_axis,
+                                         compact: str = "sort"):
     """Lane-sharded per-lane-precision word scan (the device-tables flow
     under a 1-D ("data",) mesh): precisions shard with their lanes, the
     recurrence is per-lane, so the gathered result is bit-identical to
@@ -373,8 +449,8 @@ def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
         from jax.experimental.shard_map import shard_map
 
     def scan_shard(sym, fq, cq, ln, pr):
-        return _rans_scan_lanes_words_vprec.__wrapped__(sym, fq, cq,
-                                                        ln, pr)
+        return _rans_scan_lanes_words_vprec.__wrapped__(
+            sym, fq, cq, ln, pr, compact=compact)
 
     fn = shard_map(scan_shard, mesh=mesh_axis,
                    in_specs=(P("data", None), P("data", None),
@@ -383,9 +459,11 @@ def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
     return fn(symbols, freqs, cums, lengths, prec)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "mesh_axis"))
+@functools.partial(jax.jit,
+                   static_argnames=("precision", "mesh_axis", "compact"))
 def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
-                                   precision: int, mesh_axis):
+                                   precision: int, mesh_axis,
+                                   compact: str = "sort"):
     """Lane-sharded word scan over a 1-D ("data",) device mesh: each chip
     runs the identical recurrence on its lane shard (lanes are
     independent rANS streams), so the gathered result is bit-identical to
@@ -399,7 +477,7 @@ def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
 
     def scan_shard(sym, fq, cq, ln):
         return _rans_scan_lanes_words.__wrapped__(
-            sym, fq, cq, ln, precision=precision)
+            sym, fq, cq, ln, precision=precision, compact=compact)
 
     per_lane_tables = freqs.ndim == 2
     fn = shard_map(scan_shard, mesh=mesh_axis,
@@ -467,12 +545,13 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
             combined = _rans_scan_lanes_words_sharded(
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
-                precision=precision, mesh_axis=mesh_axis)
+                precision=precision, mesh_axis=mesh_axis,
+                compact=WORDS_COMPACT)
         else:
             combined = _rans_scan_lanes_words(
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
-                precision=precision)
+                precision=precision, compact=WORDS_COMPACT)
         buffers, counts, packed, nflush = _collect_words(
             combined, L, T, precision, _timings=_timings, _t0=t0)
 
@@ -1128,7 +1207,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
                     jnp.asarray(freqs[c0:c0 + ch]),
                     jnp.asarray(cums[c0:c0 + ch]),
                     jnp.asarray(lengths[c0:c0 + ch]),
-                    precision=int(prec), ch=ch)
+                    precision=int(prec), ch=ch, compact=WORDS_COMPACT)
                 # readback slices dispatch NOW so they sit between scans
                 # in the in-order stream (probe_overlap.py scenario C)
                 pre = _dispatch_words_readback(
@@ -1274,16 +1353,18 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         for c0 in range(0, B, ch):
             combined = _words_scan_chunk_vprec(
                 lanes_dev, np.int32(c0), dist_dev, cums_dev,
-                lengths_dev, prec_dev, ch=ch)
+                lengths_dev, prec_dev, ch=ch, compact=WORDS_COMPACT)
             pre = _dispatch_words_readback(
                 combined, ch, n_sym, -1, want_tiny=_timings is not None)
             jobs.append((c0, ch, combined, pre))
     else:
         combined = (_rans_scan_lanes_words_vprec_sharded(
             lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-            mesh_axis=mesh_axis) if mesh_axis is not None else
+            mesh_axis=mesh_axis, compact=WORDS_COMPACT)
+            if mesh_axis is not None else
             _rans_scan_lanes_words_vprec(
-                lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev))
+                lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
+                compact=WORDS_COMPACT))
         pre = _dispatch_words_readback(
             combined, B, n_sym, -1, want_tiny=_timings is not None)
         jobs.append((0, B, combined, pre))
