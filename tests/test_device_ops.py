@@ -160,3 +160,41 @@ def test_f32_sqrt_exact_bitwise():
     want = np.sqrt(a)
     mism = got.view(np.int32) != want.view(np.int32)
     assert not mism.any(), (a[mism][:5], got[mism][:5], want[mism][:5])
+
+
+def test_f32_mul_exact_bitwise():
+    """f32_mul_exact must be bit-identical to IEEE round-to-nearest-even
+    (numpy) multiplication across magnitudes, exact squares, and signs —
+    and must stay exact when composed with an add inside ONE jit, the
+    FMA-contraction scenario XLA:CPU produces straight through
+    lax.optimization_barrier (soak-found round 3)."""
+    import jax
+
+    from tpudraco.ops import f32_mul_exact
+
+    rng = np.random.default_rng(23)
+    parts = []
+    for ea in (-30, -7, 0, 9, 27):
+        parts.append((rng.random(60_000).astype(np.float32) * 2 - 1)
+                     * np.float32(2.0) ** ea)
+    # integer-valued floats (the oct-transform square inputs)
+    parts.append(rng.integers(-(1 << 24), 1 << 24,
+                              size=60_000).astype(np.float32))
+    parts.append(np.array([0.0, -0.0, 1.0, -1.0, 6241.0], np.float32))
+    a = np.concatenate(parts)
+    b = np.concatenate([rng.permutation(p) for p in parts])
+    got = np.asarray(f32_mul_exact(jnp.asarray(a), jnp.asarray(b)))
+    want = (a * b).astype(np.float32)
+    # -0.0 vs 0.0: both quantize identically; compare on abs for zeros
+    zs = want == 0
+    assert np.array_equal(got[~zs].view(np.int32), want[~zs].view(np.int32))
+    assert (got[zs] == 0).all()
+
+    # the FMA case: round(a*a) + c must keep the intermediate rounding
+    @jax.jit
+    def f(z, c):
+        return c + f32_mul_exact(z, z)
+
+    z, c = np.float32(6241.0), np.float32(4506002.0)
+    assert float(f(jnp.asarray(z), jnp.asarray(c))) == float(
+        np.float32(z * z) + c)  # 43456080, not the fused 43456084

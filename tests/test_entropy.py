@@ -229,3 +229,23 @@ def test_serialize_rans_tables_batch_matches_scalar():
         w = ByteWriter()
         serialize_rans_table(dist[b, :ns[b]], w)
         assert got[b] == w.getvalue(), b
+
+
+def test_table_serialization_wide_alphabet_leb128():
+    """Regression (round-3 soak): num_symbols >= 2^21 needs a 4-byte
+    leb128 prefix in the batched table serializer (deep -qp direct-coded
+    residual alphabets); parse back and compare."""
+    from tpudraco.entropy.rans import parse_rans_table, serialize_rans_table
+    from tpudraco.wire import ByteReader, ByteWriter
+
+    rng = np.random.default_rng(3)
+    ns = (1 << 21) + 17
+    dist = np.zeros(ns, dtype=np.int64)
+    occupied = rng.choice(ns - 1, size=200, replace=False)
+    dist[occupied] = rng.integers(1, 1 << 19, size=200)
+    dist[ns - 1] = 7  # table must end nonzero
+    w = ByteWriter()
+    serialize_rans_table(dist, w)
+    back = parse_rans_table(ByteReader(w.getvalue()))
+    assert len(back) == ns
+    assert np.array_equal(back, dist)

@@ -998,3 +998,28 @@ def test_device_entropy_sharded_byte_oracle(compact):
         rans_lanes.set_words_compact("sort")
     for m, blob in zip(meshes, blobs):
         assert blob == encode(m)
+
+
+def test_device_batch_deep_depths_bit_exact(monkeypatch):
+    """Regression (round-3 soak): at -qn >= 15 the device flip selection
+    squared d2 = -pred - orig in int32 (overflows, spurious flips), and
+    XLA:CPU fuses mul+add into FMAs through optimization_barrier (1-ulp
+    oct/quantize drift at fine depths) — both corrupted device-batch
+    streams vs host encode(). Deep depths must be byte-exact with no
+    host fallback."""
+    from tpudraco.encode import Config
+
+    meshes = [_grid_mesh_with_normals(7, s) for s in range(2)]
+
+    def no_fallback(self, mesh, cfg=None):
+        raise AssertionError("fell back to host encode")
+    monkeypatch.setattr(BatchEncoder, "encode_mesh", no_fallback)
+    for qp, qn, qt in ((11, 15, 10), (11, 16, 10), (9, 13, 12),
+                      (16, 16, 16)):
+        cfg = Config(quant_bits={AttributeType.POSITION: qp,
+                                 AttributeType.NORMAL: qn,
+                                 AttributeType.TEX_COORD: qt})
+        got = BatchEncoder(strict_device=True).encode_meshes_device(
+            meshes, bits=qp, normal_bits=qn, uv_bits=qt)
+        for m, blob in zip(meshes, got):
+            assert blob == encode(m, cfg=cfg), (qp, qn, qt)

@@ -752,3 +752,27 @@ def test_non_finite_rejected_on_sequential_plane():
     pc = Mesh(faces=np.zeros((0, 3), np.int64), attributes=[att])
     with pytest.raises(ValueError, match="non-finite"):
         encode(pc)
+
+
+def test_roundtrip_deep_position_quantization():
+    """Regression (round-3 soak): -qp 21+ direct-coded residual tables
+    exceed 2^21 symbols; the serializer previously raised. The reference
+    stream format is unbounded here — round-trip at qp 21 and 23."""
+    rng = np.random.default_rng(5)
+    n = 10
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.random(n * n).astype(np.float32) * 3], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces, np.int64))
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    mesh = b.build()
+    for qp in (21, 23):
+        assert_roundtrip(mesh, cfg=Config(
+            quant_bits={AttributeType.POSITION: qp}))

@@ -359,7 +359,7 @@ def serialize_rans_table(dist: np.ndarray, writer: ByteWriter) -> None:
     token layout has exactly ONE implementation; only the (unreachable for
     normalized tables) num_symbols >= 2^21 case keeps a scalar leb128."""
     dist = np.asarray(dist, dtype=np.int64)
-    if len(dist) >= (1 << 21):
+    if len(dist) >= (1 << 28):
         raise ValueError("rANS table too large to serialize")
     if len(dist) == 0:
         leb128_write(0, writer)
@@ -384,8 +384,13 @@ def serialize_rans_tables_batch(dist: np.ndarray,
     freqs = dist[bidx, cols]
     if len(freqs) and int(freqs.max()) >= (1 << 22):
         raise ValueError("frequency too large for table serialization")
-    if (ns >= (1 << 21)).any():
-        raise ValueError("num_symbols too large for the batched leb128")
+    if (ns >= (1 << 28)).any():
+        # a >=2^28-entry table is multiple GB serialized — practical
+        # ceiling, not a wire limit (the scalar reference loop is
+        # unbounded; deep -qp with symbol_coding="auto"/"length" never
+        # builds tables this wide)
+        raise ValueError("num_symbols too large to serialize a "
+                         "DirectCoded table (use symbol_coding='auto')")
     endz = (ns > 0) & (dist[np.arange(B), np.maximum(ns - 1, 0)] <= 0)
     if endz.any():
         raise ValueError("rANS table must end with a nonzero frequency")
@@ -401,8 +406,9 @@ def serialize_rans_tables_batch(dist: np.ndarray,
              + (freqs >= (1 << 14)).astype(np.int64))
     seg = run_len + 1 + extra
 
-    # leb128 prefix for num_symbols (1-3 bytes for ns < 2^21)
-    plen = 1 + (ns >= (1 << 7)) + (ns >= (1 << 14))
+    # leb128 prefix for num_symbols (1-4 bytes for ns < 2^28)
+    plen = (1 + (ns >= (1 << 7)) + (ns >= (1 << 14))
+            + (ns >= (1 << 21)))
     token_total = np.bincount(bidx, weights=seg, minlength=B).astype(
         np.int64)
     lane_len = plen + token_total
@@ -416,7 +422,10 @@ def serialize_rans_tables_batch(dist: np.ndarray,
     out[lane_start[m2] + 1] = ((v[m2] >> 7) & 0x7F) \
         | np.where(plen[m2] > 2, 0x80, 0)
     m3 = plen >= 3
-    out[lane_start[m3] + 2] = (v[m3] >> 14) & 0x7F
+    out[lane_start[m3] + 2] = ((v[m3] >> 14) & 0x7F) \
+        | np.where(plen[m3] > 3, 0x80, 0)
+    m4 = plen >= 4
+    out[lane_start[m4] + 3] = (v[m4] >> 21) & 0x7F
 
     # entry offsets: global exclusive cumsum of seg, re-based per lane
     goff = np.concatenate([[0], np.cumsum(seg)[:-1]])

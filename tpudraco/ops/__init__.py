@@ -1,6 +1,7 @@
 from .device import (
     bincount_kernel,
     f32_div_exact,
+    f32_mul_exact,
     f32_sqrt_exact,
     default_hist_bins,
     dequantize_kernel,
@@ -27,7 +28,7 @@ from .pallas_kernels import (
 
 __all__ = [
     "bincount_kernel", "default_hist_bins", "dequantize_kernel",
-    "f32_div_exact", "f32_sqrt_exact",
+    "f32_div_exact", "f32_mul_exact", "f32_sqrt_exact",
     "encode_step", "encode_step_chunk", "encode_step_pallas",
     "minmax_chunk_kernel", "parallelogram_predict_kernel", "quantize_kernel",
     "quantize_rows_kernel", "quantized_range_chunk_kernel",

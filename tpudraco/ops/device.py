@@ -79,6 +79,56 @@ def f32_div_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (sign * out).astype(jnp.float32)
 
 
+def f32_mul_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IEEE-754 round-to-nearest-even float32 product (finite inputs),
+    bit-identical to numpy on every backend, computed WITHOUT a float
+    multiply so no compiler can contract it with a neighboring add.
+
+    Motivation (soak-found round 3): XLA:CPU fuses `a * b + c` into an
+    FMA THROUGH `lax.optimization_barrier`, bitcast round-trips, scoped
+    f64 upcasts, and every xla_cpu_* flag on this jaxlib — the only safe
+    form of "round the product before the add" is to not emit a float
+    multiply at all. (XLA:TPU honors the barrier — hardware-validated in
+    rounds 2-3 — but a backend-split implementation would leave the CPU
+    mesh testing different code than the chip runs.)
+
+    The 48-bit exact mantissa product is held in int32 limbs via 12-bit
+    splits; round-to-nearest-even on the discarded bits; ldexp scales.
+    Subnormal caveat matches f32_div_exact (double rounding near
+    2^-126; immaterial for the codec's quantization uses)."""
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b))
+    a = jnp.broadcast_to(jnp.asarray(a, jnp.float32), shape)
+    b = jnp.broadcast_to(jnp.asarray(b, jnp.float32), shape)
+    sign = jnp.sign(a) * jnp.sign(b)
+    ma, ea = jnp.frexp(jnp.abs(a))  # |a| = ma * 2^ea, ma in [0.5, 1)
+    mb, eb = jnp.frexp(jnp.abs(b))
+    ia = (ma * jnp.float32(1 << 24)).astype(jnp.int32)  # [2^23, 2^24)
+    ib = (mb * jnp.float32(1 << 24)).astype(jnp.int32)
+    ah, al = ia >> 12, ia & 0xFFF
+    bh, bl = ib >> 12, ib & 0xFFF
+    # p = ia * ib = hi * 2^24 + mid * 2^12 + lo, every limb < 2^25
+    hi = ah * bh
+    mid = ah * bl + al * bh
+    lo = al * bl
+    mid_lo = ((mid & 0xFFF) << 12) + lo      # < 2^25
+    ph = hi + (mid >> 12) + (mid_lo >> 24)   # p >> 24, in [2^22, 2^24)
+    low24 = mid_lo & 0xFFFFFF                # p & (2^24 - 1)
+    # normalize: p in [2^47, 2^48) keeps ph as the 24-bit mantissa;
+    # p in [2^46, 2^47) shifts one bit up from low24
+    big = ph >= (1 << 23)
+    r = jnp.where(big, ph, (ph << 1) | (low24 >> 23))
+    rnd_bit = jnp.where(big, 1 << 23, 1 << 22)
+    disc = low24 & (rnd_bit | (rnd_bit - 1))
+    round_up = (disc > rnd_bit) | ((disc == rnd_bit) & ((r & 1) == 1))
+    r = r + round_up.astype(jnp.int32)
+    ovf = r == (1 << 24)                     # 2^24 after rounding
+    r = jnp.where(ovf, r >> 1, r)
+    e = ea + eb + big.astype(jnp.int32) + ovf.astype(jnp.int32)
+    out = jnp.ldexp(r.astype(jnp.float32), e - 48 + 23)
+    out = jnp.where((a == 0) | (b == 0), jnp.float32(0.0), out)
+    return (sign * out).astype(jnp.float32)
+
+
 def f32_sqrt_exact(a: jnp.ndarray) -> jnp.ndarray:
     """IEEE-754 round-to-nearest float32 sqrt of a >= 0, bit-identical to
     numpy on every backend (TPU hardware sqrt is 1 ulp off on ~40% of
@@ -148,12 +198,12 @@ def quantize_kernel(values: jnp.ndarray, bits: int):
                            f32_div_exact(diff, jnp.broadcast_to(
                                safe[..., None, None], diff.shape)))
     scale = jnp.float32((1 << bits) - 1)
-    # the barrier stops XLA fusing mul+add into an FMA: the host reference
-    # rounds the float32 product BEFORE adding 0.5, and the fused form
-    # flips values on .5 boundaries; f32_div_exact likewise replaces the
-    # 1-ulp-off TPU hardware division (both seen at ~1 in 3M values on
-    # real meshes at 11 bits)
-    prod = jax.lax.optimization_barrier(normalized * scale)
+    # the host reference rounds the float32 product BEFORE adding 0.5;
+    # a fused mul-add flips values on .5 boundaries. The integer-exact
+    # product is the only form no backend can contract: XLA:TPU honors
+    # an optimization_barrier here (hardware-validated) but XLA:CPU
+    # fuses straight through it (see f32_mul_exact)
+    prod = f32_mul_exact(normalized, scale)
     q = (prod + jnp.float32(0.5)).astype(jnp.int32)
     return q, mins, delta_max
 
@@ -313,8 +363,8 @@ def quantize_rows_kernel(rows: jnp.ndarray, mins: jnp.ndarray,
                            f32_div_exact(diff, jnp.broadcast_to(safe,
                                                                 diff.shape)))
     scale = jnp.float32((1 << bits) - 1)
-    # anti-FMA barrier + exact division — see quantize_kernel
-    prod = jax.lax.optimization_barrier(normalized * scale)
+    # contraction-proof exact product — see quantize_kernel
+    prod = f32_mul_exact(normalized, scale)
     return (prod + jnp.float32(0.5)).astype(jnp.int32)
 
 

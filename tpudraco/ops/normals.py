@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .device import f32_div_exact, f32_sqrt_exact
+from .device import f32_div_exact, f32_mul_exact, f32_sqrt_exact
 
 
 # ---------------------------------------------------------------- host prep
@@ -42,11 +42,13 @@ def oct_transform_device(v: jnp.ndarray) -> jnp.ndarray:
         f = v.astype(jnp.float32)
         x, y, z = f[..., 0], f[..., 1], f[..., 2]
         # explicit left-fold sum matches numpy's small-axis reduction;
-        # barriers stop XLA fusing the muls into FMAs (the host rounds
-        # every product before adding — see quantize_kernel)
-        xx = jax.lax.optimization_barrier(x * x)
-        yy = jax.lax.optimization_barrier(y * y)
-        zz = jax.lax.optimization_barrier(z * z)
+        # integer-exact products: the host rounds every square before
+        # adding, and XLA:CPU fuses a float mul into the adds as an FMA
+        # straight through an optimization_barrier (soak-found round 3 —
+        # a 1-ulp nsq flipped a quantized prediction; see f32_mul_exact)
+        xx = f32_mul_exact(x, x)
+        yy = f32_mul_exact(y, y)
+        zz = f32_mul_exact(z, z)
         nsq = (xx + yy) + zz
         norm = f32_sqrt_exact(nsq)
         f = f32_div_exact(f, jnp.broadcast_to(norm[..., None], f.shape))
@@ -94,7 +96,8 @@ def oct_quantize_device(vals: jnp.ndarray, bits: int = 8) -> jnp.ndarray:
     (octahedral_quantization.rs:49-65)."""
     oct = oct_transform_device(vals) + jnp.float32(1.0)
     scale = jnp.float32((1 << (bits - 1)) - 1)
-    # mul is exactly rounded; truncation toward zero matches the host
+    # the lone mul is exactly rounded (no neighboring add to contract
+    # with); truncation toward zero matches the host
     return (oct * scale).astype(jnp.int32)
 
 
@@ -183,10 +186,22 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     q_n = into_faithful_device(oct_quantize_device(normals, bits), bits)
     orig = q_n[:, uo_point_nrm[tip_pt], :]              # (B, T, 2)
 
-    # flip selection (mesh_normal_prediction.rs:133-143)
-    d1 = pred - orig
-    d2 = -pred - orig
-    flips = (d1 * d1).sum(-1) > (d2 * d2).sum(-1)
+    # flip selection (mesh_normal_prediction.rs:133-143): the host
+    # compares exact int64 squared distances; d2 = -pred - orig reaches
+    # 2*(2^bits - 1), so its square overflows int32 at bits >= 15
+    # (soak-found round 3: spurious flips at -qn 15/16 diverged the
+    # device stream). Decompose each square into base-2^16 limbs —
+    # exact in int32 for |v| < 2^17 — and compare lexicographically.
+    def _sq_sum_limbs(v):
+        a = jnp.abs(v)
+        ah, al = a >> 8, a & 255
+        m = ah * al * 512 + al * al          # a^2 = ah^2 * 2^16 + m
+        hi = (ah * ah + (m >> 16)).sum(-1)
+        lo = (m & 65535).sum(-1)
+        return hi + (lo >> 16), lo & 65535
+    h1, l1 = _sq_sum_limbs(pred - orig)
+    h2, l2 = _sq_sum_limbs(-pred - orig)
+    flips = (h1 > h2) | ((h1 == h2) & (l1 > l2))
     pred = jnp.where(flips[..., None], -pred, pred)
 
     # OctahedralOrthogonal squeeze (encode/transforms.py)
