@@ -117,12 +117,23 @@ def random_config(rng, has_extras):
 
 def device_batch_oracle(rng, mesh, cfg):
     """Quant-only configs must produce identical bytes through the device
-    batch plane (BatchEncoder routes them there on the CPU mesh too)."""
+    batch plane (BatchEncoder routes them there on the CPU mesh too),
+    under a randomized entropy-path knob draw (table flow x word
+    compaction)."""
+    from tpudraco.ops import rans_lanes
     from tpudraco.parallel import BatchEncoder
     qcfg = Config(quant_bits=dict(cfg.quant_bits))
     want = encode(mesh, cfg=qcfg)
-    got = BatchEncoder(use_device=True, cfg=qcfg).encode_meshes_device(
-        [mesh, mesh])
+    dtab, compact = rans_lanes.DEVICE_TABLES, rans_lanes.WORDS_COMPACT
+    try:
+        rans_lanes.DEVICE_TABLES = bool(rng.random() < 0.7)
+        rans_lanes.set_words_compact(
+            str(rng.choice(["sort", "marks"])))
+        got = BatchEncoder(use_device=True, cfg=qcfg).encode_meshes_device(
+            [mesh, mesh])
+    finally:
+        rans_lanes.DEVICE_TABLES = dtab
+        rans_lanes.set_words_compact(compact)
     assert all(bytes(b) == want for b in got), "device batch != sequential"
 
 
