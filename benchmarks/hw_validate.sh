@@ -22,9 +22,13 @@ log "liveness probe"
 timeout 120 python -c "import jax; print(jax.devices())" \
     2>&1 | tail -1 || { echo "TUNNEL STILL DEAD"; exit 1; }
 
-log "stage 1: ab_lane_chunk matrix"
+log "stage 1: ab_lane_chunk matrix (DEVICE_TABLES x LANE_CHUNK x WORDS_COMPACT)"
 timeout 1800 python benchmarks/ab_lane_chunk.py \
-    2>&1 | tee benchmarks/hw_logs/ab_${TS}.log | tail -20
+    2>&1 | tee benchmarks/hw_logs/ab_${TS}.log | tail -24
+
+log "stage 1b: words-path profile (gather/core/sort shares, marks vs sort)"
+timeout 1200 python benchmarks/profile_words.py \
+    2>&1 | tee benchmarks/hw_logs/words_${TS}.log | tail -8
 
 log "stage 2: bench e2e"
 timeout 1200 python bench.py 2>&1 | tee benchmarks/hw_logs/e2e_${TS}.log | tail -2
