@@ -148,3 +148,30 @@ def test_roundtrip_torture_textured(cfg):
         b.add_attribute(rng.random((n * n, 3)).astype(np.float32),
                         AttributeType.COLOR, AttributeDomain.POSITION)
         assert_roundtrip(b.build(), cfg=cfg)
+
+
+def test_corrupt_counts_never_bomb_allocator():
+    """Corrupted leb128/u32 counts (a crafted stream can claim 2^60
+    faces/symbols/points) must raise typed errors BEFORE any
+    count-proportional allocation — never MemoryError or a multi-GB
+    np.zeros."""
+    from tpudraco.entropy.rans import parse_rans_table
+    from tpudraco.wire import ByteReader
+
+    with pytest.raises(ValueError, match="num_symbols"):
+        parse_rans_table(ByteReader(b"\xff" * 7 + b"\x7f" + b"\x00" * 4))
+
+    blob = bytearray(encode(_random_mesh(np.random.default_rng(3))))
+    rng = np.random.default_rng(9)
+    for _ in range(200):
+        b2 = bytearray(blob)
+        # maxed varint bytes in the header/connectivity region claim
+        # astronomically large counts
+        for _ in range(int(rng.integers(1, 5))):
+            b2[int(rng.integers(8, 64))] = 0xFF
+        try:
+            decode(bytes(b2))
+        except MemoryError:
+            raise AssertionError("corrupt count bombed the allocator")
+        except Exception:
+            pass  # typed decode errors are the expected outcome

@@ -56,6 +56,10 @@ def decode(data: bytes) -> Mesh:
         from .connectivity import decode_sequential_connectivity
         from .point_cloud import decode_sequential_attributes
         num_points = leb128_read(reader)
+        if num_points > max(reader.remaining(), 1) << 12:
+            # corrupt counts must not bomb the allocator (see the
+            # connectivity-side guards)
+            raise DecodeError("point count exceeds stream size")
         faces = decode_sequential_connectivity(reader, num_points)
         debug_expect(reader, "connectivity done")
         atts = decode_sequential_attributes(reader, num_points)

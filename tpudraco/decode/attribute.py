@@ -410,6 +410,10 @@ def _read_tex_orientations(reader) -> list[bool]:
     prob_zero = reader.read_u8()
     size = leb128_read(reader)
     blob = reader.read_bytes(size)
+    if count > max(len(blob), 1) << 12:
+        # corrupt u32 counts must not bomb the allocator (RAbS carries
+        # far fewer than 2^16 bits per stream byte even at prob 255/256)
+        raise ValueError("corrupt orientation count exceeds stream size")
     dec = RabsDecoder(ByteReader(blob), len(blob), prob_zero)
     bits = dec.read_all(count)
     last = True

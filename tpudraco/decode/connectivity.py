@@ -48,6 +48,17 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
     num_att_data = reader.read_u8()
     num_symbols = leb128_read(reader)
     num_split_symbols = leb128_read(reader)
+    # corrupted counts must fail BEFORE the corner-table/symbol arrays
+    # size themselves (a crafted leb128 can claim 2^60 faces and bomb
+    # the allocator): 4096 symbols per stream byte exceeds what any real
+    # stream carries (CrLight >= 1 bit/symbol; valence rANS at its
+    # flattest legal table stays under ~2^12/byte, and the attribute
+    # payload still follows)
+    cap = max(reader.remaining(), 1) << 12
+    if num_faces > cap or num_vertices > cap or num_symbols > cap \
+            or num_split_symbols > cap:
+        raise DecodeError("connectivity counts exceed stream size "
+                          "(corrupt header)")
 
     # topology splits (spirale_reversi.rs:136-162)
     splits: list[list[int]] = []
@@ -209,10 +220,9 @@ def decode_sequential_connectivity(reader: ByteReader,
     if method == 0:
         from ..entropy.symbol_coding import decode_symbols
         # corrupted counts must fail BEFORE the symbol decoder sizes its
-        # output: even at the flattest rANS table (precision 20) a symbol
-        # costs > 2^-20 bits... practically >= 1/2^15 bytes; 2^16 symbols
-        # per remaining byte is an unreachable upper bound
-        if n > max(reader.remaining(), 1) << 16:
+        # output (same 4096-symbols-per-byte bound as the edgebreaker
+        # header guard)
+        if n > max(reader.remaining(), 1) << 12:
             raise DecodeError("sequential face count exceeds stream size")
         syms = decode_symbols(n, 1, reader).ravel().astype(np.int64)
         diffs = np.where(syms & 1, -(syms >> 1), syms >> 1)

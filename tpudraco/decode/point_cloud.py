@@ -20,6 +20,10 @@ def unzigzag(u: np.ndarray) -> np.ndarray:
 
 def decode_point_cloud(reader) -> Mesh:
     num_points = leb128_read(reader)
+    if num_points > max(reader.remaining(), 1) << 12:
+        # corrupt counts must not bomb the allocator (see the
+        # connectivity guard)
+        raise ValueError("point count exceeds stream size")
     attributes = decode_sequential_attributes(reader, num_points)
     return Mesh(faces=np.zeros((0, 3), dtype=np.int64),
                 attributes=attributes)

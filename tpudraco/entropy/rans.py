@@ -456,6 +456,12 @@ def serialize_rans_tables_batch(dist: np.ndarray,
 def parse_rans_table(reader: ByteReader) -> np.ndarray:
     """Inverse of serialize_rans_table (decode/entropy/rans.rs:162-188)."""
     num_symbols = leb128_read(reader)
+    # a corrupt count must not bomb the allocator: each serialized token
+    # byte covers at most 64 table entries (the zero-run cap), so a
+    # valid table never claims more than 64 x the remaining bytes
+    if num_symbols > 64 * max(reader.remaining(), 1):
+        raise ValueError("corrupt rANS table: num_symbols exceeds the "
+                         "remaining stream")
     dist = np.zeros(num_symbols, dtype=np.int64)
     i = 0
     while i < num_symbols:

@@ -861,7 +861,9 @@ static int64_t spirale_core(
                 if (v >= 0 && v < max_nv) {
                     const int64_t start = left_most[v];
                     int64_t cc = start;
-                    while (cc != NONE) {
+                    // bounded like the S-walk: corrupt opposites can
+                    // cycle without revisiting start
+                    while (cc != NONE && n <= 3 * num_faces) {
                         ++n;
                         cc = nav.swing_right(cc);
                         if (cc == start) break;
@@ -946,10 +948,14 @@ static int64_t spirale_core(
             if (vertex_n < 0 || vertex_n >= max_nv) return -1;
             left_most[vertex_p] = left_most[vertex_n];
             const int64_t first_cn = corner_n;
+            // bounded: a corrupt stream can wire an opposite cycle that
+            // never revisits first_cn (soak-found round 3)
+            int64_t walk_steps = 0;
             while (corner_n != NONE) {
                 ctv[corner_n] = vertex_p;
                 corner_n = swing_left(corner_n);
-                if (corner_n == first_cn) return -1;
+                if (corner_n == first_cn || ++walk_steps > 3 * num_faces)
+                    return -1;
             }
             left_most[vertex_n] = NONE;  // isolated
             invalid_out[n_invalid++] = vertex_n;

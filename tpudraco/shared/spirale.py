@@ -77,11 +77,14 @@ class DecodedCornerTable:
 
     def vertex_corners(self, v: int):
         """All corners on vertex v, starting at the left-most corner and
-        swinging right."""
+        swinging right. Bounded by the corner count: a corrupt stream can
+        wire an opposite cycle that never revisits ``start`` (soak-found
+        round 3 — the start-only check span forever)."""
         start = self.left_most[v]
         out = []
         c = start
-        while c != NONE:
+        limit = len(self.corner_to_vertex) + 1
+        while c != NONE and len(out) < limit:
             out.append(c)
             c = self.swing_right(c)
             if c == start:
@@ -89,11 +92,13 @@ class DecodedCornerTable:
         return out
 
     def vertex_valence(self, v: int) -> int:
-        """Number of corners currently attached to vertex v."""
+        """Number of corners currently attached to vertex v (bounded —
+        see vertex_corners)."""
         start = self.left_most[v]
         n = 0
         c = start
-        while c != NONE:
+        limit = len(self.corner_to_vertex) + 1
+        while c != NONE and n < limit:
             n += 1
             c = self.swing_right(c)
             if c == start:
@@ -208,12 +213,18 @@ def spirale_reversi_core(ct: DecodedCornerTable, num_symbols: int,
             corner_n = next_corner(corner_b)
             vertex_n = ct.vertex(corner_n)
             ct.left_most[vertex_p] = ct.left_most_corner(vertex_n)
-            # remap all corners on vertex_n (CCW swing-left walk)
+            # remap all corners on vertex_n (CCW swing-left walk); the
+            # walk must terminate within the corner count — a corrupt
+            # stream can wire an opposite cycle that never returns to
+            # first_c (soak-found round 3: infinite loop)
             first_c = corner_n
+            steps = 0
+            max_steps = len(ct.corner_to_vertex)
             while corner_n != NONE:
                 ct.corner_to_vertex[corner_n] = vertex_p
                 corner_n = ct.swing_left(corner_n)
-                if corner_n == first_c:
+                steps += 1
+                if corner_n == first_c or steps > max_steps:
                     raise DecodeError("S vertex walk looped")
             ct.left_most[vertex_n] = NONE  # isolated
             invalid_vertices.append(vertex_n)
