@@ -995,7 +995,7 @@ def test_device_entropy_sharded_byte_oracle(compact):
         be = BatchEncoder(strict_device=True, mesh_axis=mesh)
         blobs = be.encode_meshes_device(meshes, entropy="device")
     finally:
-        rans_lanes.set_words_compact("sort")
+        rans_lanes.set_words_compact(None)
     for m, blob in zip(meshes, blobs):
         assert blob == encode(m)
 

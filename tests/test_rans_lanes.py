@@ -508,7 +508,7 @@ def test_words_compact_marks_twin():
                            syms.shape[2], DIRECT_CODED, w)
             assert ref[0] == w.getvalue()
     finally:
-        rans_lanes.set_words_compact("sort")
+        rans_lanes.set_words_compact(None)
 
 
 def test_dist_prefix_deficit_retry():

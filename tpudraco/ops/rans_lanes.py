@@ -48,19 +48,33 @@ SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       on identical code); 8 keeps the compiled shapes.
 
 # word-compaction strategy for the words scan: "sort" = stable-partition
-# argsort (round-3 default, measured), "marks" = in-register per-step
-# block packing + scatter-max/cummax/gather ragged concat (no sort; see
-# _words_scan_core docstring). The flag threads into the kernels as a
-# STATIC argument, so both variants coexist in the jit caches and
-# switching is free.
-WORDS_COMPACT = "sort"
+# argsort (round-3 default on TPU, measured), "marks" = in-register
+# per-step block packing + scatter-max/cummax/gather ragged concat (no
+# sort; see _words_scan_core docstring). The flag threads into the
+# kernels as a STATIC argument, so both variants coexist in the jit
+# caches and switching is free. None = auto: "marks" on the CPU backend
+# (measured 4.5x over the argsort there — benchmarks/profile_words.py,
+# XLA:CPU's stable argsort is the stage dominant), "sort" on TPU until
+# the hardware A/B (benchmarks/ab_lane_chunk.py) settles it. Byte
+# streams are identical either way (oracle in tests).
+WORDS_COMPACT = None
 
 
-def set_words_compact(mode: str) -> None:
-    """Select the words-scan compaction strategy ("sort" | "marks")."""
+def set_words_compact(mode) -> None:
+    """Select the words-scan compaction strategy ("sort" | "marks"),
+    or None/"auto" for the per-backend default."""
     global WORDS_COMPACT
-    assert mode in ("sort", "marks"), mode
+    if mode == "auto":
+        mode = None
+    assert mode in ("sort", "marks", None), mode
     WORDS_COMPACT = mode
+
+
+def _words_compact() -> str:
+    """Resolve the active compaction mode (per-backend when auto)."""
+    if WORDS_COMPACT is not None:
+        return WORDS_COMPACT
+    return "marks" if jax.default_backend() == "cpu" else "sort"
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -546,12 +560,12 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
                 precision=precision, mesh_axis=mesh_axis,
-                compact=WORDS_COMPACT)
+                compact=_words_compact())
         else:
             combined = _rans_scan_lanes_words(
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
-                precision=precision, compact=WORDS_COMPACT)
+                precision=precision, compact=_words_compact())
         buffers, counts, packed, nflush = _collect_words(
             combined, L, T, precision, _timings=_timings, _t0=t0)
 
@@ -1207,7 +1221,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
                     jnp.asarray(freqs[c0:c0 + ch]),
                     jnp.asarray(cums[c0:c0 + ch]),
                     jnp.asarray(lengths[c0:c0 + ch]),
-                    precision=int(prec), ch=ch, compact=WORDS_COMPACT)
+                    precision=int(prec), ch=ch, compact=_words_compact())
                 # readback slices dispatch NOW so they sit between scans
                 # in the in-order stream (probe_overlap.py scenario C)
                 pre = _dispatch_words_readback(
@@ -1353,18 +1367,18 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         for c0 in range(0, B, ch):
             combined = _words_scan_chunk_vprec(
                 lanes_dev, np.int32(c0), dist_dev, cums_dev,
-                lengths_dev, prec_dev, ch=ch, compact=WORDS_COMPACT)
+                lengths_dev, prec_dev, ch=ch, compact=_words_compact())
             pre = _dispatch_words_readback(
                 combined, ch, n_sym, -1, want_tiny=_timings is not None)
             jobs.append((c0, ch, combined, pre))
     else:
         combined = (_rans_scan_lanes_words_vprec_sharded(
             lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-            mesh_axis=mesh_axis, compact=WORDS_COMPACT)
+            mesh_axis=mesh_axis, compact=_words_compact())
             if mesh_axis is not None else
             _rans_scan_lanes_words_vprec(
                 lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-                compact=WORDS_COMPACT))
+                compact=_words_compact()))
         pre = _dispatch_words_readback(
             combined, B, n_sym, -1, want_tiny=_timings is not None)
         jobs.append((0, B, combined, pre))
