@@ -66,11 +66,14 @@ def main():
     # the {host,device}-tables x {one-shot,chunked} x {sort,marks}
     # compaction matrix, the contested cells twice
     settings = [(one_shot, False, "sort"), (one_shot, True, "sort"),
-                (one_shot, True, "marks"), (64, True, "sort"),
+                (one_shot, True, "marks"), (one_shot, True, "sortkv"),
+                (64, True, "sort"),
                 (128, True, "sort"), (128, True, "marks"),
                 (256, True, "sort"), (128, False, "sort"),
-                (one_shot, False, "marks"), (one_shot, False, "sort"),
-                (one_shot, True, "sort"), (one_shot, True, "marks")]
+                (one_shot, False, "marks"), (one_shot, False, "sortkv"),
+                (one_shot, False, "sort"),
+                (one_shot, True, "sort"), (one_shot, True, "marks"),
+                (one_shot, True, "sortkv")]
     for ch, dtab, compact in settings:
         dt, blobs = run(ch, dtab, syms_dev, counts_dev, compact=compact)
         label = (("dtab" if dtab else "htab") + "/"
@@ -89,7 +92,9 @@ def main():
                               (128, True, "sort"), (128, False, "sort"),
                               (one_shot, True, "sort"),
                               (one_shot, True, "marks"),
-                              (one_shot, False, "marks")):
+                              (one_shot, False, "marks"),
+                              (one_shot, True, "sortkv"),
+                              (one_shot, False, "sortkv")):
         rans_lanes.LANE_CHUNK = ch
         rans_lanes.DEVICE_TABLES = dtab
         rans_lanes.set_words_compact(compact)

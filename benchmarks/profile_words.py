@@ -99,10 +99,12 @@ def main():
 
     t_f = timeit("full words kernel", full, "sort")
     t_m = timeit("full kernel (marks)", full, "marks")
+    t_kv = timeit("full kernel (sortkv)", full, "sortkv")
     t_f2 = timeit("full kernel (sort, again)", full, "sort")
     print(f"shares of full: gather {t_g / t_f:.0%}, core {t_c / t_f:.0%} "
           f"(sort proxy {t_s / t_f:.0%} of full); "
-          f"marks vs sort: {min(t_f, t_f2) / t_m:.2f}x")
+          f"marks vs sort: {min(t_f, t_f2) / t_m:.2f}x; "
+          f"sortkv vs sort: {min(t_f, t_f2) / t_kv:.2f}x")
 
 
 if __name__ == "__main__":

@@ -466,7 +466,8 @@ def test_group_entropy_randomized_sweep(monkeypatch):
 
 def test_words_compact_marks_twin():
     """WORDS_COMPACT="marks" (sort-free block compaction: in-register
-    per-step slots + scatter-max/cummax/gather concat) must be
+    per-step slots + scatter-max/cummax/gather concat) and "sortkv"
+    (fused stable key-value sort, no separate gather) must be
     byte-identical to the "sort" default through BOTH table flows, at
     mixed per-lane precisions, and at high entropy (max flush density —
     exercises the per-step block-slot bound BW and the cap_w edge)."""
@@ -490,7 +491,7 @@ def test_words_compact_marks_twin():
             counts = np.stack([np.bincount(s.reshape(-1), minlength=bins)
                                for s in syms]).astype(np.int32)
             outs = {}
-            for mode in ("sort", "marks"):
+            for mode in ("sort", "sortkv", "marks"):
                 rans_lanes.set_words_compact(mode)
                 for dtab in (True, False):
                     prev = rans_lanes.DEVICE_TABLES

@@ -61,12 +61,14 @@ WORDS_COMPACT = None
 
 
 def set_words_compact(mode) -> None:
-    """Select the words-scan compaction strategy ("sort" | "marks"),
-    or None/"auto" for the per-backend default."""
+    """Select the words-scan compaction strategy ("sort" | "sortkv" |
+    "marks"), or None/"auto" for the per-backend default. "sortkv" is
+    the same stable partition as "sort" through one fused
+    lax.sort_key_val pass (no separate take_along_axis gather)."""
     global WORDS_COMPACT
     if mode == "auto":
         mode = None
-    assert mode in ("sort", "marks", None), mode
+    assert mode in ("sort", "sortkv", "marks", None), mode
     WORDS_COMPACT = mode
 
 
@@ -276,10 +278,22 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
     else:
         words = wq.reshape(T_pad, L)[:T].T    # (L, T) symbol-major
         mask = flq.reshape(T_pad, L)[:T].T
-        # word-level stable partition (3x fewer sort elements than byte
-        # slots)
-        order = jnp.argsort(~mask, axis=1, stable=True)
-        compacted = jnp.take_along_axis(words, order, axis=1)
+        if compact == "sortkv":
+            # fused stable key-value sort: one pass moves the payload
+            # with the keys instead of argsort (pass 1) + a separate
+            # take_along_axis gather (pass 2) — on TPU the sort unit is
+            # the fast primitive (~13 ns/element) while gathers are
+            # bytes-bound, so folding the gather into the sort should
+            # roughly halve the compaction cost. Identical stable
+            # partition semantics -> identical bytes (twin test).
+            _, compacted = jax.lax.sort(
+                ((~mask).astype(jnp.uint8), words), dimension=1,
+                is_stable=True, num_keys=1)
+        else:
+            # word-level stable partition (3x fewer sort elements than
+            # byte slots)
+            order = jnp.argsort(~mask, axis=1, stable=True)
+            compacted = jnp.take_along_axis(words, order, axis=1)
         compacted = compacted[:, :cap_w]
         nwords = mask.sum(axis=1).astype(jnp.uint32)
     meta = jnp.stack([nwords, nacc, lo, packed,
