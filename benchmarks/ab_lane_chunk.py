@@ -40,9 +40,11 @@ def make_inputs(B, T, C=3, seed=7):
     return jnp.asarray(syms), jnp.asarray(counts), syms
 
 
-def run(chunk, tables_dev, syms_dev, counts_dev, iters=3, compact="sort"):
+def run(chunk, tables_dev, syms_dev, counts_dev, iters=3, compact="sort",
+        k=8):
     rans_lanes.LANE_CHUNK = chunk
     rans_lanes.DEVICE_TABLES = tables_dev
+    rans_lanes.SYMBOLS_PER_STEP = k
     if rans_lanes.WORDS_COMPACT != compact:
         rans_lanes.set_words_compact(compact)
     rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)  # warm
@@ -65,20 +67,27 @@ def main():
     # interleave trials so tunnel drift hits all settings equally; cover
     # the {host,device}-tables x {one-shot,chunked} x {sort,marks}
     # compaction matrix, the contested cells twice
-    settings = [(one_shot, False, "sort"), (one_shot, True, "sort"),
-                (one_shot, True, "marks"), (one_shot, True, "sortkv"),
-                (64, True, "sort"),
-                (128, True, "sort"), (128, True, "marks"),
-                (256, True, "sort"), (128, False, "sort"),
-                (one_shot, False, "marks"), (one_shot, False, "sortkv"),
-                (one_shot, False, "sort"),
-                (one_shot, True, "sort"), (one_shot, True, "marks"),
-                (one_shot, True, "sortkv")]
-    for ch, dtab, compact in settings:
-        dt, blobs = run(ch, dtab, syms_dev, counts_dev, compact=compact)
+    settings = [(one_shot, False, "sort", 8), (one_shot, True, "sort", 8),
+                (one_shot, True, "marks", 8),
+                (one_shot, True, "sortkv", 8),
+                (64, True, "sort", 8),
+                (128, True, "sort", 8), (128, True, "marks", 8),
+                (256, True, "sort", 8), (128, False, "sort", 8),
+                (one_shot, False, "marks", 8),
+                (one_shot, False, "sortkv", 8),
+                (one_shot, True, "sort", 16),
+                (one_shot, True, "sortkv", 16),
+                (one_shot, True, "marks", 16),
+                (one_shot, False, "sort", 8),
+                (one_shot, True, "sort", 8), (one_shot, True, "marks", 8),
+                (one_shot, True, "sortkv", 8),
+                (one_shot, True, "sortkv", 16)]
+    for ch, dtab, compact, k in settings:
+        dt, blobs = run(ch, dtab, syms_dev, counts_dev, compact=compact,
+                        k=k)
         label = (("dtab" if dtab else "htab") + "/"
                  + ("one-shot" if ch == one_shot else f"chunk={ch}")
-                 + "/" + compact)
+                 + "/" + compact + (f"/k={k}" if k != 8 else ""))
         results.setdefault(label, []).append(dt)
         print(f"{label:>22}: {dt*1e3:8.1f} ms "
               f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)", flush=True)
@@ -88,21 +97,27 @@ def main():
             print(f"{label}: {base/min(ts):.2f}x vs htab/one-shot/sort")
     # byte sanity across the matrix
     ref = None
-    for ch, dtab, compact in ((one_shot, False, "sort"),
-                              (128, True, "sort"), (128, False, "sort"),
-                              (one_shot, True, "sort"),
-                              (one_shot, True, "marks"),
-                              (one_shot, False, "marks"),
-                              (one_shot, True, "sortkv"),
-                              (one_shot, False, "sortkv")):
+    for ch, dtab, compact, k in ((one_shot, False, "sort", 8),
+                                 (128, True, "sort", 8),
+                                 (128, False, "sort", 8),
+                                 (one_shot, True, "sort", 8),
+                                 (one_shot, True, "marks", 8),
+                                 (one_shot, False, "marks", 8),
+                                 (one_shot, True, "sortkv", 8),
+                                 (one_shot, False, "sortkv", 8),
+                                 (one_shot, True, "sort", 16),
+                                 (one_shot, True, "sortkv", 16),
+                                 (one_shot, True, "marks", 16)):
         rans_lanes.LANE_CHUNK = ch
         rans_lanes.DEVICE_TABLES = dtab
+        rans_lanes.SYMBOLS_PER_STEP = k
         rans_lanes.set_words_compact(compact)
         got = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
         assert ref is None or got == ref, \
             f"bytes differ at {ch},{dtab},{compact}"
         ref = got
     rans_lanes.set_words_compact(None)
+    rans_lanes.SYMBOLS_PER_STEP = 8
     print("bytes identical across the settings matrix")
 
 

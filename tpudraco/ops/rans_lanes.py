@@ -43,9 +43,15 @@ SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       batching K sequential symbols per step cuts the
 #                       iteration count 8x (the recurrence itself is
 #                       unchanged — still symbol-sequential within the
-#                       body). K=16/32 measured WITHIN the run-to-run noise
-#                       band on v5e (interleaved trials swing 734-1846 ms
-#                       on identical code); 8 keeps the compiled shapes.
+#                       body). The words kernels now take this as a
+#                       STATIC k argument (call sites read this global at
+#                       call time), so benchmarks/ab_lane_chunk.py can
+#                       sweep it: on XLA:CPU k=16 is ~1.4x over k=8
+#                       (bytes identical; one-time compile cost ~2x).
+#                       Early-round v5e trials put K=16/32 within the
+#                       noise band (734-1846 ms swings on identical
+#                       code) — resweep interleaved now that the
+#                       compaction no longer dominates the stage.
 
 # word-compaction strategy for the words scan: "sort" = stable-partition
 # argsort (round-3 default on TPU, measured), "marks" = in-register
@@ -181,7 +187,7 @@ def _concat_tiny_dist(tiny: jnp.ndarray, dist: jnp.ndarray,
 
 
 def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
-                     compact: str = "sort"):
+                     compact: str = "sort", k: int = 8):
     """Shared body of the word-packed scan: the recurrence, word
     packing, flush framing, and word-level compaction. ``l_base`` and
     ``prec`` are uint32 scalars (static-precision kernel) or (L,)
@@ -201,7 +207,7 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
     scatter/cummax lower acceptably this removes it. Byte streams are
     identical (oracle in tests)."""
     L, T_pad = fs.shape
-    K = SYMBOLS_PER_STEP
+    K = k
     u8_ = jnp.uint32(8)
 
     def one_symbol(carry, f, cum, active):
@@ -328,10 +334,11 @@ def _compact_blocks_marks(blocks, cnts, cap_w: int):
     return compacted, nwords
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "compact"))
+@functools.partial(jax.jit, static_argnames=("precision", "compact", "k"))
 def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
                            cums: jnp.ndarray, lengths: jnp.ndarray,
-                           precision: int = 12, compact: str = "sort"):
+                           precision: int = 12, compact: str = "sort",
+                           k: int = 8):
     """Device scan with WORD-PACKED emissions: each lane packs its
     renormalization bytes little-endian into uint32 words carried through
     the scan (at most one full word flushes per symbol), so the on-device
@@ -349,7 +356,7 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
     L, T = symbols.shape
     S = freqs.shape[-1]
 
-    K = SYMBOLS_PER_STEP
+    K = k
     T_pad = -(-T // K) * K
     if T_pad != T:  # padding symbols land beyond every lane's length
         symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
@@ -376,7 +383,7 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
 
     return _words_scan_core(fs, cs, lengths, T,
                             jnp.uint32((1 << precision) << 2),
-                            jnp.uint32(precision), compact=compact)
+                            jnp.uint32(precision), compact=compact, k=k)
 
 
 def _take_packed_u32u8(fq, cq, take):
@@ -395,10 +402,11 @@ def _take_packed_u32u8(fq, cq, take):
     return fs, cs
 
 
-@functools.partial(jax.jit, static_argnames=("compact",))
+@functools.partial(jax.jit, static_argnames=("compact", "k"))
 def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
                                  cums: jnp.ndarray, lengths: jnp.ndarray,
-                                 prec: jnp.ndarray, compact: str = "sort"):
+                                 prec: jnp.ndarray, compact: str = "sort",
+                                 k: int = 8):
     """_rans_scan_lanes_words with PER-LANE precision as traced data.
 
     The static kernel's precision only reaches three value-level spots —
@@ -417,7 +425,7 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
     S = freqs.shape[-1]
     prec = prec.astype(jnp.uint32)
 
-    K = SYMBOLS_PER_STEP
+    K = k
     T_pad = -(-T // K) * K
     if T_pad != T:
         symbols = jnp.pad(symbols, ((0, 0), (0, T_pad - T)))
@@ -431,12 +439,12 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
     fs, cs = _take_packed_u32u8(freqs.astype(jnp.uint32),
                                 cums.astype(jnp.uint32), take)
     return _words_scan_core(fs, cs, lengths, T, jnp.uint32(4) << prec,
-                            prec, compact=compact)
+                            prec, compact=compact, k=k)
 
 
-@functools.partial(jax.jit, static_argnames=("ch", "compact"))
+@functools.partial(jax.jit, static_argnames=("ch", "compact", "k"))
 def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
-                            ch: int, compact: str = "sort"):
+                            ch: int, compact: str = "sort", k: int = 8):
     """Chunked _rans_scan_lanes_words_vprec: every input slices at the
     traced c0 so all chunks share one compiled program (a per-offset
     static slice would cost a remote XLA compile per chunk)."""
@@ -444,12 +452,14 @@ def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
                            slice_size=ch, axis=0)
     return _rans_scan_lanes_words_vprec.__wrapped__(
         sl(symbols), sl(freqs), sl(cums), sl(lengths), sl(prec),
-        compact=compact)
+        compact=compact, k=k)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "ch", "compact"))
+@functools.partial(jax.jit,
+                   static_argnames=("precision", "ch", "compact", "k"))
 def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
-                      precision: int, ch: int, compact: str = "sort"):
+                      precision: int, ch: int, compact: str = "sort",
+                      k: int = 8):
     """Word scan over a CONTIGUOUS lane chunk [c0, c0+ch) of a resident
     (L, T) symbol matrix. The chunk start is a traced scalar so every
     chunk of a batch reuses ONE compiled program; the chunk width is
@@ -459,13 +469,16 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
     scan — BASELINE.md round-3 breakdown)."""
     sym = jax.lax.dynamic_slice_in_dim(symbols, c0, ch, axis=0)
     return _rans_scan_lanes_words.__wrapped__(
-        sym, freqs, cums, lengths, precision=precision, compact=compact)
+        sym, freqs, cums, lengths, precision=precision, compact=compact,
+        k=k)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh_axis", "compact"))
+@functools.partial(jax.jit,
+                   static_argnames=("mesh_axis", "compact", "k"))
 def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
                                          prec, mesh_axis,
-                                         compact: str = "sort"):
+                                         compact: str = "sort",
+                                         k: int = 8):
     """Lane-sharded per-lane-precision word scan (the device-tables flow
     under a 1-D ("data",) mesh): precisions shard with their lanes, the
     recurrence is per-lane, so the gathered result is bit-identical to
@@ -478,7 +491,7 @@ def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
 
     def scan_shard(sym, fq, cq, ln, pr):
         return _rans_scan_lanes_words_vprec.__wrapped__(
-            sym, fq, cq, ln, pr, compact=compact)
+            sym, fq, cq, ln, pr, compact=compact, k=k)
 
     fn = shard_map(scan_shard, mesh=mesh_axis,
                    in_specs=(P("data", None), P("data", None),
@@ -488,10 +501,11 @@ def _rans_scan_lanes_words_vprec_sharded(symbols, freqs, cums, lengths,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("precision", "mesh_axis", "compact"))
+                   static_argnames=("precision", "mesh_axis", "compact",
+                                    "k"))
 def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
                                    precision: int, mesh_axis,
-                                   compact: str = "sort"):
+                                   compact: str = "sort", k: int = 8):
     """Lane-sharded word scan over a 1-D ("data",) device mesh: each chip
     runs the identical recurrence on its lane shard (lanes are
     independent rANS streams), so the gathered result is bit-identical to
@@ -505,7 +519,7 @@ def _rans_scan_lanes_words_sharded(symbols, freqs, cums, lengths,
 
     def scan_shard(sym, fq, cq, ln):
         return _rans_scan_lanes_words.__wrapped__(
-            sym, fq, cq, ln, precision=precision, compact=compact)
+            sym, fq, cq, ln, precision=precision, compact=compact, k=k)
 
     per_lane_tables = freqs.ndim == 2
     fn = shard_map(scan_shard, mesh=mesh_axis,
@@ -574,12 +588,13 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
                 precision=precision, mesh_axis=mesh_axis,
-                compact=_words_compact())
+                compact=_words_compact(), k=SYMBOLS_PER_STEP)
         else:
             combined = _rans_scan_lanes_words(
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
-                precision=precision, compact=_words_compact())
+                precision=precision, compact=_words_compact(),
+                k=SYMBOLS_PER_STEP)
         buffers, counts, packed, nflush = _collect_words(
             combined, L, T, precision, _timings=_timings, _t0=t0)
 
@@ -1235,7 +1250,8 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
                     jnp.asarray(freqs[c0:c0 + ch]),
                     jnp.asarray(cums[c0:c0 + ch]),
                     jnp.asarray(lengths[c0:c0 + ch]),
-                    precision=int(prec), ch=ch, compact=_words_compact())
+                    precision=int(prec), ch=ch, compact=_words_compact(),
+                    k=SYMBOLS_PER_STEP)
                 # readback slices dispatch NOW so they sit between scans
                 # in the in-order stream (probe_overlap.py scenario C)
                 pre = _dispatch_words_readback(
@@ -1381,18 +1397,20 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         for c0 in range(0, B, ch):
             combined = _words_scan_chunk_vprec(
                 lanes_dev, np.int32(c0), dist_dev, cums_dev,
-                lengths_dev, prec_dev, ch=ch, compact=_words_compact())
+                lengths_dev, prec_dev, ch=ch, compact=_words_compact(),
+                k=SYMBOLS_PER_STEP)
             pre = _dispatch_words_readback(
                 combined, ch, n_sym, -1, want_tiny=_timings is not None)
             jobs.append((c0, ch, combined, pre))
     else:
         combined = (_rans_scan_lanes_words_vprec_sharded(
             lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-            mesh_axis=mesh_axis, compact=_words_compact())
+            mesh_axis=mesh_axis, compact=_words_compact(),
+            k=SYMBOLS_PER_STEP)
             if mesh_axis is not None else
             _rans_scan_lanes_words_vprec(
                 lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-                compact=_words_compact()))
+                compact=_words_compact(), k=SYMBOLS_PER_STEP))
         pre = _dispatch_words_readback(
             combined, B, n_sym, -1, want_tiny=_timings is not None)
         jobs.append((0, B, combined, pre))
