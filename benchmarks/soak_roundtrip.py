@@ -125,15 +125,22 @@ def device_batch_oracle(rng, mesh, cfg):
     qcfg = Config(quant_bits=dict(cfg.quant_bits))
     want = encode(mesh, cfg=qcfg)
     dtab, compact = rans_lanes.DEVICE_TABLES, rans_lanes.WORDS_COMPACT
+    kprev = rans_lanes.SYMBOLS_PER_STEP
     try:
         rans_lanes.DEVICE_TABLES = bool(rng.random() < 0.7)
         rans_lanes.set_words_compact(
-            str(rng.choice(["sort", "marks"])))
+            str(rng.choice(["sort", "sortkv", "marks"])))
+        # mostly k=8 (the compiled-cache default); k=16 occasionally so
+        # the unroll sweep variant keeps fuzz coverage without paying
+        # its one-time compile on every trial
+        rans_lanes.SYMBOLS_PER_STEP = int(
+            rng.choice([8, 8, 8, 16]))
         got = BatchEncoder(use_device=True, cfg=qcfg).encode_meshes_device(
             [mesh, mesh])
     finally:
         rans_lanes.DEVICE_TABLES = dtab
         rans_lanes.set_words_compact(compact)
+        rans_lanes.SYMBOLS_PER_STEP = kprev
     assert all(bytes(b) == want for b in got), "device batch != sequential"
 
 
