@@ -66,7 +66,8 @@ def encode_attributes(attributes: list[Attribute], writer,
                       precomputed: dict | None = None,
                       quant_bits: dict | None = None,
                       symbol_coding: str = "direct",
-                      prediction: dict | None = None) -> None:
+                      prediction: dict | None = None,
+                      pred_cache: dict | None = None) -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
     "xform_meta": bytes} to skip the host predict/transform/entropy stages
@@ -105,7 +106,8 @@ def encode_attributes(attributes: list[Attribute], writer,
                                sequence=seq, precomputed=pre,
                                quant_bits=quant_bits,
                                symbol_coding=symbol_coding,
-                               prediction=prediction)
+                               prediction=prediction,
+                               pred_cache=pred_cache)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -136,7 +138,8 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 conn_out: ConnectivityOutput, writer, rec=None,
                 sequence=None, precomputed=None,
                 quant_bits=None, symbol_coding: str = "direct",
-                prediction: dict | None = None) -> Attribute:
+                prediction: dict | None = None,
+                pred_cache: dict | None = None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -179,7 +182,8 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
 
     if scheme_id in (PRED_PARALLELOGRAM, PRED_DELTA) and len(sequence):
         origs, preds = _vectorized_predict(
-            scheme_id, view, sequence, port_att, per_point)
+            scheme_id, view, sequence, port_att, per_point,
+            cache=pred_cache, cache_key=att_data_id)
     elif (scheme_id == PRED_MULTI_PARALLELOGRAM and len(sequence)
           and VECTORIZED_PREDICTIONS):
         # the swing-right rings are static walks; visited checks reduce to
@@ -248,9 +252,14 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     return port_att
 
 
-def _vectorized_predict(scheme_id, view, sequence, port_att, per_point):
+def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
+                        cache: dict | None = None, cache_key=None):
     """Vectorized parallelogram/delta prediction over the whole traversal
-    (the gathers come from the native topology pass when available)."""
+    (the gathers come from the native topology pass when available).
+    ``cache`` (PreparedTopology.pred_gathers) memoizes the parallelogram
+    gathers per attribute: they depend only on the topology, traversal
+    sequence, and the value-dedup map, all pinned by the topology
+    signature (parallel/batch.py:topology_signature)."""
     from ..native import topo
     from ..ops.gathers import build_parallelogram_gathers
 
@@ -271,10 +280,16 @@ def _vectorized_predict(scheme_id, view, sequence, port_att, per_point):
             preds[1:] = vals[fb_idx]
         return origs, preds
 
-    val_of_corner = unique_of_point[point_of_corner]
-    g = topo.parallelogram_gathers(eff_opp, ctv, lm, val_of_corner, seq)
+    g = cache.get(cache_key) if cache is not None else None
     if g is None:
-        g = build_parallelogram_gathers(view, seq.tolist(), unique_of_point)
+        val_of_corner = unique_of_point[point_of_corner]
+        g = topo.parallelogram_gathers(eff_opp, ctv, lm, val_of_corner,
+                                       seq)
+        if g is None:
+            g = build_parallelogram_gathers(view, seq.tolist(),
+                                            unique_of_point)
+        if cache is not None:
+            cache[cache_key] = g
     a = vals[g["next"]]
     b = vals[g["prev"]]
     d = vals[g["opp"]]

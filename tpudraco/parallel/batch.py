@@ -42,6 +42,12 @@ class PreparedTopology:
         self.conn_bytes = w.getvalue()
         self.sequences: dict[int, list[int]] = {}
         self.normal_rings: dict[int, dict] = {}  # lazy (ops/normals.py)
+        # lazy per-attribute parallelogram gather cache: the gathers are
+        # a pure function of (view, sequence, unique_of_point), and the
+        # signature pins all three per attribute (unique_indices() is
+        # hashed in), so every mesh sharing this topology reuses them
+        # (measured ~18% of warm host encode_mesh before caching)
+        self.pred_gathers: dict[int, dict] = {}
         aict = self.conn_out.corner_table
         for i in range(len(mesh.attributes)):
             att_table = None
@@ -167,7 +173,8 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
                       sequences=topo.sequences, precomputed=precomputed,
                       quant_bits=cfg.quant_bits,
                       symbol_coding=cfg.symbol_coding,
-                      prediction=cfg.prediction)
+                      prediction=cfg.prediction,
+                      pred_cache=topo.pred_gathers)
     return writer.getvalue()
 
 
