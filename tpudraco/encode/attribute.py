@@ -269,9 +269,8 @@ def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
     point_of_corner = view.u.faces_points.ravel() if hasattr(view, "u") else None
     vals = port_att.values.astype(np.int64)
 
-    origs_idx = unique_of_point[point_of_corner[seq]]
-    origs = vals[origs_idx]
     if scheme_id == PRED_DELTA:
+        origs = vals[unique_of_point[point_of_corner[seq]]]
         preds = np.zeros_like(origs)
         if len(seq) > 1:
             prev_vs = ctv[seq[:-1]]
@@ -288,16 +287,21 @@ def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
         if g is None:
             g = build_parallelogram_gathers(view, seq.tolist(),
                                             unique_of_point)
+        # augment with the other topology-pinned pieces so cache hits
+        # skip every per-mesh index/mask build, not just the walk
+        g = dict(g)
+        g["origs_idx"] = unique_of_point[point_of_corner[seq]]
+        g["can_para_b"] = np.asarray(g["can_para"], dtype=bool)[:, None]
+        g["has_fb_b"] = np.asarray(g["has_fallback"], dtype=bool)[:, None]
         if cache is not None:
             cache[cache_key] = g
+    origs = vals[g["origs_idx"]]
     a = vals[g["next"]]
     b = vals[g["prev"]]
     d = vals[g["opp"]]
     fb = vals[g["fallback"]]
     para = a + b - d
-    preds = np.where(np.asarray(g["can_para"], dtype=bool)[:, None], para,
-                     np.where(np.asarray(g["has_fallback"], dtype=bool)[:, None],
-                              fb, 0))
+    preds = np.where(g["can_para_b"], para, np.where(g["has_fb_b"], fb, 0))
     return origs, preds
 
 
