@@ -512,6 +512,28 @@ def test_words_compact_marks_twin():
         rans_lanes.set_words_compact(None)
 
 
+def test_pack_dist21_roundtrip():
+    """The 21-bit table-readback bitpack must be exact over the full
+    normalized-freq range [0, 2^20], odd widths included, and must mask
+    out-of-range garbage (pathological lanes) instead of corrupting
+    neighbors."""
+    from tpudraco.ops.rans_lanes import _pack_dist21, _unpack_dist21
+
+    rng = np.random.default_rng(7)
+    for B, S, g in ((3, 4096, 4096), (5, 300, 257), (1, 64, 33),
+                    (2, 32, 32)):
+        d = rng.integers(0, (1 << 20) + 1, size=(B, S)).astype(np.int32)
+        got = _unpack_dist21(np.asarray(_pack_dist21(jnp.asarray(d), g)),
+                             g)
+        assert np.array_equal(got, d[:, :g]), (B, S, g)
+    # garbage beyond 21 bits in one row must not bleed across the pack
+    d = np.zeros((2, 32), np.int32)
+    d[0] = -1  # 0xFFFFFFFF
+    d[1, :4] = [1 << 20, 0, 5, 123456]
+    got = _unpack_dist21(np.asarray(_pack_dist21(jnp.asarray(d), 32)), 32)
+    assert np.array_equal(got[1], d[1])
+
+
 def test_dist_prefix_deficit_retry():
     """The zero-sync occupied-prefix readback of the device-built table
     matrix (_DIST_BUCKET) trains its guess on the previous batch of the

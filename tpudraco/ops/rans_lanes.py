@@ -54,15 +54,17 @@ SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       compaction no longer dominates the stage.
 
 # word-compaction strategy for the words scan: "sort" = stable-partition
-# argsort (round-3 default on TPU, measured), "marks" = in-register
-# per-step block packing + scatter-max/cummax/gather ragged concat (no
-# sort; see _words_scan_core docstring). The flag threads into the
-# kernels as a STATIC argument, so both variants coexist in the jit
+# argsort, "sortkv" = the same partition through one fused
+# lax.sort_key_val pass (no separate take_along_axis gather), "marks" =
+# in-register per-step block packing + scatter-max/cummax/gather ragged
+# concat (no sort; see _words_scan_core docstring). The flag threads into
+# the kernels as a STATIC argument, so both variants coexist in the jit
 # caches and switching is free. None = auto: "marks" on the CPU backend
 # (measured 4.5x over the argsort there — benchmarks/profile_words.py,
-# XLA:CPU's stable argsort is the stage dominant), "sort" on TPU until
-# the hardware A/B (benchmarks/ab_lane_chunk.py) settles it. Byte
-# streams are identical either way (oracle in tests).
+# XLA:CPU's stable argsort is the stage dominant), "sortkv" on TPU
+# (hardware A/B benchmarks/ab_lane_chunk.py, v5e: sortkv 253 ms vs sort
+# 334 ms vs marks 310 ms one-shot dtab; 1.41x vs the htab/sort round-3
+# default). Byte streams are identical in every mode (oracle in tests).
 WORDS_COMPACT = None
 
 
@@ -82,7 +84,7 @@ def _words_compact() -> str:
     """Resolve the active compaction mode (per-backend when auto)."""
     if WORDS_COMPACT is not None:
         return WORDS_COMPACT
-    return "marks" if jax.default_backend() == "cpu" else "sort"
+    return "marks" if jax.default_backend() == "cpu" else "sortkv"
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -182,8 +184,63 @@ def _slice_cols(arr: jnp.ndarray, n: int) -> jnp.ndarray:
 def _concat_tiny_dist(tiny: jnp.ndarray, dist: jnp.ndarray,
                       g: int) -> jnp.ndarray:
     """[tiny summary | occupied-prefix of the table matrix] as one buffer
-    so the device-tables flow pays a single readback for both."""
-    return jnp.concatenate([tiny, dist[:, :g]], axis=1)
+    so the device-tables flow pays a single readback for both. The prefix
+    rides 21-bit-packed (_pack_dist21): every normalized freq is in
+    [0, 2^prec] with prec <= 20, so 21 bits are exact and the table's
+    share of the D2H link drops 32/21 = 1.52x."""
+    return jnp.concatenate([tiny.astype(jnp.uint32),
+                            _pack_dist21(dist, g)], axis=1)
+
+
+# exact 21-bit bitpack of the (B, S) freq-table matrix for readback:
+# 32 values (672 bits) -> 21 little-endian uint32 words per group. Only
+# the TRANSFER is packed — the scans consume the unpacked device copy.
+
+def _pack21_cols(g: int) -> int:
+    return 21 * (-(-g // 32))
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def _pack_dist21(dist: jnp.ndarray, g: int) -> jnp.ndarray:
+    B = dist.shape[0]
+    g_pad = -(-g // 32) * 32
+    d = dist[:, :min(g, int(dist.shape[1]))]
+    if int(d.shape[1]) < g_pad:
+        d = jnp.pad(d, ((0, 0), (0, g_pad - int(d.shape[1]))))
+    # mask defensively: pathological lanes (discarded by the caller) may
+    # hold values beyond 21 bits, which must not bleed into neighbors
+    d = d.astype(jnp.uint32).reshape(B, g_pad // 32, 32) \
+        & jnp.uint32((1 << 21) - 1)
+    words = []
+    for k in range(21):
+        w = jnp.zeros(d.shape[:2], jnp.uint32)
+        for j in range((32 * k - 20) // 21, min(32, (32 * k + 31) // 21
+                                                + 1)):
+            if j < 0:
+                continue
+            off = 32 * k - 21 * j  # value j's bit 'off' lands at word
+            # bit 0 (negative: value starts 'off' bits into the word)
+            w = w | (jnp.where(off >= 0, d[..., j] >> off,
+                               d[..., j] << -off)
+                     if off != 0 else d[..., j])
+        words.append(w)
+    return jnp.stack(words, axis=-1).reshape(B, -1)
+
+
+def _unpack_dist21(words: np.ndarray, g: int) -> np.ndarray:
+    """Host inverse of _pack_dist21: (B, 21*G) uint32 -> (B, g) int32."""
+    B = words.shape[0]
+    w = words.reshape(B, -1, 21).astype(np.uint64)
+    vals = []
+    for j in range(32):
+        lo = 21 * j
+        k0, off = lo // 32, lo % 32
+        v = w[..., k0] >> off
+        if off + 21 > 32:
+            v = v | (w[..., k0 + 1] << (32 - off))
+        vals.append(v & np.uint64((1 << 21) - 1))
+    out = np.stack(vals, axis=-1).reshape(B, -1)
+    return out[:, :g].astype(np.int32)
 
 
 def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
@@ -1374,7 +1431,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
             _timings["hist_sync"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
         maxS = min(W, -(-max(int(ns.max()), 1) // 256) * 256)
-        dist_job = _slice_cols(dist_dev, maxS)
+        dist_job = _pack_dist21(dist_dev, maxS)
     else:
         # narrow alphabets still waste the link at full width (residuals
         # concentrate near 0: e.g. 4096 bins with ~128 occupied is 8 MB
@@ -1430,7 +1487,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
         if _timings is not None:
             _timings["hist_sync"] = _time.perf_counter() - t0
             t0 = _time.perf_counter()
-        dist32 = raw[:, 4:]
+        dist32 = _unpack_dist21(raw[:, 4:], guess)
         need = int(ns.max()) if B else 1
         if dist32.shape[1] < need:
             # prefix guess truncated an occupied column: full re-read
@@ -1443,11 +1500,12 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
                                                        0) + 1
         _DIST_BUCKET[(B, W)] = min(W, -(-max(need, 1) // 256) * 256 + 256)
     else:
-        dist32 = np.asarray(dist_job)
+        packed = np.asarray(dist_job)
         if _timings is not None:
             _timings["d2h_mb"] = (_timings.get("d2h_mb", 0.0)
-                                  + dist32.nbytes / 1e6)
+                                  + packed.nbytes / 1e6)
             _timings["n_readbacks"] = _timings.get("n_readbacks", 0) + 1
+        dist32 = _unpack_dist21(packed, maxS)
 
     # host mirror of the device precision schedule (same integer ops;
     # only bls reaches the wire — the scan used the device copy)
