@@ -101,6 +101,10 @@ def test_encode_step_pallas_combined_matrix():
 def test_predict_matmul_viable_heuristic():
     assert predict_matmul_viable(T=10000, V=4096, B=64, C=3)
     assert not predict_matmul_viable(T=600000, V=200000, B=1, C=3)
+    # two 7-bit int8 planes are exact to 14 bits only: deep -qp must take
+    # the gather step (hardware-caught divergence at -qp 15/16)
+    assert predict_matmul_viable(T=10000, V=4096, B=64, C=3, bits=14)
+    assert not predict_matmul_viable(T=10000, V=4096, B=64, C=3, bits=15)
 
 
 def test_rans_scan_pallas_matches_scan():

@@ -309,6 +309,12 @@ def encode_step_pallas(positions: jnp.ndarray, gathers: dict,
     the traversal-order gather is folded into the same matmul.
     """
     from .pallas_kernels import histogram_pallas, predict_matmul_pallas
+    if bits > 14:
+        # the hi 7-bit plane overflows int8 past 14-bit values; callers
+        # gate on predict_matmul_viable(bits=...) — fail loudly rather
+        # than emit a corrupt stream (hardware-caught at -qp 15/16)
+        raise ValueError(f"combo-matmul step is exact to 14 bits "
+                         f"(got bits={bits}); use encode_step")
     if hist_bins is None:
         hist_bins = default_hist_bins(bits)
     q, mins, delta_max = quantize_kernel(positions, bits)

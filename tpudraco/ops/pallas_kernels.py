@@ -351,8 +351,13 @@ def rans_scan_pallas_viable(L: int, T: int) -> bool:
 
 
 def predict_matmul_viable(T: int, V: int, B: int, C: int,
-                          hbm_budget: int = 256 * 2 ** 20) -> bool:
-    """The kernel tiles all three dims through VMEM, so viability is only
+                          hbm_budget: int = 256 * 2 ** 20,
+                          bits: int = 11) -> bool:
+    """The kernel tiles all three dims through VMEM, so viability is
     bounded by the dense combo matrix's HBM footprint (int8 T x V) — the
-    gather path stays the right choice for very large single meshes."""
-    return T * V <= hbm_budget
+    gather path stays the right choice for very large single meshes —
+    and by the two-7-bit-plane int8 decomposition: quantized values past
+    14 bits overflow the hi plane (hardware-caught at -qp 16: spurious
+    \\xff bytes in the position payload), so deep depths take the gather
+    step instead."""
+    return T * V <= hbm_budget and bits <= 14

@@ -1047,7 +1047,7 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     B, V, C = positions_batch.shape
     T = int(len(g["order"]))
     use_pallas = (jax.default_backend() == "tpu"
-                  and predict_matmul_viable(2 * T, V, B, C))
+                  and predict_matmul_viable(2 * T, V, B, C, bits=bits))
     M = None
     if use_pallas:
         M = getattr(topo, "_dev_combo_matrix", None)
