@@ -248,14 +248,19 @@ def _measure_link():
 
     big = jax.block_until_ready(jnp.zeros((8 << 20,), jnp.uint8))
     tiny = jax.block_until_ready(jnp.zeros((4,), jnp.int32))
-    np.asarray(big), np.asarray(tiny)  # warm any transfer program
+    # read back a FRESH array every trial: jax caches an array's host copy
+    # after its first np.asarray, so re-reading the same buffer measures
+    # the cache, not the link (hardware-verified: 8.4e9 MB/s nonsense).
+    # big+i / tiny+i adds a dispatch + trivial add to both sides; the
+    # tiny-vs-big subtraction cancels that fixed cost.
+    np.asarray(big + np.uint8(1)), np.asarray(tiny + 1)  # warm programs
     t_big = t_tiny = float("inf")
-    for _ in range(3):
+    for i in range(2, 5):
         t0 = time.perf_counter()
-        np.asarray(tiny)
+        np.asarray(tiny + i)
         t_tiny = min(t_tiny, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(big)
+        np.asarray(big + np.uint8(i))
         t_big = min(t_big, time.perf_counter() - t0)
     bw = big.nbytes / 1e6 / max(t_big - t_tiny, 1e-9)  # MB/s
     return bw, t_tiny * 1e3  # (MB/s, ms per readback)
@@ -392,11 +397,14 @@ def bench_decode(positions, gathers):
                    host_msym)
 
 
-def bench_huge(n: int = 1024, chunk: int = 1 << 16):
-    """Single huge mesh (n x n grid, ~n^2 verts) through the O(chunk)
-    streaming device encode vs the host topology-cached encoder,
+def bench_huge(n: int = 1024):
+    """Single huge mesh (n x n grid, ~n^2 verts) through the production
+    huge-mesh device route (resident positions + gathers, one u16 symbol
+    readback, host C++ entropy) vs the host topology-cached encoder,
     interleaved for a same-window ratio. Topology preparation is shared
-    and untimed (cached once per topology in production)."""
+    and untimed (cached once per topology in production). The O(chunk)
+    streaming twin stays byte-pinned by tests; it only routes beyond
+    RESIDENT_MAX_VERTS (~16M verts), far past what this bench can hold."""
     from tpudraco.models import (AttributeDomain, AttributeType,
                                  MeshBuilder)
     from tpudraco.parallel import BatchEncoder
@@ -418,20 +426,20 @@ def bench_huge(n: int = 1024, chunk: int = 1 << 16):
 
     enc = BatchEncoder()
     blob_h = enc.encode_mesh(mesh)        # warms topology + host path
-    blob_d = enc.encode_mesh_device_chunked(mesh, chunk=chunk)  # compiles
-    assert blob_d == blob_h, "chunked bytes diverge from host encode()"
+    blob_d = enc.encode_mesh_device(mesh)  # compiles + uploads gathers
+    assert blob_d == blob_h, "resident bytes diverge from host encode()"
 
     best_d, best_h = float("inf"), float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        enc.encode_mesh_device_chunked(mesh, chunk=chunk)
+        enc.encode_mesh_device(mesh)
         best_d = min(best_d, time.perf_counter() - t0)
         t0 = time.perf_counter()
         enc.encode_mesh(mesh)
         best_h = min(best_h, time.perf_counter() - t0)
     mbps = pos.nbytes / best_d / 1e6
     host_mbps = pos.nbytes / best_h / 1e6
-    return _result("device_huge_mesh_chunked_throughput", mbps, "MB/s",
+    return _result("device_huge_mesh_throughput", mbps, "MB/s",
                    host_mbps)
 
 
@@ -475,7 +483,7 @@ def main():
             names = {"e2e": ["device_encode_e2e_throughput"],
                      "step": ["device_encode_step_throughput"],
                      "decode": ["device_rans_decode_throughput"],
-                     "huge": ["device_huge_mesh_chunked_throughput"]}
+                     "huge": ["device_huge_mesh_throughput"]}
             names["all"] = [m for k in ("e2e", "step", "decode", "huge")
                             for m in names[k]]
             for metric in names[args.metric]:

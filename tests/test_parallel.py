@@ -506,6 +506,30 @@ def test_chunked_huge_mesh_byte_oracle():
         mesh, cfg=Config(quant_bits={AttributeType.POSITION: 13}))
 
 
+def test_resident_single_mesh_byte_oracle():
+    """The resident single-mesh device path (positions + gathers stay on
+    device, one u16 symbol readback) must produce .drc bytes identical to
+    host encode(), at default and non-default depths; the huge-mesh router
+    must pick it (and fall back cleanly past the HBM budget)."""
+    from tpudraco.encode import Config
+    from tpudraco.models import AttributeType
+
+    mesh = _grid_mesh(20, 3)
+    be = BatchEncoder()
+    assert be.encode_mesh_device(mesh) == encode(mesh)
+    assert be.encode_mesh_device(mesh, bits=13) == encode(
+        mesh, cfg=Config(quant_bits={AttributeType.POSITION: 13}))
+    # the huge-mesh route resolves to the same bytes both sides of the
+    # resident budget (beyond it: the chunked streaming twin)
+    assert be._encode_huge_safe(mesh) == encode(mesh)
+    old = BatchEncoder.RESIDENT_MAX_VERTS
+    try:
+        BatchEncoder.RESIDENT_MAX_VERTS = 1
+        assert be._encode_huge_safe(mesh) == encode(mesh)
+    finally:
+        BatchEncoder.RESIDENT_MAX_VERTS = old
+
+
 def test_stream_sharded_single_mesh_byte_oracle():
     """Single-mesh cross-chip API: the traversal shards over an 8-device
     ("stream",) mesh; output bytes equal host encode()."""

@@ -395,12 +395,17 @@ class BatchEncoder:
 
     # auto-routing knobs: groups smaller than MIN_DEVICE_GROUP never pay
     # the device dispatch overhead unless the meshes are huge; huge single
-    # meshes (>= CHUNKED_MIN_VERTS) probe the chunked streaming path;
+    # meshes (>= CHUNKED_MIN_VERTS) take the resident device path when
+    # they fit RESIDENT_MAX_VERTS, the chunked streaming path beyond;
     # groups whose full host cost undercuts a device probe's fixed
     # dispatch+readback overhead (~0.3-0.5 s on this tunnel) skip the
     # probe; probes run on a PROBE_CHUNK-wide device batch
     MIN_DEVICE_GROUP = 16
     CHUNKED_MIN_VERTS = 1 << 17
+    # resident single-mesh budget: positions + gather indices + symbols
+    # cost ~50 B/vert on device (~800 MB at the cap); beyond it the
+    # O(chunk) streaming path bounds device memory instead
+    RESIDENT_MAX_VERTS = 1 << 24
     PROBE_SKIP_S = 0.5
     PROBE_CHUNK = 16
 
@@ -438,14 +443,14 @@ class BatchEncoder:
             entry = {"group": sig[:12], "meshes": n, "verts": v}
             if n == 1:
                 # a lone mesh cannot be probed without doing the work
-                # twice: huge meshes take the chunked streaming path
-                # (BASELINE.md: 2x host at 1M verts on real TPU), the
+                # twice: huge meshes take the resident device path
+                # (chunked streaming beyond RESIDENT_MAX_VERTS), the
                 # rest stay host
                 huge = v >= (self.CHUNKED_MIN_VERTS << 2)
-                out[idxs[0]] = (self._encode_chunked_safe(meshes[idxs[0]])
+                out[idxs[0]] = (self._encode_huge_safe(meshes[idxs[0]])
                                 if huge else
                                 self._encode_one_safe(meshes[idxs[0]]))
-                entry.update(plane="device-chunked" if huge else "host",
+                entry.update(plane="device" if huge else "host",
                              reason="single mesh (static)")
                 self.routing_log.append(entry)
                 return
@@ -506,6 +511,21 @@ class BatchEncoder:
         except Exception:
             return None
 
+    def _encode_huge_safe(self, mesh: Mesh) -> bytes | None:
+        """Single-huge-mesh device route: resident when the mesh fits the
+        HBM budget, chunked streaming beyond it; a resident failure falls
+        through to the chunked twin (then host) with the fallback counted."""
+        v = int(mesh.position_attribute().num_points)
+        if v > self.RESIDENT_MAX_VERTS:
+            return self._encode_chunked_safe(mesh)
+        try:
+            return self.encode_mesh_device(mesh)
+        except Exception:
+            if self.strict_device:
+                raise
+            self.fallback_groups += 1
+            return self._encode_chunked_safe(mesh)
+
     def _encode_chunked_safe(self, mesh: Mesh) -> bytes | None:
         try:
             return self.encode_mesh_device_chunked(mesh)
@@ -554,6 +574,34 @@ class BatchEncoder:
         pre = {pos_idx: {"payload": payload,
                          "xform_meta": bytes(meta.getvalue())}}
         return encode_with_topology(mesh, topo, cfg=cfg, precomputed=pre)
+
+    def encode_mesh_device(self, mesh: Mesh, bits: int | None = None
+                           ) -> bytes:
+        """Single-mesh device encode with RESIDENT positions and gather
+        indices (O(V) device memory, cached per topology): one H2D of the
+        positions, the fused quantize/predict/residual step on device, one
+        D2H of the uint16 residual symbols, host C++ entropy + assembly.
+        This is the fast single-huge-mesh plane behind a high-latency
+        link — the streaming twin (encode_mesh_device_chunked) re-uploads
+        every traversal row from host (5 x 12 B/row vs 12 B/vert once
+        here) to bound device memory at O(chunk) instead. Output bytes
+        are identical to host encode() (pinned by tests)."""
+        bits = self._resolve_pos_bits(bits)
+        import jax.numpy as jnp
+
+        topo = self._topo_for(mesh)
+        pos_att = mesh.position_attribute()
+        pos = np.ascontiguousarray(pos_att.values, np.float32)[None]
+        dev = device_encode_group(pos, topo, pos_att, bits=bits,
+                                  return_device=True)
+        syms = dev["symbols"][0]
+        if bits + 1 <= 16:  # zigzag symbols < 2^(bits+1): halve the D2H
+            syms = syms.astype(jnp.uint16)
+        # exactly two readbacks: the (2,) range pair, then the symbols
+        vmin, vmax = np.asarray(
+            jnp.concatenate([dev["vmin"], dev["vmax"]]))
+        return self._assemble_precomputed(mesh, topo, np.asarray(syms),
+                                          int(vmin), int(vmax), bits)
 
     def encode_mesh_device_chunked(self, mesh: Mesh, bits: int | None = None,
                                    chunk: int = 1 << 15) -> bytes:
