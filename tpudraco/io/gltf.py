@@ -360,11 +360,17 @@ def load_gltf_to_scene(path: str) -> Scene:
             sampler = gltf.get("samplers", [])[tex["sampler"]]
         # EXT_texture_webp: the real source is the webp image; "source"
         # holds an optional fallback (decode.rs:795 accepts the extension;
-        # image bytes pass through untranscoded so no restoration needed)
+        # image bytes pass through untranscoded so no restoration needed).
+        # KHR_texture_basisu likewise carries the source inside the
+        # extension for KTX2/basis images (encode.rs:3188 writes only the
+        # extension for image/ktx2; the writer re-sniffs on output so no
+        # state beyond image_index is needed here).
         webp = tex.get("extensions", {}).get("EXT_texture_webp", {})
+        basisu = tex.get("extensions", {}).get("KHR_texture_basisu", {})
         scene.material_library.texture_library.textures.append(
             Texture(image_index=tex.get("source",
-                                        webp.get("source", 0)),
+                                        basisu.get("source",
+                                                   webp.get("source", 0))),
                     sampler=sampler, name=tex.get("name", ""),
                     webp_image_index=webp.get("source")))
 
@@ -871,8 +877,11 @@ class GlbWriter:
                 self.images_json.append({"bufferView": bv, "mimeType": mime})
             else:
                 self.images_json.append({"uri": img.uri or ""})
+        images = lib.texture_library.images
         for tex in lib.texture_library.textures:
             t: dict = {}
+            src_fmt = (images[tex.image_index].target_format()
+                       if 0 <= tex.image_index < len(images) else "unknown")
             if tex.webp_image_index is not None:
                 # EXT_texture_webp: webp source rides the extension; the
                 # plain "source" stays the fallback when one exists
@@ -881,6 +890,13 @@ class GlbWriter:
                 self.extensions_used.add("EXT_texture_webp")
                 if tex.image_index != tex.webp_image_index:
                     t["source"] = tex.image_index
+            elif src_fmt in ("ktx2", "basis"):
+                # KHR_texture_basisu: KTX2/basis sources are only legal via
+                # the extension (used AND required — encode.rs:1764-1767,
+                # :3188 emits the extension with no plain "source")
+                t["extensions"] = {"KHR_texture_basisu": {
+                    "source": tex.image_index}}
+                self.extensions_used.add("KHR_texture_basisu")
             else:
                 t["source"] = tex.image_index
             if tex.sampler is not None:
@@ -888,7 +904,12 @@ class GlbWriter:
                 t["sampler"] = len(self.samplers_json) - 1
             self.textures_json.append(t)
 
-        materials_json = [_material_to_json(m) for m in lib.materials]
+        def _register_ext(name: str, required: bool = False) -> None:
+            (self.extensions_used if required
+             else self.extensions_optional).add(name)
+
+        materials_json = [_material_to_json(m, _register_ext)
+                          for m in lib.materials]
 
         # carried accessors (animation samplers, IBMs, morph targets)
         # re-emit FIRST so both the animations/skins remap and the
@@ -1132,7 +1153,15 @@ def _gltf_storable(vals: np.ndarray) -> np.ndarray:
     return vals.astype(np.uint32)
 
 
-def _material_to_json(m: Material) -> dict:
+def _material_to_json(m: Material, register=None) -> dict:
+    """Material -> glTF JSON. ``register(name, required=False)`` records
+    every extension this material actually emits so the writer can declare
+    it in extensionsUsed (+Required) — the reference registers at the
+    emission site the same way (encode.rs:2864-2928)."""
+    if register is None:
+        def register(name, required=False):
+            pass
+
     def tm(t: TextureMap | None):
         if t is None:
             return None
@@ -1141,6 +1170,8 @@ def _material_to_json(m: Material) -> dict:
             d["texCoord"] = t.tex_coord
         if t.transform:
             d["extensions"] = {"KHR_texture_transform": t.transform}
+            # used + required, matching encode.rs:2864-2865
+            register("KHR_texture_transform", required=True)
         return d
 
     pbr: dict = {}
@@ -1179,8 +1210,12 @@ def _material_to_json(m: Material) -> dict:
     # typed material extensions back to JSON (reference material writers,
     # io/gltf/encode.rs:2795-3311)
     exts = dict(m.extensions)
+    for name in exts:
+        # raw passthrough extensions still need declaring (used only)
+        register(name)
     if m.unlit:
         exts["KHR_materials_unlit"] = {}
+        register("KHR_materials_unlit")
     if m.has_sheen:
         e: dict = {}
         if tuple(m.sheen_color_factor) != (0.0, 0.0, 0.0):
@@ -1192,6 +1227,7 @@ def _material_to_json(m: Material) -> dict:
         if tm(m.sheen_roughness_texture):
             e["sheenRoughnessTexture"] = tm(m.sheen_roughness_texture)
         exts["KHR_materials_sheen"] = e
+        register("KHR_materials_sheen")
     if m.has_transmission:
         e = {}
         if m.transmission_factor != 0.0:
@@ -1199,6 +1235,7 @@ def _material_to_json(m: Material) -> dict:
         if tm(m.transmission_texture):
             e["transmissionTexture"] = tm(m.transmission_texture)
         exts["KHR_materials_transmission"] = e
+        register("KHR_materials_transmission")
     if m.has_clearcoat:
         e = {}
         if m.clearcoat_factor != 0.0:
@@ -1212,6 +1249,7 @@ def _material_to_json(m: Material) -> dict:
         if tm(m.clearcoat_normal_texture):
             e["clearcoatNormalTexture"] = tm(m.clearcoat_normal_texture)
         exts["KHR_materials_clearcoat"] = e
+        register("KHR_materials_clearcoat")
     if m.has_volume:
         e = {}
         if m.thickness_factor != 0.0:
@@ -1223,8 +1261,10 @@ def _material_to_json(m: Material) -> dict:
         if tuple(m.attenuation_color) != (1.0, 1.0, 1.0):
             e["attenuationColor"] = list(m.attenuation_color)
         exts["KHR_materials_volume"] = e
+        register("KHR_materials_volume")
     if m.has_ior:
         exts["KHR_materials_ior"] = {"ior": m.ior}
+        register("KHR_materials_ior")
     if m.has_specular:
         e = {}
         if m.specular_factor != 1.0:
@@ -1236,6 +1276,7 @@ def _material_to_json(m: Material) -> dict:
         if tm(m.specular_color_texture):
             e["specularColorTexture"] = tm(m.specular_color_texture)
         exts["KHR_materials_specular"] = e
+        register("KHR_materials_specular")
     if exts:
         out["extensions"] = exts
     return out
