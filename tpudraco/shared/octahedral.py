@@ -22,13 +22,18 @@ def octahedral_transform(v: np.ndarray) -> np.ndarray:
         f = v.astype(np.float32)
         norm = np.sqrt(np.sum(f * f, axis=-1, keepdims=True, dtype=np.float32)
                        ).astype(np.float32)
-        f = (f / norm).astype(np.float32)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero rows become NaN here; the quantizer pins them (see
+            # oct_quantize_normals — the reference PANICS on zero vectors,
+            # geom.rs:45, so accepting them at all is a documented dialect)
+            f = (f / norm).astype(np.float32)
         return octahedral_transform(f)
     v = v.astype(np.float32)
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
     abs_sum = (np.abs(x) + np.abs(y) + np.abs(z)).astype(np.float32)
-    u = (y / abs_sum).astype(np.float32)
-    w = (z / abs_sum).astype(np.float32)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        u = (y / abs_sum).astype(np.float32)
+        w = (z / abs_sum).astype(np.float32)
     one = np.float32(1.0)
     # fold the lower hemisphere (x < 0); note u_out/v_out both read the
     # *original* u, w (geom.rs:66-81)
@@ -134,8 +139,19 @@ def oct_quantize_normals(vals: np.ndarray, bits: int) -> np.ndarray:
     oct = octahedral_transform(vals) + np.float32(1.0)
     scale = np.float32((1 << (bits - 1)) - 1)
     quantized = (oct.astype(np.float32) * scale).astype(np.float32)
-    q = quantized.astype(np.int64)  # f32 -> int truncation toward zero
-    return into_faithful_oct_quantization(q, bits).astype(np.int32)
+    # Degenerate (zero-length) normals reach here as NaN rows — the
+    # reference panics on them (geom.rs:45); we accept them and pin the
+    # quantized value to (0, 0), skipping the corner fixups. (0, 0) is the
+    # exact value the historical NaN cast chain produced, so the bytes for
+    # such inputs are unchanged; handling it explicitly keeps the suite
+    # clean under warnings-as-errors (VERDICT r3 weak #5).
+    bad = ~np.isfinite(quantized).all(axis=-1)
+    with np.errstate(invalid="ignore"):
+        q = quantized.astype(np.int64)  # f32 -> int truncation toward zero
+    q[bad] = 0
+    out = into_faithful_oct_quantization(q, bits)
+    out[bad] = 0
+    return out.astype(np.int32)
 
 
 def invert_diamond_inverse_batched(w: np.ndarray,
