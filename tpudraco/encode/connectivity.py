@@ -45,24 +45,67 @@ class ConnectivityOutput:
         self.method = method
 
 
+class _CombinedVertexMap:
+    """Duck-typed stand-in for the position attribute handed to
+    CornerTable: its point->vertex map is the combined identity over ALL
+    attributes' value indices (single-connectivity vertex space)."""
+
+    def __init__(self, inverse: np.ndarray) -> None:
+        self._inverse = inverse
+
+    def unique_indices(self) -> np.ndarray:
+        return self._inverse
+
+
+def combined_vertex_map(attributes: list[Attribute]) -> np.ndarray:
+    """(P,) point -> combined-vertex index where two points share a vertex
+    only when EVERY attribute agrees on its value index (first-occurrence
+    order, so position-only meshes keep their original vertex ids)."""
+    cols = np.stack([np.asarray(a.unique_indices(), dtype=np.int64)
+                     for a in attributes], axis=1)
+    _, first, inverse = np.unique(cols, axis=0, return_index=True,
+                                  return_inverse=True)
+    # np.unique sorts keys; remap to first-occurrence order so the vertex
+    # numbering matches the no-seam case exactly
+    order = np.argsort(first, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    return rank[inverse]
+
+
 class EdgebreakerEncoder:
     """Edgebreaker over the corner table: Standard (CrLight) or Valence
-    (per-context rANS symbol streams) traversal encoding."""
+    (per-context rANS symbol streams) traversal encoding.
+
+    ``single_connectivity`` mirrors the reference Config knob
+    (edgebreaker.rs:85; its implementation panics, edgebreaker.rs:129-130 —
+    ours is real): every attribute shares ONE corner table whose vertex
+    space is the combined identity over all attributes' value indices
+    (attribute seams become real cuts), and the per-attribute seam
+    machinery is skipped entirely (num_attribute_tables = 0, no seam
+    streams — the edgebreaker.rs:173 early-return generalized to any
+    attribute count)."""
 
     def __init__(self, faces: np.ndarray, attributes: list[Attribute],
-                 traversal: int = EB_STANDARD) -> None:
+                 traversal: int = EB_STANDARD,
+                 single_connectivity: bool = False) -> None:
         if traversal not in (EB_STANDARD, EB_VALENCE):
             raise EdgebreakerError(f"unsupported traversal kind {traversal}")
         self.traversal_kind = traversal
-        pos = next(a for a in attributes
-                   if a.att_type == AttributeType.POSITION)
-        self.ct = CornerTable(faces, pos)
-        # per-attribute seam tables, skipping the position attribute
-        # (edgebreaker.rs:171-193)
-        self.att_data = [
-            AttributeCornerTable(self.ct, a)
-            for a in attributes if a.att_type != AttributeType.POSITION
-        ]
+        if single_connectivity:
+            conn_att = _CombinedVertexMap(combined_vertex_map(attributes))
+            self.ct = CornerTable(faces, conn_att)
+            self.att_data = []
+        else:
+            pos = next(a for a in attributes
+                       if a.att_type == AttributeType.POSITION)
+            self.ct = CornerTable(faces, pos)
+            # per-attribute seam tables, skipping the position attribute
+            # (edgebreaker.rs:171-193)
+            self.att_data = [
+                AttributeCornerTable(self.ct, a)
+                for a in attributes if a.att_type != AttributeType.POSITION
+            ]
         V = self.ct.num_vertices
         self.visited_vertices = np.zeros(V, dtype=bool)
         self.visited_faces = np.zeros(self.ct.num_faces(), dtype=bool)

@@ -67,6 +67,7 @@ def _build_config(args):
                      sequential_method=args.sequential_method
                      or "direct")
     cfg.strict = args.strict_draco
+    cfg.use_single_connectivity = args.single_connectivity
     return cfg
 
 
@@ -138,6 +139,11 @@ def main(argv=None) -> int:
                    help="generic float attribute quantization bits "
                         "(COLOR/TANGENT/WEIGHT; draco_encoder's -qg; "
                         "default 11)")
+    p.add_argument("--single-connectivity", action="store_true",
+                   help="one corner table for all attributes: seams "
+                        "become real cuts, no per-attribute seam streams "
+                        "(the reference models this knob but its "
+                        "implementation panics)")
     p.add_argument("--point-cloud", action="store_true",
                    help="encode as a point cloud (drop connectivity; "
                         "draco_encoder's -point_cloud). Face-less inputs "
