@@ -397,6 +397,39 @@ def bench_decode(positions, gathers):
                    host_msym)
 
 
+def bench_decode_corpus(positions, faces, n_meshes: int = 128):
+    """Corpus decode: .drc -> mesh over a shared-topology group through
+    the production grouped decoder (connectivity parsed + Spirale-
+    reconstructed once per group) vs the naive per-blob decode() loop,
+    both in-process. The decode plane is host-by-verdict (BASELINE.md
+    round 3); this metric pins its number so regressions surface in
+    BENCH_r*.json the way encode ones do (VERDICT r3 next #8)."""
+    from tpudraco.decode import decode as decode_one
+    from tpudraco.parallel import BatchEncoder
+    from tpudraco.parallel.decode_batch import BatchDecoder
+
+    meshes = _build_meshes(positions[:n_meshes], faces)
+    enc = BatchEncoder()
+    blobs = [enc.encode_mesh(m) for m in meshes]
+
+    bd = BatchDecoder()
+    got = bd.decode_blobs_shared_topology(blobs)
+    assert all(m is not None for m in got), "grouped decode failed"
+
+    best_g = float("inf")
+    best_n = float("inf")
+    for _ in range(2):  # interleaved: same-window ratio (CLAUDE.md)
+        t0 = time.perf_counter()
+        bd.decode_blobs_shared_topology(blobs)
+        best_g = min(best_g, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for b in blobs:
+            decode_one(b)
+        best_n = min(best_n, time.perf_counter() - t0)
+    return _result("decode_corpus_throughput", n_meshes / best_g,
+                   "meshes/s", n_meshes / best_n)
+
+
 def bench_huge(n: int = 1024):
     """Single huge mesh (n x n grid, ~n^2 verts) through the production
     huge-mesh device route (resident positions + gathers, one u16 symbol
@@ -469,7 +502,8 @@ def _probe_backend(timeout_s: float = 180.0) -> str | None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric",
-                    choices=("e2e", "step", "decode", "huge", "all"),
+                    choices=("e2e", "step", "decode", "decode-corpus", "huge",
+                             "all"),
                     default="e2e")
     ap.add_argument("--breakdown", action="store_true",
                     help="print the per-stage e2e wall decomposition")
@@ -483,8 +517,10 @@ def main():
             names = {"e2e": ["device_encode_e2e_throughput"],
                      "step": ["device_encode_step_throughput"],
                      "decode": ["device_rans_decode_throughput"],
+                     "decode-corpus": ["decode_corpus_throughput"],
                      "huge": ["device_huge_mesh_throughput"]}
-            names["all"] = [m for k in ("e2e", "step", "decode", "huge")
+            names["all"] = [m for k in ("e2e", "step", "decode",
+                                        "decode-corpus", "huge")
                             for m in names[k]]
             for metric in names[args.metric]:
                 print(json.dumps({"metric": metric, "value": 0,
@@ -502,6 +538,8 @@ def main():
         print(json.dumps(bench_step(positions, gn, gathers)))
     if args.metric in ("decode", "all"):
         print(json.dumps(bench_decode(positions, gathers)))
+    if args.metric in ("decode-corpus", "all"):
+        print(json.dumps(bench_decode_corpus(positions, faces)))
     if args.metric in ("huge", "all"):
         print(json.dumps(bench_huge()))
 
