@@ -160,6 +160,16 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
 
     # portabilize (writes quantization metadata into a side buffer)
     port_type, bits = default_portabilization_for(att.att_type, quant_bits)
+    if precomputed is not None and "port_meta" in precomputed:
+        # the batch plane already quantized this attribute (vectorized
+        # across the whole group on host) — emit its metadata bytes and
+        # skip the per-mesh re-quantization, the dominant assembly cost
+        from .portabilization import _clone_with_values
+        writer.write_u8(1)  # rans_encoding flag
+        writer.write_bytes(precomputed["payload"])
+        writer.write_bytes(precomputed["xform_meta"])
+        writer.write_bytes(precomputed["port_meta"])
+        return _clone_with_values(att, precomputed["port_values"])
     port_buf = _Buf()
     port_att = portabilize(att, port_type, bits, port_buf)
 

@@ -7,7 +7,9 @@ from .device import (
     dequantize_kernel,
     encode_step,
     encode_step_chunk,
+    encode_step_from_q,
     encode_step_pallas,
+    encode_step_pallas_from_q,
     minmax_chunk_kernel,
     parallelogram_predict_kernel,
     quantize_kernel,
@@ -29,7 +31,8 @@ from .pallas_kernels import (
 __all__ = [
     "bincount_kernel", "default_hist_bins", "dequantize_kernel",
     "f32_div_exact", "f32_mul_exact", "f32_sqrt_exact",
-    "encode_step", "encode_step_chunk", "encode_step_pallas",
+    "encode_step", "encode_step_chunk", "encode_step_from_q",
+    "encode_step_pallas", "encode_step_pallas_from_q",
     "minmax_chunk_kernel", "parallelogram_predict_kernel", "quantize_kernel",
     "quantize_rows_kernel", "quantized_range_chunk_kernel",
     "unzigzag_kernel", "wrapped_difference_kernel", "zigzag_kernel",

@@ -442,3 +442,56 @@ def encode_step(positions: jnp.ndarray, gathers: dict, bits: int = 11,
     counts = bincount_kernel(flat, hist_bins)
     return {"symbols": corr, "counts": counts, "mins": mins,
             "delta_max": delta_max, "vmin": vmin, "vmax": vmax}
+
+
+def encode_step_from_q(q_in: jnp.ndarray, gathers: dict, bits: int = 11,
+                       hist_bins: int | None = None):
+    """encode_step starting from HOST-quantized values.
+
+    The honest pipeline quantizes on the host (the canonical
+    quantize_coordinate_wise formula — the device quantize_kernel exists
+    to match IT bit-for-bit) and uploads (B, V, C) uint16 instead of
+    float32: half the H2D bytes on a tunnel that cannot overlap transfers
+    with compute (measured round 4), and the quantization metadata
+    (mins/delta_max) plus the wrapped-difference range never cross the
+    link at all. Residual symbols are bit-identical to encode_step on the
+    same inputs because int ops have no backend-dependent rounding."""
+    if hist_bins is None:
+        hist_bins = default_hist_bins(bits)
+    q = q_in.astype(jnp.int32)
+    q_trav = q[:, gathers["order"], :]
+    preds = parallelogram_predict_kernel(
+        q, gathers["next"], gathers["prev"], gathers["opp"],
+        gathers["fallback"], gathers["can_para"], gathers["has_fallback"])
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds,
+                                                 range_source=q)
+    flat = corr.reshape(corr.shape[0], -1)
+    counts = bincount_kernel(flat, hist_bins)
+    return {"symbols": corr, "counts": counts, "vmin": vmin, "vmax": vmax}
+
+
+def encode_step_pallas_from_q(q_in: jnp.ndarray, gathers: dict,
+                              M: jnp.ndarray, bits: int = 11,
+                              hist_bins: int | None = None):
+    """encode_step_pallas starting from host-quantized values (see
+    encode_step_from_q): MXU combo-matmul prediction + one-hot histogram,
+    minus the device quantize."""
+    from .pallas_kernels import histogram_pallas, predict_matmul_pallas
+    if bits > 14:
+        raise ValueError(f"combo-matmul step is exact to 14 bits "
+                         f"(got bits={bits}); use encode_step_from_q")
+    if hist_bins is None:
+        hist_bins = default_hist_bins(bits)
+    q = q_in.astype(jnp.int32)
+    T = gathers["order"].shape[0]
+    if M.shape[0] == 2 * T:
+        both = predict_matmul_pallas(M, q)
+        preds, q_trav = both[:, :T, :], both[:, T:, :]
+    else:
+        preds = predict_matmul_pallas(M, q)
+        q_trav = q[:, gathers["order"], :]
+    corr, vmin, vmax = wrapped_difference_kernel(q_trav, preds,
+                                                 range_source=q)
+    flat = corr.reshape(corr.shape[0], -1).astype(jnp.int32)
+    counts = histogram_pallas(flat, hist_bins)
+    return {"symbols": corr, "counts": counts, "vmin": vmin, "vmax": vmax}
