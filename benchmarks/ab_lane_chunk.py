@@ -41,10 +41,11 @@ def make_inputs(B, T, C=3, seed=7):
 
 
 def run(chunk, tables_dev, syms_dev, counts_dev, iters=3, compact="sort",
-        k=8):
+        k=8, kern=False):
     rans_lanes.LANE_CHUNK = chunk
     rans_lanes.DEVICE_TABLES = tables_dev
     rans_lanes.SYMBOLS_PER_STEP = k
+    rans_lanes.set_words_kernel(kern)
     if rans_lanes.WORDS_COMPACT != compact:
         rans_lanes.set_words_compact(compact)
     rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)  # warm
@@ -81,13 +82,21 @@ def main():
                 (one_shot, False, "sort", 8),
                 (one_shot, True, "sort", 8), (one_shot, True, "marks", 8),
                 (one_shot, True, "sortkv", 8),
+                (one_shot, True, "sortkv", 16),
+                (one_shot, True, "sortkv", 32),
+                (one_shot, True, "sortkv", 8, True),
+                (one_shot, True, "sortkv", 32),
+                (one_shot, True, "sortkv", 8, True),
                 (one_shot, True, "sortkv", 16)]
-    for ch, dtab, compact, k in settings:
+    for cell in settings:
+        ch, dtab, compact, k = cell[:4]
+        kern = cell[4] if len(cell) > 4 else False
         dt, blobs = run(ch, dtab, syms_dev, counts_dev, compact=compact,
-                        k=k)
+                        k=k, kern=kern)
         label = (("dtab" if dtab else "htab") + "/"
                  + ("one-shot" if ch == one_shot else f"chunk={ch}")
-                 + "/" + compact + (f"/k={k}" if k != 8 else ""))
+                 + "/" + compact + (f"/k={k}" if k != 8 else "")
+                 + ("/KERNEL" if kern else ""))
         results.setdefault(label, []).append(dt)
         print(f"{label:>22}: {dt*1e3:8.1f} ms "
               f"({B*T*3*4/dt/1e6:7.1f} MB/s syms)", flush=True)
@@ -116,6 +125,15 @@ def main():
         assert ref is None or got == ref, \
             f"bytes differ at {ch},{dtab},{compact}"
         ref = got
+    # kernel byte check rides the matrix too
+    rans_lanes.set_words_kernel(True)
+    rans_lanes.LANE_CHUNK = one_shot
+    rans_lanes.DEVICE_TABLES = True
+    rans_lanes.SYMBOLS_PER_STEP = 8
+    rans_lanes.set_words_compact("sortkv")
+    got = rans_lanes.encode_group_entropy_device(syms_dev, counts_dev)
+    assert got == ref, "bytes differ under the Pallas words kernel"
+    rans_lanes.set_words_kernel(None)
     rans_lanes.set_words_compact(None)
     rans_lanes.SYMBOLS_PER_STEP = 8
     print("bytes identical across the settings matrix")

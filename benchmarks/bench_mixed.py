@@ -2,8 +2,12 @@
 measured back-to-back in one process (BASELINE.md row, VERDICT r2 #8).
 
 Corpus: 128 small meshes (4096 verts, 2 topologies) + 3 large meshes
-(262144 verts, 1 topology). Jits and topology caches are warmed before
-timing (compile cost is one-time per shape and amortizes over corpora).
+(262144 verts, 1 topology) + one BULK group (512 meshes, 4225 verts) —
+the corpus shape where the device batch genuinely wins (round-4
+pipeline: ~1.8x host at 512 lanes), so the auto router has a real
+routing decision to make in both directions. Jits and topology caches
+are warmed before timing (compile cost is one-time per shape and
+amortizes over corpora).
 """
 import os
 import time
@@ -45,7 +49,8 @@ def main():
     small = [grid_mesh(64, s) for s in range(64)] + \
             [grid_mesh(63, s) for s in range(64)]
     large = [grid_mesh(512, s) for s in range(3)]
-    meshes = small + large
+    bulk = [grid_mesh(65, s) for s in range(512)]
+    meshes = small + large + bulk
     raw_mb = sum(m.position_attribute().values.nbytes for m in meshes) / 1e6
     print(f"corpus: {len(meshes)} meshes, {raw_mb:.1f} MB raw positions",
           flush=True)
@@ -55,9 +60,14 @@ def main():
     warm = BatchEncoder(use_device="auto")
     print("warming (topology caches + remote compiles)...", flush=True)
     t0 = time.perf_counter()
-    warm.encode_meshes_auto([small[0], small[1], small[64], large[0]])
-    warm.encode_meshes_device([small[0]] * 2)
-    warm.encode_meshes_device([large[0]] * 2)
+    warm.encode_meshes_auto([small[0], small[1], small[64], large[0],
+                             bulk[0]])
+    # warm the REAL bucket shapes each mode will hit (a 2-mesh warm left
+    # device_only to compile its 64-lane shapes inside the timed region)
+    warm.encode_meshes_device(small[:64])
+    warm.encode_meshes_device(large)
+    warm.encode_meshes_device(bulk[:128])
+    warm.encode_meshes_device(bulk)
     print(f"warm done in {time.perf_counter() - t0:.1f}s; routing so far: "
           f"{warm.routing_log}", flush=True)
     cache = warm._topo_cache

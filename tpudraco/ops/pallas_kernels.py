@@ -337,6 +337,149 @@ def rans_scan_pallas(fs: jnp.ndarray, cs: jnp.ndarray,
     return emitted, is_byte, states
 
 
+def _rans_words_kernel(fs_ref, cs_ref, len_ref, prec_ref, word_ref,
+                       flag_ref, carry_out_ref, states_ref, lo_ref,
+                       hi_ref, nacc_ref, *, chunk_t: int):
+    """Word-packing rANS scan chunk: the EXACT _words_scan_core
+    recurrence (ops/rans_lanes.py one_symbol) as an in-kernel fori_loop —
+    the XLA lax.scan pays ~70 us of loop overhead PER STEP, which IS the
+    stage runtime at one vector-op bundle per symbol. Emissions pack
+    little-endian into (lo, hi, nacc) carried in VMEM scratch; at most
+    one full uint32 word flushes per symbol. Per-lane precision arrives
+    as data (covers both the static and vprec callers)."""
+    j = pl.program_id(1)
+    prec = prec_ref[0].astype(jnp.uint32)   # (8, 128)
+    u8_ = jnp.uint32(8)
+
+    @pl.when(j == 0)
+    def _():
+        states_ref[...] = jnp.uint32(4) << prec   # l_base per lane
+        lo_ref[...] = jnp.zeros((8, LANES), jnp.uint32)
+        hi_ref[...] = jnp.zeros((8, LANES), jnp.uint32)
+        nacc_ref[...] = jnp.zeros((8, LANES), jnp.uint32)
+
+    lengths = len_ref[0]  # (8, 128) int32
+
+    def body(t, carry):
+        states, lo, hi, nacc = carry
+        f = fs_ref[0, t]
+        c = cs_ref[0, t]
+        active = (j * chunk_t + t) < lengths
+        limit = (jnp.uint32(4) * f) << u8_
+        for _ in range(_RANS_R):
+            do = active & (states >= limit)
+            b = states & jnp.uint32(0xFF)
+            in_lo = nacc < 4
+            sh_lo = u8_ * jnp.where(in_lo, nacc, 0)
+            sh_hi = u8_ * jnp.where(in_lo, 0, nacc - 4)
+            lo = jnp.where(do & in_lo, lo | (b << sh_lo), lo)
+            hi = jnp.where(do & ~in_lo, hi | (b << sh_hi), hi)
+            nacc = nacc + do.astype(jnp.uint32)
+            states = jnp.where(do, states >> u8_, states)
+        new_states = ((states // f) << prec) + states % f + c
+        states = jnp.where(active, new_states, states)
+        fl = nacc >= 4
+        word_ref[0, t] = lo
+        flag_ref[0, t] = fl.astype(jnp.uint8)
+        lo = jnp.where(fl, hi, lo)
+        hi = jnp.where(fl, jnp.uint32(0), hi)
+        nacc = jnp.where(fl, nacc - 4, nacc)
+        return states, lo, hi, nacc
+
+    carry = (states_ref[...], lo_ref[...], hi_ref[...], nacc_ref[...])
+    states, lo, hi, nacc = jax.lax.fori_loop(0, chunk_t, body, carry)
+    states_ref[...], lo_ref[...] = states, lo
+    hi_ref[...], nacc_ref[...] = hi, nacc
+    # carry out: [states, lo, nacc] (hi is always drained below nacc<=3)
+    carry_out_ref[0, 0] = states
+    carry_out_ref[0, 1] = lo
+    carry_out_ref[0, 2] = nacc
+
+
+def rans_words_scan_pallas(fs: jnp.ndarray, cs: jnp.ndarray,
+                           lengths: jnp.ndarray, prec: jnp.ndarray):
+    """Word-packing rANS scan over L lanes with pre-gathered per-symbol
+    (freq, cum) pairs. fs/cs: (L, T_pad) uint32; lengths (L,) int32;
+    prec (L,) uint32 per-lane precisions (broadcast a scalar for the
+    static-precision callers). Returns (words (L, T_pad) uint32,
+    flags (L, T_pad) bool, states (L,), lo (L,), nacc (L,)) — the exact
+    (wq, flq, carry) of _words_scan_core's lax.scan, so the caller's
+    framing + compaction stay untouched."""
+    L, T = fs.shape
+    tile = RANS_LANE_TILE
+    chunk = RANS_CHUNK_T
+    L_pad = _round_up(max(L, tile), tile)
+    T_pad = _round_up(max(T, chunk), chunk)
+    nb, nt = L_pad // tile, T_pad // chunk
+
+    def lanes_tiled(a, fill):
+        a = jnp.pad(a, ((0, L_pad - L), (0, T_pad - T)),
+                    constant_values=fill)
+        return a.reshape(nb, 8, LANES, T_pad).transpose(0, 3, 1, 2)
+
+    fsx = lanes_tiled(fs.astype(jnp.uint32), 1)  # freq 0 would divide by 0
+    csx = lanes_tiled(cs.astype(jnp.uint32), 0)
+    lenx = jnp.pad(lengths.astype(jnp.int32), (0, L_pad - L)) \
+        .reshape(nb, 8, LANES)
+    precx = jnp.pad(jnp.broadcast_to(prec.astype(jnp.uint32), (L,)),
+                    (0, L_pad - L), constant_values=12) \
+        .reshape(nb, 8, LANES)
+
+    words, flags, carry = pl.pallas_call(
+        functools.partial(_rans_words_kernel, chunk_t=chunk),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANES), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, 8, LANES), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, LANES), lambda b, j: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T_pad, 8, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nb, T_pad, 8, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 3, 8, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, LANES), jnp.uint32),
+                        pltpu.VMEM((8, LANES), jnp.uint32),
+                        pltpu.VMEM((8, LANES), jnp.uint32),
+                        pltpu.VMEM((8, LANES), jnp.uint32)],
+        interpret=_interpret(),
+    )(fsx, csx, lenx, precx)
+
+    def untile(a):
+        a = a.transpose(0, 2, 3, 1)              # (nb, 8, 128, T_pad)
+        return a.reshape(L_pad, T_pad)[:L]
+
+    w = untile(words)
+    fl = untile(flags).astype(jnp.bool_)
+    cr = carry.reshape(nb, 3, tile).transpose(0, 2, 1) \
+        .reshape(L_pad, 3)[:L]
+    return w, fl, cr[:, 0], cr[:, 1], cr[:, 2]
+
+
+def rans_words_scan_pallas_viable(L: int, T: int) -> bool:
+    """The words kernel replaces ONLY the lax.scan recurrence (the
+    ~70 us/step XLA loop overhead); pre-gathers, compaction, and framing
+    stay in XLA. Worth it when the scan has enough steps for the
+    overhead to dominate and lanes tile the (8, 128) registers."""
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return False
+    return T >= 1024 and L >= 64
+
+
 def rans_scan_pallas_viable(L: int, T: int) -> bool:
     """Retired as a production path (round 3, measured in-context on v5e:
     the word-packed XLA scan + word compaction runs the full e2e entropy

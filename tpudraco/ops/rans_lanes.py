@@ -67,6 +67,31 @@ SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 # default). Byte streams are identical in every mode (oracle in tests).
 WORDS_COMPACT = None
 
+# words-scan RECURRENCE engine: None = auto (the Pallas words kernel on
+# TPU where viable — it runs the identical recurrence as an in-kernel
+# fori_loop, dodging the ~70 us/step lax.scan overhead that IS the scan
+# runtime — lax.scan elsewhere), True/False to force. Byte streams are
+# identical either way (oracle in tests/test_rans_lanes.py).
+WORDS_KERNEL = None
+
+
+def set_words_kernel(mode) -> None:
+    """Force the words-scan recurrence engine: True = Pallas kernel,
+    False = lax.scan, None/"auto" = per-backend default."""
+    global WORDS_KERNEL
+    if mode == "auto":
+        mode = None
+    assert mode in (True, False, None), mode
+    WORDS_KERNEL = mode
+
+
+def _words_kernel(L: int, T: int) -> bool:
+    """Resolve the active recurrence engine for an (L, T) scan."""
+    from .pallas_kernels import rans_words_scan_pallas_viable
+    if WORDS_KERNEL is not None:
+        return WORDS_KERNEL
+    return rans_words_scan_pallas_viable(L, T)
+
 
 def set_words_compact(mode) -> None:
     """Select the words-scan compaction strategy ("sort" | "sortkv" |
@@ -244,7 +269,8 @@ def _unpack_dist21(words: np.ndarray, g: int) -> np.ndarray:
 
 
 def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
-                     compact: str = "sort", k: int = 8):
+                     compact: str = "sort", k: int = 8,
+                     kernel: bool = False):
     """Shared body of the word-packed scan: the recurrence, word
     packing, flush framing, and word-level compaction. ``l_base`` and
     ``prec`` are uint32 scalars (static-precision kernel) or (L,)
@@ -317,13 +343,26 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
             flags.append(fl)
         return carry, (jnp.stack(words), jnp.stack(flags))  # (K, L)
 
-    # derive the carry from a (sharded) input so shard_map's varying-axis
-    # typing accepts the scan (a fresh constant would be unvarying while
-    # the body output varies over the lane axis)
-    zeros = (lengths * 0).astype(jnp.uint32)
-    carry0 = (zeros + l_base, zeros, zeros, zeros)
-    (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
-        step, carry0, jnp.arange(T_pad // K))
+    if kernel and not marks:
+        # Pallas words kernel: the identical recurrence as an in-kernel
+        # fori_loop (pallas_kernels.rans_words_scan_pallas) — the XLA
+        # lax.scan pays ~70 us loop overhead per step, the kernel none.
+        # Emissions, framing inputs, and compaction below are unchanged.
+        from .pallas_kernels import rans_words_scan_pallas
+        prec_vec = jnp.broadcast_to(prec, lengths.shape)
+        kw, kfl, states, lo, nacc = rans_words_scan_pallas(
+            fs, cs, lengths, prec_vec)
+        words_lt = kw[:, :T]
+        mask_lt = kfl[:, :T]
+    else:
+        # derive the carry from a (sharded) input so shard_map's
+        # varying-axis typing accepts the scan (a fresh constant would be
+        # unvarying while the body output varies over the lane axis)
+        zeros = (lengths * 0).astype(jnp.uint32)
+        carry0 = (zeros + l_base, zeros, zeros, zeros)
+        (states, lo, _hi, nacc), (wq, flq) = jax.lax.scan(
+            step, carry0, jnp.arange(T_pad // K))
+        words_lt = mask_lt = None
 
     # flush framing: final state with 2-bit size flag (rans.rs:48-68)
     st = states - l_base
@@ -339,8 +378,11 @@ def _words_scan_core(fs, cs, lengths, T: int, l_base, prec,
         compacted, nwords = _compact_blocks_marks(
             wq.transpose(2, 0, 1), flq.T.astype(jnp.int32), cap_w)
     else:
-        words = wq.reshape(T_pad, L)[:T].T    # (L, T) symbol-major
-        mask = flq.reshape(T_pad, L)[:T].T
+        if words_lt is not None:              # kernel output, (L, T)
+            words, mask = words_lt, mask_lt
+        else:
+            words = wq.reshape(T_pad, L)[:T].T  # (L, T) symbol-major
+            mask = flq.reshape(T_pad, L)[:T].T
         if compact == "sortkv":
             # fused stable key-value sort: one pass moves the payload
             # with the keys instead of argsort (pass 1) + a separate
@@ -391,11 +433,12 @@ def _compact_blocks_marks(blocks, cnts, cap_w: int):
     return compacted, nwords
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "compact", "k"))
+@functools.partial(jax.jit, static_argnames=("precision", "compact", "k",
+                                              "kernel"))
 def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
                            cums: jnp.ndarray, lengths: jnp.ndarray,
                            precision: int = 12, compact: str = "sort",
-                           k: int = 8):
+                           k: int = 8, kernel: bool = False):
     """Device scan with WORD-PACKED emissions: each lane packs its
     renormalization bytes little-endian into uint32 words carried through
     the scan (at most one full word flushes per symbol), so the on-device
@@ -440,7 +483,8 @@ def _rans_scan_lanes_words(symbols: jnp.ndarray, freqs: jnp.ndarray,
 
     return _words_scan_core(fs, cs, lengths, T,
                             jnp.uint32((1 << precision) << 2),
-                            jnp.uint32(precision), compact=compact, k=k)
+                            jnp.uint32(precision), compact=compact, k=k,
+                            kernel=kernel)
 
 
 def _take_packed_u32u8(fq, cq, take):
@@ -459,11 +503,11 @@ def _take_packed_u32u8(fq, cq, take):
     return fs, cs
 
 
-@functools.partial(jax.jit, static_argnames=("compact", "k"))
+@functools.partial(jax.jit, static_argnames=("compact", "k", "kernel"))
 def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
                                  cums: jnp.ndarray, lengths: jnp.ndarray,
                                  prec: jnp.ndarray, compact: str = "sort",
-                                 k: int = 8):
+                                 k: int = 8, kernel: bool = False):
     """_rans_scan_lanes_words with PER-LANE precision as traced data.
 
     The static kernel's precision only reaches three value-level spots —
@@ -496,12 +540,14 @@ def _rans_scan_lanes_words_vprec(symbols: jnp.ndarray, freqs: jnp.ndarray,
     fs, cs = _take_packed_u32u8(freqs.astype(jnp.uint32),
                                 cums.astype(jnp.uint32), take)
     return _words_scan_core(fs, cs, lengths, T, jnp.uint32(4) << prec,
-                            prec, compact=compact, k=k)
+                            prec, compact=compact, k=k, kernel=kernel)
 
 
-@functools.partial(jax.jit, static_argnames=("ch", "compact", "k"))
+@functools.partial(jax.jit, static_argnames=("ch", "compact", "k",
+                                              "kernel"))
 def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
-                            ch: int, compact: str = "sort", k: int = 8):
+                            ch: int, compact: str = "sort", k: int = 8,
+                            kernel: bool = False):
     """Chunked _rans_scan_lanes_words_vprec: every input slices at the
     traced c0 so all chunks share one compiled program (a per-offset
     static slice would cost a remote XLA compile per chunk)."""
@@ -509,14 +555,15 @@ def _words_scan_chunk_vprec(symbols, c0, freqs, cums, lengths, prec,
                            slice_size=ch, axis=0)
     return _rans_scan_lanes_words_vprec.__wrapped__(
         sl(symbols), sl(freqs), sl(cums), sl(lengths), sl(prec),
-        compact=compact, k=k)
+        compact=compact, k=k, kernel=kernel)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("precision", "ch", "compact", "k"))
+                   static_argnames=("precision", "ch", "compact", "k",
+                                    "kernel"))
 def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
                       precision: int, ch: int, compact: str = "sort",
-                      k: int = 8):
+                      k: int = 8, kernel: bool = False):
     """Word scan over a CONTIGUOUS lane chunk [c0, c0+ch) of a resident
     (L, T) symbol matrix. The chunk start is a traced scalar so every
     chunk of a batch reuses ONE compiled program; the chunk width is
@@ -527,7 +574,7 @@ def _words_scan_chunk(symbols, c0, freqs, cums, lengths,
     sym = jax.lax.dynamic_slice_in_dim(symbols, c0, ch, axis=0)
     return _rans_scan_lanes_words.__wrapped__(
         sym, freqs, cums, lengths, precision=precision, compact=compact,
-        k=k)
+        k=k, kernel=kernel)
 
 
 @functools.partial(jax.jit,
@@ -651,6 +698,7 @@ def rans_encode_lanes(symbols: jnp.ndarray, freqs: jnp.ndarray,
                 jnp.asarray(symbols), jnp.asarray(freqs),
                 jnp.asarray(cums), jnp.asarray(lengths),
                 precision=precision, compact=_words_compact(),
+                kernel=_words_kernel(L, int(symbols.shape[1])),
                 k=SYMBOLS_PER_STEP)
         buffers, counts, packed, nflush = _collect_words(
             combined, L, T, precision, _timings=_timings, _t0=t0)
@@ -1308,7 +1356,7 @@ def encode_group_entropy_device(symbols_dev, counts_dev,
                     jnp.asarray(cums[c0:c0 + ch]),
                     jnp.asarray(lengths[c0:c0 + ch]),
                     precision=int(prec), ch=ch, compact=_words_compact(),
-                    k=SYMBOLS_PER_STEP)
+                    k=SYMBOLS_PER_STEP, kernel=_words_kernel(ch, n_sym))
                 # readback slices dispatch NOW so they sit between scans
                 # in the in-order stream (probe_overlap.py scenario C)
                 pre = _dispatch_words_readback(
@@ -1455,7 +1503,7 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
             combined = _words_scan_chunk_vprec(
                 lanes_dev, np.int32(c0), dist_dev, cums_dev,
                 lengths_dev, prec_dev, ch=ch, compact=_words_compact(),
-                k=SYMBOLS_PER_STEP)
+                k=SYMBOLS_PER_STEP, kernel=_words_kernel(ch, n_sym))
             pre = _dispatch_words_readback(
                 combined, ch, n_sym, -1, want_tiny=_timings is not None)
             jobs.append((c0, ch, combined, pre))
@@ -1467,7 +1515,8 @@ def _group_entropy_device_tables(symbols_dev, counts_dev,
             if mesh_axis is not None else
             _rans_scan_lanes_words_vprec(
                 lanes_dev, dist_dev, cums_dev, lengths_dev, prec_dev,
-                compact=_words_compact(), k=SYMBOLS_PER_STEP))
+                compact=_words_compact(), k=SYMBOLS_PER_STEP,
+                kernel=_words_kernel(B, n_sym)))
         pre = _dispatch_words_readback(
             combined, B, n_sym, -1, want_tiny=_timings is not None)
         jobs.append((0, B, combined, pre))

@@ -290,11 +290,15 @@ class BatchEncoder:
         device (only the histogram + compacted payload bytes cross the
         link — ~3x fewer D2H bytes than shipping raw int32 symbols);
         "host" reads the symbols back and threads the C++ coder over
-        meshes. "auto" (default) resolves to "device" on an accelerator
-        backend and "host" on CPU (where the scan has no hardware to
-        win on)."""
+        meshes. "auto" (default) resolves PER GROUP: the scan coder is
+        iteration-overhead bound (~70 us/step regardless of lane width),
+        so its effective rate is ~B * 0.11 Msym/s — it beats the host
+        path (u16 symbol readback + C++ at 60-74 Msym/s) only with
+        enough lanes. CPU backends always take "host" (no hardware for
+        the scan to win on)."""
         import jax as _jax
-        if entropy == "auto":
+        auto = entropy == "auto"
+        if auto:
             entropy = ("device" if _jax.default_backend() != "cpu"
                        else "host")
         dflt = _device_quant_bits(self.cfg)
@@ -329,6 +333,12 @@ class BatchEncoder:
 
         out: list[bytes | None] = [None] * len(meshes)
         for sig, idxs in groups.items():
+            # per-group auto resolution: scan rate ~= 0.11 * lanes Msym/s
+            # vs the host path's ~10 Msym/s (readback + C++) — crossover
+            # near 100 lanes on the measured tunnel/chip
+            group_entropy = entropy
+            if auto and entropy == "device" and len(idxs) < 128:
+                group_entropy = "host"
             try:
                 topo = self._topo_cache.get(sig)
                 if topo is None:
@@ -363,7 +373,7 @@ class BatchEncoder:
                     # sync point: everything here reads the chunk back,
                     # overlapping the NEXT chunk's step already queued on
                     # the device (double-buffered dispatch below)
-                    if entropy == "device":
+                    if group_entropy == "device":
                         # symbols stay on device; only the histogram +
                         # compacted bytes cross the link. Under a device
                         # mesh the word scan shards over lanes too — the
@@ -373,8 +383,13 @@ class BatchEncoder:
                             dev_c["symbols"], dev_c["counts"],
                             mesh_axis=self.mesh_axis, _timings=_timings))
                     else:
-                        syms_np = np.asarray(dev_c["symbols"]).astype(
-                            np.uint64)
+                        # zigzag residuals < 2^(bits+1): a u16 device cast
+                        # halves the symbol readback bytes
+                        syms_dev = dev_c["symbols"]
+                        if bits + 1 <= 16:
+                            import jax.numpy as jnp
+                            syms_dev = syms_dev.astype(jnp.uint16)
+                        syms_np = np.asarray(syms_dev).astype(np.uint64)
 
                         def one(sym):
                             w = ByteWriter()
@@ -544,7 +559,15 @@ class BatchEncoder:
                              "probe", host_s_per_mesh=round(th, 4))
                 self.routing_log.append(entry)
                 return
-            chunk_ids = idxs[k:k + min(self.PROBE_CHUNK, n - k)]
+            # probe width scales with the group: the device pipeline has
+            # ~0.4-0.6 s of fixed dispatch/sync cost, so a 16-mesh probe
+            # reads ~10x pessimistic for a 512-mesh group (its fixed cost
+            # amortizes 32x further). A quarter of the group (capped at
+            # 128 lanes — the entropy-auto threshold, so the probe runs
+            # the same plane the full group would) keeps the probe cheap
+            # while pricing the amortization honestly.
+            probe_w = min(max(self.PROBE_CHUNK, n // 4), 128, n - k)
+            chunk_ids = idxs[k:k + probe_w]
             fb0 = self.fallback_groups
             t0 = time.perf_counter()
             dev_blobs = self.encode_meshes_device(
