@@ -1,29 +1,35 @@
 """Benchmarks on the real chip. Default prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "baseline_measured": N,
- "vs_baseline": N} for the END-TO-END device encode (step -> device
-entropy -> final per-mesh DirectCoded payload bytes) over a batched mesh
-corpus.
+ "vs_baseline": N} for the HONEST end-to-end device encode: host meshes
+in, full .drc bytes out, through the production batch path — host
+quantize, uint16 H2D upload, device predict/residual/histogram, device
+multi-lane rANS, payload readback, host assembly — with the upload and
+assembly INSIDE the timed region (round 4; the previous metric started
+chip-resident and stopped at position payloads).
 
   python bench.py                 # e2e encode metric (the recorded one)
   python bench.py --metric step   # round-1 fused-step metric (continuity)
   python bench.py --metric decode # device rANS decode-lanes throughput
+  python bench.py --metric decode-corpus  # grouped host decode plane
   python bench.py --metric all    # one JSON line per metric
   python bench.py --breakdown     # per-stage e2e wall decomposition
+                                  # (+ two-way link occupancy)
 
 Baselines are the equivalent single-threaded host pipelines, MEASURED
-IN-PROCESS back-to-back with the device runs (the host vCPU's effective
-speed swings wildly across periods — CLAUDE.md; a constant recorded in a
-different period is meaningless). The reference itself publishes no
-numbers (BASELINE.md):
+IN-PROCESS back-to-back and INTERLEAVED with the device runs (the host
+vCPU's effective speed swings wildly across periods — CLAUDE.md; a
+constant recorded in a different period is meaningless). The reference
+itself publishes no numbers (BASELINE.md):
   - step:   per-mesh numpy pipeline for the same fused stage
             (quantize -> parallelogram predict -> residual -> histogram)
   - e2e:    this framework's own topology-cached host encoder (C++
-            entropy, vectorized predictions) — a HARDER baseline than
-            the reference
+            entropy, vectorized predictions) producing the same .drc
+            bytes — a HARDER baseline than the reference
   - decode: the host C++ rANS decoder, stream at a time
 
 All device numbers include host<->device transfer through the axon tunnel
-(~3 ms/dispatch, ~20-25 MB/s readback); on directly-attached chips the
+(~31 ms/readback latency, ~40-66 MB/s each way, and NO overlap between
+transfers and compute — measured round 4); on directly-attached chips the
 on-chip compute (reported separately in BASELINE.md) dominates instead.
 """
 

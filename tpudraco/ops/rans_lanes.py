@@ -29,29 +29,28 @@ MAX_RENORM_PER_SYMBOL = 3  # state <= l_base<<8 drains in <= 2 emissions; +1 mar
 _WORD_BUCKET: dict = {}
 _HIST_BUCKET: dict = {}
 _DIST_BUCKET: dict = {}
-LANE_CHUNK = 1 << 30  # pipelined group encode: lanes per scan chunk
-# (chunk k's readback overlaps chunk k+1's device compute). DISABLED by
-# default: the scan is iteration-overhead-bound (~70 us/step regardless
-# of lane width — the same fact that motivated the 8-symbol unroll), so
-# C chunks cost ~C x the scan compute while hiding only the payload
-# readback; with the round-3 breakdown (scan 105 ms, readback 204 ms)
-# one-shot = 309 ms vs 4 chunks = ~470 ms. Re-evaluate on hardware with
-# benchmarks/ab_lane_chunk.py (it sweeps this knob, byte-checked) — if
-# the scan turns out lane-width-bound the chunked path wins and this
-# default should drop to 128.
+LANE_CHUNK = 128  # pipelined group encode: lanes per scan chunk (chunk
+# k's payload readback rides the link while chunk k+1's scan computes).
+# Round-3 measured chunking as a loss (scan dominated the stage); the
+# round-4 hardware resweep flipped it: with the sortkv compaction and
+# the device-tables flow, chunk=128 runs the 512-lane stage in 247 ms vs
+# 284 one-shot (best-of, interleaved, bytes identical —
+# benchmarks/ab_lane_chunk.py matrix + the contested-cell rerun). Groups
+# below 2*LANE_CHUNK lanes stay one-shot.
 SYMBOLS_PER_STEP = 8  # unroll: each scan iteration pays fixed overhead, so
 #                       batching K sequential symbols per step cuts the
 #                       iteration count 8x (the recurrence itself is
 #                       unchanged — still symbol-sequential within the
-#                       body). The words kernels now take this as a
-#                       STATIC k argument (call sites read this global at
-#                       call time), so benchmarks/ab_lane_chunk.py can
-#                       sweep it: on XLA:CPU k=16 is ~1.4x over k=8
-#                       (bytes identical; one-time compile cost ~2x).
-#                       Early-round v5e trials put K=16/32 within the
-#                       noise band (734-1846 ms swings on identical
-#                       code) — resweep interleaved now that the
-#                       compaction no longer dominates the stage.
+#                       body). The words kernels take this as a STATIC k
+#                       argument (call sites read this global at call
+#                       time); benchmarks/ab_lane_chunk.py sweeps it.
+#                       Round-4 interleaved resweep on v5e (post-sortkv,
+#                       dtab one-shot): k=8 275.4 ms, k=16 281.3, k=32
+#                       274.1 — all within the window noise band, and the
+#                       Pallas words KERNEL (recurrence with ZERO loop
+#                       overhead) lands at 272.3-277.4 ms too, proving
+#                       the stage is pre-gather + compaction + link
+#                       bound, not recurrence bound. k=8 stays.
 
 # word-compaction strategy for the words scan: "sort" = stable-partition
 # argsort, "sortkv" = the same partition through one fused
