@@ -112,6 +112,9 @@ def random_config(rng, has_extras):
         cfg.quant_bits[AttributeType.TEX_COORD] = int(rng.integers(4, 22))
     if rng.random() < 0.2:
         cfg.metadata = True
+    if rng.random() < 0.15 and cfg.encoder_method != 0:
+        # round-4 knob: one corner table for all attributes
+        cfg.use_single_connectivity = True
     return cfg
 
 
@@ -126,10 +129,14 @@ def device_batch_oracle(rng, mesh, cfg):
     want = encode(mesh, cfg=qcfg)
     dtab, compact = rans_lanes.DEVICE_TABLES, rans_lanes.WORDS_COMPACT
     kprev = rans_lanes.SYMBOLS_PER_STEP
+    kern_prev = rans_lanes.WORDS_KERNEL
     try:
         rans_lanes.DEVICE_TABLES = bool(rng.random() < 0.7)
         rans_lanes.set_words_compact(
             str(rng.choice(["sort", "sortkv", "marks"])))
+        # the Pallas words kernel (round 4) rides the draw too
+        # (interpret mode on this CPU backend)
+        rans_lanes.set_words_kernel(bool(rng.random() < 0.25))
         # mostly k=8 (the compiled-cache default); k=16 occasionally so
         # the unroll sweep variant keeps fuzz coverage without paying
         # its one-time compile on every trial
@@ -141,6 +148,7 @@ def device_batch_oracle(rng, mesh, cfg):
         rans_lanes.DEVICE_TABLES = dtab
         rans_lanes.set_words_compact(compact)
         rans_lanes.SYMBOLS_PER_STEP = kprev
+        rans_lanes.set_words_kernel(kern_prev)
     assert all(bytes(b) == want for b in got), "device batch != sequential"
 
 
