@@ -1068,3 +1068,26 @@ def test_device_batch_deep_depths_bit_exact(monkeypatch):
             meshes, bits=qp, normal_bits=qn, uv_bits=qt)
         for m, blob in zip(meshes, got):
             assert blob == encode(m, cfg=cfg), (qp, qn, qt)
+
+
+def test_device_batch_rejects_non_finite_positions():
+    """The round-4 batch pipeline replaces portabilize with the
+    vectorized host quantize — it must carry the non-finite rejection
+    (portabilization._require_finite) or NaN inputs would quantize into
+    silent garbage. Per-mesh error isolation still encodes the clean
+    siblings."""
+    from tpudraco.parallel.batch import quantize_positions_host
+
+    batch = np.random.RandomState(0).rand(3, 64, 3).astype(np.float32)
+    batch[1, 5, 2] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        quantize_positions_host(batch, 11)
+
+    meshes = [_grid_mesh(8, 0), _grid_mesh(8, 1)]
+    meshes[1].position_attribute().values[3, 1] = np.inf
+    out = BatchEncoder().encode_meshes_device(meshes)
+    assert out[0] == encode(meshes[0])
+    assert out[1] is None  # isolated, not silently wrong
+    with pytest.raises(Exception):
+        BatchEncoder(strict_device=True).encode_meshes_device(
+            [meshes[1]])

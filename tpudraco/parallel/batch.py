@@ -1182,6 +1182,16 @@ def quantize_positions_host(batch: np.ndarray, bits: int):
     zero = np.float32(0.0)
     mins = np.minimum(vals.min(axis=1), zero).astype(np.float32)
     maxs = np.maximum(vals.max(axis=1), zero).astype(np.float32)
+    # this path REPLACES portabilize for the batch, so it must also carry
+    # its non-finite rejection (portabilization._require_finite) — NaN/inf
+    # propagate into the min/max reductions, so the O(B*C) check here is
+    # equivalent to scanning the values
+    if not (np.isfinite(mins).all() and np.isfinite(maxs).all()):
+        bad = ~(np.isfinite(mins).all(axis=1)
+                & np.isfinite(maxs).all(axis=1))
+        raise ValueError(
+            f"attribute POSITION contains non-finite values (NaN/inf) in "
+            f"{int(bad.sum())} mesh(es) of the batch; refusing to quantize")
     delta_max = np.maximum(np.float32(0.0),
                            (maxs - mins).max(axis=1)).astype(np.float32)
     # in-place passes over ONE work buffer (the naive where/astype chain
