@@ -40,7 +40,7 @@ timeout 1800 python bench.py --metric all \
     2>&1 | tee benchmarks/hw_logs/all_${TS}.log | tail -4
 
 log "stage 3: mixed-corpus routing"
-timeout 1800 python benchmarks/bench_mixed.py \
+timeout 2400 python benchmarks/bench_mixed.py \
     2>&1 | tee benchmarks/hw_logs/mixed_${TS}.log | tail -10
 
 if [ "${1:-}" = "suite" ]; then

@@ -6,7 +6,10 @@ cd "$(dirname "$0")/.."
 mkdir -p benchmarks/hw_logs
 while true; do
     echo "[$(date +%T)] probing tunnel..."
-    if timeout 120 python -c "import jax; print(jax.devices())" \
+    # a REAL roundtrip under budget: jax.devices() answers instantly
+    # even when the tunnel is doing 160+ s roundtrips (seen round 4)
+    if timeout 120 python -c "import numpy as np, jax.numpy as jnp; \
+print(np.asarray(jnp.ones((8,128))*2)[0,0])" \
         > benchmarks/hw_logs/probe_last.txt 2>&1; then
         echo "[$(date +%T)] TUNNEL ALIVE: $(cat benchmarks/hw_logs/probe_last.txt)"
         bash benchmarks/hw_validate.sh suite 2>&1 \
