@@ -408,9 +408,11 @@ def bench_decode_corpus(positions, faces, n_meshes: int = 128):
 
 
 def bench_huge(n: int = 1024):
-    """Single huge mesh (n x n grid, ~n^2 verts) through the production
-    huge-mesh device route (resident positions + gathers, one u16 symbol
-    readback, host C++ entropy) vs the host topology-cached encoder,
+    """Single huge mesh (n x n grid, ~n^2 verts, WITH normals + UVs —
+    VERDICT r3 #4: all three default attribute chains ride the resident
+    device route) through the production huge-mesh path (resident
+    positions + gathers, uint16 uploads, one symbol readback per
+    attribute, host C++ entropy) vs the host topology-cached encoder,
     interleaved for a same-window ratio. Topology preparation is shared
     and untimed (cached once per topology in production). The O(chunk)
     streaming twin stays byte-pinned by tests; it only routes beyond
@@ -424,6 +426,9 @@ def bench_huge(n: int = 1024):
                          np.arange(n, dtype=np.float32))
     pos = np.stack([xs.ravel(), ys.ravel(),
                     rng.rand(n * n).astype(np.float32) * 4], axis=1)
+    nrm = rng.randn(n * n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    uv = (pos[:, :2] / np.float32(n)).astype(np.float32)
     # vectorized grid faces (a python loop takes minutes at 2M faces)
     a = (np.arange(n - 1)[:, None] * n + np.arange(n - 1)[None, :]).ravel()
     f1 = np.stack([a, a + 1, a + n], axis=1)
@@ -431,8 +436,14 @@ def bench_huge(n: int = 1024):
     faces = np.concatenate([f1, f2]).astype(np.int64)
     mb = MeshBuilder()
     mb.set_connectivity_attribute(faces)
-    mb.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    pid = mb.add_attribute(pos, AttributeType.POSITION,
+                           AttributeDomain.POSITION)
+    mb.add_attribute(nrm, AttributeType.NORMAL, AttributeDomain.CORNER,
+                     parents=[pid])
+    mb.add_attribute(uv, AttributeType.TEX_COORD, AttributeDomain.CORNER,
+                     parents=[pid])
     mesh = mb.build()
+    raw = pos.nbytes + nrm.nbytes + uv.nbytes
 
     enc = BatchEncoder()
     blob_h = enc.encode_mesh(mesh)        # warms topology + host path
@@ -447,8 +458,8 @@ def bench_huge(n: int = 1024):
         t0 = time.perf_counter()
         enc.encode_mesh(mesh)
         best_h = min(best_h, time.perf_counter() - t0)
-    mbps = pos.nbytes / best_d / 1e6
-    host_mbps = pos.nbytes / best_h / 1e6
+    mbps = raw / best_d / 1e6
+    host_mbps = raw / best_h / 1e6
     return _result("device_huge_mesh_throughput", mbps, "MB/s",
                    host_mbps)
 
