@@ -1091,3 +1091,57 @@ def test_device_batch_rejects_non_finite_positions():
     with pytest.raises(Exception):
         BatchEncoder(strict_device=True).encode_meshes_device(
             [meshes[1]])
+
+
+def test_native_quantize_matches_numpy_twin():
+    """The C++ fused quantizer (native/csrc/quantize.cpp) must be
+    bit-exact with quantize_positions_host across scales, depths, widths,
+    and the degenerate delta==0 branch — it feeds the wire directly
+    (uint16 upload buffer + portabilization metadata)."""
+    from tpudraco.native import quantize_batch
+    from tpudraco.parallel.batch import quantize_positions_host
+
+    if quantize_batch(np.zeros((1, 1, 3), np.float32), 11) is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    shapes = [(16, 257, 3), (3, 17, 2), (5, 64, 4), (2, 9, 3), (1, 1, 3)]
+    for t, (B, V, C) in enumerate(shapes):
+        vals = (rng.randn(B, V, C)
+                * np.float32(10.0 ** rng.randint(-3, 6))).astype(np.float32)
+        if t == 1:
+            vals[1] = 7.25  # degenerate mesh: delta_max == 0
+        if t == 3:
+            vals[:] = 0.0
+        for bits in (7, 11, 14, 16):
+            got = quantize_batch(vals, bits)
+            q, mins, delta, vmin, vmax = got
+            q2, mins2, delta2 = quantize_positions_host(vals, bits)
+            assert np.array_equal(q.astype(np.int32), q2), (t, bits)
+            assert np.array_equal(mins, mins2)
+            assert np.array_equal(delta, delta2)
+            assert np.array_equal(vmin, q2.min(axis=(1, 2)))
+            assert np.array_equal(vmax, q2.max(axis=(1, 2)))
+
+    # non-finite input -> None (the caller re-runs the numpy twin, which
+    # raises the canonical error; pipeline behavior pinned by
+    # test_device_batch_rejects_non_finite_positions)
+    bad = rng.randn(2, 8, 3).astype(np.float32)
+    bad[1, 3, 1] = np.nan
+    assert quantize_batch(bad, 11) is None
+
+
+def test_uint16_port_values_feed_host_predicted_child(monkeypatch):
+    """The batch plane returns its uint16 upload buffer as the position
+    port values (no int32 copy). When a child attribute is NOT
+    precomputed (ineligible for the device chains) its host prediction
+    reads those parent values — the lazy widen in encode_attributes must
+    kick in or the parallelogram arithmetic would wrap in uint16."""
+    from tpudraco.parallel import batch as batch_mod
+
+    meshes = [_grid_mesh_with_normals(7, s) for s in range(3)]
+    # force the normals onto the host path while positions stay device
+    monkeypatch.setattr(batch_mod, "_device_extra_attribute_entries",
+                        lambda *a, **k: {})
+    out = BatchEncoder(strict_device=True).encode_meshes_device(meshes)
+    for m, blob in zip(meshes, out):
+        assert blob == encode(m)

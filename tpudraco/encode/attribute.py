@@ -99,6 +99,18 @@ def encode_attributes(attributes: list[Attribute], writer,
     port_atts: dict[int, Attribute] = {}
     for i, att in enumerate(attributes):
         parents = [port_atts[pid] for pid in att.parents]
+        if precomputed is None or i not in precomputed:
+            # the batch plane hands back uint16 port values (its upload
+            # buffer, returned as-is to avoid a full-batch int32 copy);
+            # host prediction arithmetic on a PARENT would wrap in
+            # uint16, so widen lazily — only when a non-precomputed
+            # child actually reads them
+            from .portabilization import _clone_with_values
+            for k, p in enumerate(parents):
+                if p.values.dtype == np.uint16:
+                    p = _clone_with_values(p, p.values.astype(np.int32))
+                    port_atts[att.parents[k]] = p
+                    parents[k] = p
         rec.scope_begin(f"attribute {i} ({att.att_type.name})", writer)
         seq = sequences.get(i) if sequences else None
         pre = precomputed.get(i) if precomputed else None

@@ -21,8 +21,16 @@ _lib = None
 _tried = False
 
 
+# -ffp-contract=off: quantize.cpp's correctness contract is that
+# mul+add stays two rounded f32 ops (an FMA contraction would diverge
+# from the numpy twin ~1-in-3M values — the round-3 XLA:CPU lesson);
+# the integer coders are unaffected
+_CXXFLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17", "-ffp-contract=off"]
+
+
 def _source_hash() -> str:
     h = hashlib.sha256()
+    h.update(" ".join(_CXXFLAGS).encode())
     for name in sorted(os.listdir(_SRC)):
         if name.endswith(".cpp") or name.endswith(".h"):
             with open(os.path.join(_SRC, name), "rb") as f:
@@ -45,10 +53,8 @@ def load_library():
             srcs = [os.path.join(_SRC, n) for n in sorted(os.listdir(_SRC))
                     if n.endswith(".cpp")]
             tmp = so_path + ".tmp"
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", tmp] + srcs,
-                check=True, capture_output=True)
+            subprocess.run(["g++"] + _CXXFLAGS + ["-o", tmp] + srcs,
+                           check=True, capture_output=True)
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
         i64, i32, u8p, i32p = (ctypes.c_int64, ctypes.c_int32,
@@ -64,6 +70,11 @@ def load_library():
         lib.tpud_rabs_encode.argtypes = [u8p, i64, i32, i32, i64, u8p, i64]
         lib.tpud_rabs_decode.restype = i32
         lib.tpud_rabs_decode.argtypes = [u8p, i64, i32, i32, i64, i64, u8p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.tpud_quantize_batch.restype = i32
+        lib.tpud_quantize_batch.argtypes = [f32p, i64, i64, i64, i32,
+                                            u16p, f32p, f32p, i32p, i32p]
         _lib = lib
     except Exception as exc:
         # fall back to the pure-Python paths, but loudly: a silent 15x
@@ -85,6 +96,35 @@ def _i32p(a: np.ndarray):
 
 def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def quantize_batch(vals: np.ndarray, bits: int):
+    """Fused batch quantize: f32 (B, V, C) -> (q uint16 (B, V, C),
+    mins f32 (B, C), delta_max f32 (B,), vmin i32 (B,), vmax i32 (B,)).
+    Bit-exact twin of parallel.batch.quantize_positions_host (equality
+    pinned by tests/test_parallel.py) in two memory passes instead of
+    ~10. Returns None when the native library is unavailable OR the
+    input holds non-finite values (the caller re-runs the numpy twin,
+    which raises the canonical per-mesh error)."""
+    lib = load_library()
+    if lib is None or not (0 < bits <= 16):
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    B, V, C = vals.shape
+    q = np.empty((B, V, C), dtype=np.uint16)
+    mins = np.empty((B, C), dtype=np.float32)
+    delta = np.empty((B,), dtype=np.float32)
+    vmin = np.empty((B,), dtype=np.int32)
+    vmax = np.empty((B,), dtype=np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    rc = lib.tpud_quantize_batch(
+        vals.ctypes.data_as(f32p), B, V, C, bits,
+        q.ctypes.data_as(u16p), mins.ctypes.data_as(f32p),
+        delta.ctypes.data_as(f32p), _i32p(vmin), _i32p(vmax))
+    if rc != 0:
+        return None
+    return q, mins, delta, vmin, vmax
 
 
 def rans_encode(symbols: np.ndarray, freqs: np.ndarray, cums: np.ndarray,

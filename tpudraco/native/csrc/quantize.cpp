@@ -1,0 +1,142 @@
+// Fused batch position quantizer — bit-exact twin of
+// tpudraco/parallel/batch.py::quantize_positions_host (which mirrors the
+// canonical per-mesh formula in encode/portabilization.py, itself a
+// transliteration of draco-oxide/src/encode/attribute/portabilization/
+// quantization_coordinate_wise.rs).
+//
+// The numpy form makes ~10 full passes over the batch (min, max, sub,
+// div, mul, add, two astypes, and the q min/max reductions) — ~300 MB of
+// memory traffic for a 25 MB batch, the single largest host stage of the
+// honest e2e pipeline (168 ms measured round 4). This kernel does the
+// same arithmetic in exactly two passes (min/max scan, then
+// quantize+store) and emits the uint16 upload buffer directly.
+//
+// Bit-exactness contract: every float op below is the same IEEE f32 op,
+// in the same order, as the numpy expression — (v - min) / delta * scale
+// + 0.5, truncated toward zero. The build compiles with
+// -ffp-contract=off so the mul+add cannot contract into an FMA (the
+// XLA:CPU FMA divergence of round 3 taught us exactly this failure
+// mode). x86 SSE2 f32 arithmetic is correctly rounded, like numpy's.
+
+#include <cstdint>
+#include <limits>
+
+namespace {
+
+// Inner quantize pass over one mesh, specialized on whether the
+// degenerate (delta == 0) branch divides. Matches the numpy path: the
+// degenerate case keeps the un-divided diff, then multiplies by scale
+// and adds 0.5 like every other row (batch.py:1201-1209).
+template <bool kDivide>
+inline void quantize_rows(const float* base, int64_t n, int64_t C,
+                          const float* mins, float delta, float scale,
+                          uint16_t* q, int32_t* vmin, int32_t* vmax) {
+    int32_t mn = std::numeric_limits<int32_t>::max();
+    int32_t mx = std::numeric_limits<int32_t>::min();
+    if (C == 3) {  // positions: fixed-width inner loop vectorizes
+        const float m0 = mins[0], m1 = mins[1], m2 = mins[2];
+        for (int64_t v = 0; v < n; ++v) {
+            const float* row = base + v * 3;
+            float w0 = row[0] - m0, w1 = row[1] - m1, w2 = row[2] - m2;
+            if (kDivide) { w0 /= delta; w1 /= delta; w2 /= delta; }
+            w0 = w0 * scale + 0.5f;
+            w1 = w1 * scale + 0.5f;
+            w2 = w2 * scale + 0.5f;
+            const int32_t t0 = (int32_t)w0, t1 = (int32_t)w1,
+                          t2 = (int32_t)w2;
+            q[v * 3 + 0] = (uint16_t)t0;
+            q[v * 3 + 1] = (uint16_t)t1;
+            q[v * 3 + 2] = (uint16_t)t2;
+            int32_t lo = t0 < t1 ? t0 : t1; lo = lo < t2 ? lo : t2;
+            int32_t hi = t0 > t1 ? t0 : t1; hi = hi > t2 ? hi : t2;
+            if (lo < mn) mn = lo;
+            if (hi > mx) mx = hi;
+        }
+    } else {
+        for (int64_t v = 0; v < n; ++v) {
+            for (int64_t c = 0; c < C; ++c) {
+                float w = base[v * C + c] - mins[c];
+                if (kDivide) w /= delta;
+                w = w * scale + 0.5f;
+                const int32_t t = (int32_t)w;
+                q[v * C + c] = (uint16_t)t;
+                if (t < mn) mn = t;
+                if (t > mx) mx = t;
+            }
+        }
+    }
+    *vmin = mn;
+    *vmax = mx;
+}
+
+}  // namespace
+
+extern "C" {
+
+// vals: (B, V, C) float32, C <= 16. Outputs: q (B, V, C) uint16,
+// mins (B, C) float32, delta (B,) float32, vmin/vmax (B,) int32.
+// Returns 0, or 1 if any mesh holds a non-finite value (caller re-runs
+// the numpy twin for the canonical per-mesh error message).
+int32_t tpud_quantize_batch(const float* vals, int64_t B, int64_t V,
+                            int64_t C, int32_t bits, uint16_t* q_out,
+                            float* mins_out, float* delta_out,
+                            int32_t* vmin_out, int32_t* vmax_out) {
+    if (C <= 0 || C > 16 || bits <= 0 || bits > 16) return 2;
+    const float scale = (float)((1u << bits) - 1);
+    bool all_finite = true;
+    for (int64_t b = 0; b < B; ++b) {
+        const float* base = vals + b * V * C;
+        // numpy seeds the reduction with the data then clamps against
+        // 0.0; seeding AT 0.0 gives the identical min(colmin, 0) /
+        // max(colmax, 0) in one pass
+        float mn[16], mx[16];
+        for (int64_t c = 0; c < C; ++c) { mn[c] = 0.0f; mx[c] = 0.0f; }
+        if (C == 3) {
+            float mn0 = 0.f, mn1 = 0.f, mn2 = 0.f;
+            float mx0 = 0.f, mx1 = 0.f, mx2 = 0.f;
+            float fin = 0.0f;  // stays 0 iff every (x - x) == 0
+            for (int64_t v = 0; v < V; ++v) {
+                const float x0 = base[v * 3 + 0];
+                const float x1 = base[v * 3 + 1];
+                const float x2 = base[v * 3 + 2];
+                fin += (x0 - x0) + (x1 - x1) + (x2 - x2);
+                mn0 = x0 < mn0 ? x0 : mn0; mx0 = x0 > mx0 ? x0 : mx0;
+                mn1 = x1 < mn1 ? x1 : mn1; mx1 = x1 > mx1 ? x1 : mx1;
+                mn2 = x2 < mn2 ? x2 : mn2; mx2 = x2 > mx2 ? x2 : mx2;
+            }
+            if (!(fin == 0.0f)) { all_finite = false; }
+            mn[0] = mn0; mn[1] = mn1; mn[2] = mn2;
+            mx[0] = mx0; mx[1] = mx1; mx[2] = mx2;
+        } else {
+            float fin = 0.0f;
+            for (int64_t v = 0; v < V; ++v) {
+                for (int64_t c = 0; c < C; ++c) {
+                    const float x = base[v * C + c];
+                    fin += x - x;
+                    if (x < mn[c]) mn[c] = x;
+                    if (x > mx[c]) mx[c] = x;
+                }
+            }
+            if (!(fin == 0.0f)) { all_finite = false; }
+        }
+        if (!all_finite) return 1;
+        float delta = 0.0f;
+        for (int64_t c = 0; c < C; ++c) {
+            const float diff = mx[c] - mn[c];
+            if (diff > delta) delta = diff;
+        }
+        for (int64_t c = 0; c < C; ++c) mins_out[b * C + c] = mn[c];
+        delta_out[b] = delta;
+        uint16_t* qb = q_out + b * V * C;
+        if (delta != 0.0f) {
+            quantize_rows<true>(base, V, C, mn, delta, scale, qb,
+                                &vmin_out[b], &vmax_out[b]);
+        } else {
+            quantize_rows<false>(base, V, C, mn, delta, scale, qb,
+                                 &vmin_out[b], &vmax_out[b]);
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

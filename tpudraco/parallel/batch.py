@@ -418,11 +418,16 @@ class BatchEncoder:
                 if pending is not None:
                     consume(pending)
                 t_asm = time.time()
-                dev = {"vmin": np.concatenate(vmins)[:n],
-                       "vmax": np.concatenate(vmaxs)[:n],
-                       "mins": np.concatenate(minss)[:n],
-                       "delta_max": np.concatenate(deltas)[:n]}
-                q_all = np.concatenate(qs)[:n]
+
+                def cat(parts):
+                    # single-chunk groups (the common production shape):
+                    # a view, not a 25 MB concatenate copy
+                    return (parts[0] if len(parts) == 1
+                            else np.concatenate(parts))[:n]
+
+                dev = {"vmin": cat(vmins), "vmax": cat(vmaxs),
+                       "mins": cat(minss), "delta_max": cat(deltas)}
+                q_all = cat(qs)
                 payloads = payloads[:n]
                 # NORMAL and TEX_COORD attributes ride the device too
                 # (ops/normals.py ring chain, ops/texcoords.py UV chain)
@@ -1247,11 +1252,25 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
     B, V, C = positions_batch.shape
     import time as _time
     t0 = _time.perf_counter()
-    q_np, mins, delta_max = quantize_positions_host(positions_batch, bits)
-    vmin = q_np.min(axis=(1, 2)).astype(np.int32)
-    vmax = q_np.max(axis=(1, 2)).astype(np.int32)
-    # q in [0, 2^bits) — uint16 upload when it fits
-    q_up = q_np.astype(np.uint16) if bits <= 16 else q_np
+    # C++ fused quantizer (two memory passes, emits the uint16 upload
+    # buffer directly — the numpy form below makes ~10 passes and was the
+    # largest host stage of the honest e2e at 168 ms). Bit-exact twin,
+    # equality pinned by tests/test_parallel.py; returns None without a
+    # toolchain or on non-finite inputs (the numpy twin then raises the
+    # canonical error).
+    from ..native import quantize_batch as _native_quantize
+    got = _native_quantize(positions_batch, bits) if bits <= 16 else None
+    if got is not None:
+        q_up, mins, delta_max, vmin, vmax = got
+        q_np = q_up  # uint16; encode_attributes casts lazily if a host-
+        # predicted child attribute ever reads these parent values
+    else:
+        q_np, mins, delta_max = quantize_positions_host(positions_batch,
+                                                        bits)
+        vmin = q_np.min(axis=(1, 2)).astype(np.int32)
+        vmax = q_np.max(axis=(1, 2)).astype(np.int32)
+        # q in [0, 2^bits) — uint16 upload when it fits
+        q_up = q_np.astype(np.uint16) if bits <= 16 else q_np
     if _timings is not None:
         _timings["host_quantize"] = (_timings.get("host_quantize", 0.0)
                                      + _time.perf_counter() - t0)
