@@ -175,14 +175,28 @@ class RansDecoder:
         self._started = False
         self.rev = None
         self.state = 0
+        # int32 storage: every count/cum fits (sum == 2^P <= 2^20) and the
+        # native decoder takes int32 — int64 here forced a full copy of
+        # freqs + cums + the 2^P-entry slot table on EVERY read_all call
         freq_counts = np.asarray(freq_counts, dtype=np.int64)
         if int(freq_counts.sum()) != (1 << precision):
             raise ValueError("freq counts incompatible with precision")
-        self.freqs = freq_counts
-        self.cums = np.concatenate(([0], np.cumsum(freq_counts)[:-1]))
-        # slot table: maps r in [0, 2^P) -> symbol index
-        self.slots = np.repeat(
-            np.arange(len(freq_counts), dtype=np.int64), freq_counts)
+        self.freqs = freq_counts.astype(np.int32)
+        cums = np.zeros(len(freq_counts), dtype=np.int32)
+        np.cumsum(self.freqs[:-1], out=cums[1:])
+        self.cums = cums
+        self._slots = None
+
+    @property
+    def slots(self) -> np.ndarray:
+        """Slot table mapping r in [0, 2^P) -> symbol index. Built
+        lazily: the native bulk path builds its own in C++ (the
+        np.repeat here costs ~1-2 ms per blob at the deep direct-coded
+        precisions), so only the incremental Python read() pays it."""
+        if self._slots is None:
+            self._slots = np.repeat(
+                np.arange(len(self.freqs), dtype=np.int32), self.freqs)
+        return self._slots
 
     def _start_python(self) -> None:
         if not self._started:
@@ -205,9 +219,9 @@ class RansDecoder:
         if not self._started:
             from .. import native
             if native.load_library() is not None:
-                out = native.rans_decode(self._blob, self.freqs, self.cums,
-                                         self.slots, self.precision,
-                                         self.l_base, n)
+                out = native.rans_decode_auto(self._blob, self.freqs,
+                                              self.cums, self.precision,
+                                              self.l_base, n)
                 if out is not None:
                     self._started = True  # python state no longer valid
                     return out.astype(np.int64)
@@ -462,6 +476,17 @@ def parse_rans_table(reader: ByteReader) -> np.ndarray:
     if num_symbols > 64 * max(reader.remaining(), 1):
         raise ValueError("corrupt rANS table: num_symbols exceeds the "
                          "remaining stream")
+    # native fast path: the per-byte token loop below costs ~5 ms/blob in
+    # Python (the single largest stage of a grouped corpus decode); the
+    # C++ twin parses the same tokens and returns the bytes consumed.
+    # None (corrupt stream) falls through so the canonical errors raise.
+    from .. import native
+    got = native.parse_rans_table_body(
+        reader.buf[reader.pos:], num_symbols)
+    if got is not None:
+        dist, consumed = got
+        reader.pos += consumed
+        return dist
     dist = np.zeros(num_symbols, dtype=np.int64)
     i = 0
     while i < num_symbols:

@@ -70,6 +70,12 @@ def load_library():
         lib.tpud_rabs_encode.argtypes = [u8p, i64, i32, i32, i64, u8p, i64]
         lib.tpud_rabs_decode.restype = i32
         lib.tpud_rabs_decode.argtypes = [u8p, i64, i32, i32, i64, i64, u8p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.tpud_parse_rans_table.restype = i64
+        lib.tpud_parse_rans_table.argtypes = [u8p, i64, i64, i64p]
+        lib.tpud_rans_decode_auto.restype = i32
+        lib.tpud_rans_decode_auto.argtypes = [u8p, i64, i32p, i32p, i64,
+                                              i32, i64, i64, i32p]
         f32p = ctypes.POINTER(ctypes.c_float)
         u16p = ctypes.POINTER(ctypes.c_uint16)
         lib.tpud_quantize_batch.restype = i32
@@ -160,6 +166,45 @@ def rans_decode(blob: bytes, freqs: np.ndarray, cums: np.ndarray,
     if rc != 0:
         raise ValueError("native rANS decode failed")
     return out
+
+
+def rans_decode_auto(blob: bytes, freqs: np.ndarray, cums: np.ndarray,
+                     precision: int, l_base: int,
+                     n: int) -> np.ndarray | None:
+    """rans_decode with the slot table built natively (saves the 2^P-entry
+    np.repeat per blob)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    freqs = np.ascontiguousarray(freqs, dtype=np.int32)
+    cums = np.ascontiguousarray(cums, dtype=np.int32)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.tpud_rans_decode_auto(_u8p(buf), len(buf), _i32p(freqs),
+                                   _i32p(cums), len(freqs), precision,
+                                   l_base, n, _i32p(out))
+    if rc != 0:
+        raise ValueError("native rANS decode failed")
+    return out
+
+
+def parse_rans_table_body(view, num_symbols: int):
+    """Parse the token body of a serialized rANS table from ``view``
+    (bytes/memoryview positioned AT the tokens). Returns
+    (dist int64 (num_symbols,), bytes_consumed) or None (no library /
+    corrupt stream — the caller falls back to the Python loop, which
+    raises the canonical error)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    buf = np.frombuffer(view, dtype=np.uint8)
+    dist = np.empty(num_symbols, dtype=np.int64)
+    n = lib.tpud_parse_rans_table(
+        _u8p(buf), len(buf), num_symbols,
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        return None
+    return dist, int(n)
 
 
 def rabs_encode(bits: np.ndarray, freq0: int, precision: int,

@@ -184,4 +184,60 @@ int32_t tpud_rabs_decode(const uint8_t* buf, int64_t len, int32_t freq0,
     return 0;
 }
 
+// (extern "C" continues below)
+
+// Parse a serialized rANS frequency table (the token stream AFTER the
+// leb128 num_symbols header): token = byte & 3; 3 = zero-run of
+// (byte >> 2) extra entries, else the frequency continues in `token`
+// extra bytes. Mirror of entropy/rans.py::parse_rans_table (itself a
+// transliteration of draco-oxide decode/entropy/rans.rs:162-188).
+// Returns bytes consumed, or -1 on a truncated/invalid stream.
+int64_t tpud_parse_rans_table(const uint8_t* buf, int64_t len,
+                              int64_t num_symbols, int64_t* dist_out) {
+    for (int64_t i = 0; i < num_symbols; ++i) dist_out[i] = 0;
+    int64_t pos = 0;
+    int64_t i = 0;
+    while (i < num_symbols) {
+        if (pos >= len) return -1;
+        const uint32_t count = buf[pos++];
+        const uint32_t token = count & 3u;
+        if (token == 3u) {
+            const int64_t offset = count >> 2;
+            if (i + offset >= num_symbols) return -1;
+            i += offset;  // entries already zero
+        } else {
+            uint64_t freq = count >> 2;
+            for (uint32_t j = 0; j < token; ++j) {
+                if (pos >= len) return -1;
+                freq |= (uint64_t)buf[pos++] << (8 * (j + 1) - 2);
+            }
+            dist_out[i] = (int64_t)freq;
+        }
+        ++i;
+    }
+    return pos;
+}
+
+// tpud_rans_decode without a caller-provided slot table: builds the
+// r -> symbol map itself (2^precision int32 writes, ~100x cheaper than
+// the Python np.repeat it replaces per decoded blob). S = table width.
+int32_t tpud_rans_decode_auto(const uint8_t* buf, int64_t len,
+                              const int32_t* freqs, const int32_t* cums,
+                              int64_t S, int32_t precision, int64_t l_base,
+                              int64_t n, int32_t* out) {
+    const int64_t P = (int64_t)1 << precision;
+    int32_t* slots = new int32_t[P];
+    int64_t k = 0;
+    for (int64_t s = 0; s < S; ++s)
+        for (int32_t f = 0; f < freqs[s] && k < P; ++f) slots[k++] = s;
+    // a malformed table (sum != 2^P) is rejected by the caller before
+    // this point; guard anyway so a bug cannot read uninitialized slots
+    int32_t rc = -1;
+    if (k == P)
+        rc = tpud_rans_decode(buf, len, freqs, cums, slots, precision,
+                              l_base, n, out);
+    delete[] slots;
+    return rc;
+}
+
 }  // extern "C"
