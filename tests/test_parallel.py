@@ -1145,3 +1145,27 @@ def test_uint16_port_values_feed_host_predicted_child(monkeypatch):
     out = BatchEncoder(strict_device=True).encode_meshes_device(meshes)
     for m, blob in zip(meshes, out):
         assert blob == encode(m)
+
+
+def test_auto_routing_decision_cache():
+    """A probed routing decision is reused for later calls over the same
+    topology group (corpus windows re-encounter their groups every
+    window; re-probing pays the fixed device dispatch each time). Reuse
+    is direction-safe: device decisions generalize up in group size,
+    host decisions down. Bytes stay pinned either way."""
+    meshes = [_grid_mesh(7, s) for s in range(20)]
+    be = BatchEncoder(use_device="auto")
+    be.encode_meshes_auto(meshes)
+    first = be.routing_log[-1]
+    assert first.get("reason") != "cached decision"
+
+    blobs = be.encode_meshes_auto(meshes)
+    second = be.routing_log[-1]
+    if first.get("reason") == "group cheaper than probe":
+        # nothing was cached; the skip rule re-fires instead
+        assert second["reason"] == "group cheaper than probe"
+    else:
+        assert second["reason"] == "cached decision"
+        assert second["plane"] == first["plane"]
+    for m, blob in zip(meshes, blobs):
+        assert blob == encode(m)

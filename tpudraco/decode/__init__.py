@@ -90,30 +90,42 @@ def _assemble_mesh(conn, atts) -> Mesh:
 
     per_att_vertex = np.stack(
         [np.asarray(a.vertex_of_corner, dtype=np.int64) for a in atts], axis=1)
-    # unique tuples in first-appearance order. Mixed-radix int64 keys when
-    # they fit (np.unique over void views runs scalar and dominated large
-    # decodes); void-view fallback for pathological vertex counts.
-    if per_att_vertex.shape[1] == 1:
-        keys = per_att_vertex[:, 0]
+    # the point construction depends only on the per-attribute vertex
+    # maps — topology-determined and identical across a shared-topology
+    # group (BatchDecoder), so cache it on the conn result behind an
+    # exact equality guard (a ~100 KB compare vs re-sorting per blob)
+    cached = getattr(conn, "_assembly_cache", None)
+    if cached is not None and np.array_equal(cached[0], per_att_vertex):
+        point_of_corner, keep_corners = cached[1], cached[2]
     else:
-        radices = per_att_vertex.max(axis=0).astype(np.int64) + 1
-        if float(np.prod(radices.astype(np.float64))) < float(2 ** 62):
-            keys = per_att_vertex[:, 0].copy()
-            for j in range(1, per_att_vertex.shape[1]):
-                keys = keys * radices[j] + per_att_vertex[:, j]
+        # unique tuples in first-appearance order. Mixed-radix int64 keys
+        # when they fit (np.unique over void views runs scalar and
+        # dominated large decodes); void-view fallback for pathological
+        # vertex counts.
+        if per_att_vertex.shape[1] == 1:
+            keys = per_att_vertex[:, 0]
         else:
-            key = np.ascontiguousarray(per_att_vertex)
-            keys = key.view(np.dtype(
-                (np.void, key.dtype.itemsize * key.shape[1]))).ravel()
-    _, first_idx, inverse = np.unique(keys, return_index=True,
-                                      return_inverse=True)
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty(len(order), dtype=np.int64)
-    rank[order] = np.arange(len(order))
-    point_of_corner = rank[inverse.ravel()]
-    keep_corners = np.sort(first_idx)
+            radices = per_att_vertex.max(axis=0).astype(np.int64) + 1
+            if float(np.prod(radices.astype(np.float64))) < float(2 ** 62):
+                keys = per_att_vertex[:, 0].copy()
+                for j in range(1, per_att_vertex.shape[1]):
+                    keys = keys * radices[j] + per_att_vertex[:, j]
+            else:
+                key = np.ascontiguousarray(per_att_vertex)
+                keys = key.view(np.dtype(
+                    (np.void, key.dtype.itemsize * key.shape[1]))).ravel()
+        _, first_idx, inverse = np.unique(keys, return_index=True,
+                                          return_inverse=True)
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        point_of_corner = rank[inverse.ravel()]
+        keep_corners = np.sort(first_idx)
+        conn._assembly_cache = (per_att_vertex, point_of_corner,
+                                keep_corners)
 
-    faces = point_of_corner.reshape(-1, 3)
+    # per-mesh copy: decoded meshes must not alias one faces array
+    faces = point_of_corner.reshape(-1, 3).copy()
 
     attributes = []
     pos_id = None

@@ -159,24 +159,38 @@ def decode_attributes(reader: ByteReader,
     ct = conn.corner_table
     decoded: list[DecodedAttribute] = []
     parent_candidates: dict[AttributeType, DecodedAttribute] = {}
+    # seam views + traversal sequences depend only on the connectivity
+    # section — cache them on the conn result so a shared-topology group
+    # (BatchDecoder) computes them once, not once per blob (the sequence
+    # walk was ~30% of a grouped corpus decode)
+    cache = getattr(conn, "_att_view_cache", None)
+    if cache is None:
+        cache = conn._att_view_cache = {}
     for i, h in enumerate(headers):
         att_table_idx = (h["dec_id"] + 1) & 0xFF  # inverse of (i-1) wrap
-        if att_table_idx == 0 or att_table_idx - 1 >= len(conn.att_seams):
-            view = _DecView(ct)
+        hit = cache.get(att_table_idx)
+        if hit is not None:
+            view, seq = hit
         else:
-            seam = conn.att_seams[att_table_idx - 1]
-            is_v_seam = np.zeros(ct.num_vertices, dtype=bool)
-            seam_corners = np.nonzero(seam)[0]
-            for c in seam_corners:
-                is_v_seam[ct.vertex(next_corner(int(c)))] = True
-                is_v_seam[ct.vertex(prev_corner(int(c)))] = True
-            actv, alm, nav, _ = recompute_attribute_vertices(
-                ct, seam, is_v_seam)
-            view = _DecView(ct, actv, alm, seam, nav)
+            if att_table_idx == 0 \
+                    or att_table_idx - 1 >= len(conn.att_seams):
+                view = _DecView(ct)
+            else:
+                seam = conn.att_seams[att_table_idx - 1]
+                is_v_seam = np.zeros(ct.num_vertices, dtype=bool)
+                seam_corners = np.nonzero(seam)[0]
+                for c in seam_corners:
+                    is_v_seam[ct.vertex(next_corner(int(c)))] = True
+                    is_v_seam[ct.vertex(prev_corner(int(c)))] = True
+                actv, alm, nav, _ = recompute_attribute_vertices(
+                    ct, seam, is_v_seam)
+                view = _DecView(ct, actv, alm, seam, nav)
+            seq = compute_sequence(view, list(conn.seed_corners))
+            cache[att_table_idx] = (view, seq)
 
         da = _decode_one(reader, h, view, conn, decoded,
                          att_idx=i, symbol_source=symbol_source,
-                         collect_only=collect_only)
+                         collect_only=collect_only, sequence=seq)
         decoded.append(da)
         if da is not None:
             parent_candidates[h["att_type"]] = da
@@ -186,11 +200,13 @@ def decode_attributes(reader: ByteReader,
 def _decode_one(reader: ByteReader, h: dict, view: _DecView,
                 conn: ConnectivityDecodeResult,
                 decoded_so_far: list, att_idx: int = 0,
-                symbol_source=None, collect_only: bool = False):
+                symbol_source=None, collect_only: bool = False,
+                sequence=None):
     scheme_id = reader.read_u8()
     xform_id = reader.read_u8()
 
-    sequence = compute_sequence(view, list(conn.seed_corners))
+    if sequence is None:
+        sequence = compute_sequence(view, list(conn.seed_corners))
     num_values = len(sequence)
 
     rans_flag = reader.read_u8()

@@ -215,6 +215,10 @@ class BatchEncoder:
         self.fallback_groups = 0   # device groups that fell back to host
         self.fallback_meshes = 0   # meshes encoded via that fallback
         self.routing_log: list[dict] = []  # use_device="auto" decisions
+        # measured routing decisions: sig -> (plane, probe basis size);
+        # reused across calls/windows in the safe direction only (see
+        # _route_group)
+        self._plane_cache: dict[str, tuple] = {}
         self._topo_cache: dict[str, PreparedTopology] = {}
         # LRU over device-resident topology artifacts (gather arrays +
         # Pallas combo matrix): sig -> topo, most-recent last
@@ -548,6 +552,30 @@ class BatchEncoder:
                 entry.update(plane="host", reason="small group")
                 self.routing_log.append(entry)
                 return
+            # in-process decision cache: corpus windows and repeated runs
+            # re-encounter the same topology group — re-probing each time
+            # (a ~0.4-0.6 s fixed device dispatch) dominated repeated
+            # mixed-corpus walls. A device decision generalizes UP in
+            # group size (fixed costs amortize further), a host decision
+            # DOWN — reuse only in the safe direction.
+            cached = self._plane_cache.get(sig)
+            if cached is not None:
+                plane, n_basis = cached
+                if (plane == "device" and n >= n_basis) \
+                        or (plane == "host" and n <= 2 * n_basis):
+                    if plane == "device":
+                        for i, blob in zip(idxs, self.encode_meshes_device(
+                                [meshes[i] for i in idxs])):
+                            out[i] = blob
+                        for i in idxs:
+                            if out[i] is None:
+                                out[i] = self._encode_one_safe(meshes[i])
+                    else:
+                        for i in idxs:
+                            out[i] = self._encode_one_safe(meshes[i])
+                    entry.update(plane=plane, reason="cached decision")
+                    self.routing_log.append(entry)
+                    return
             # probe: host on a few meshes (one, if they are huge) vs the
             # device batch on one small pow2-bucketed chunk of the group
             k = 1 if v >= self.CHUNKED_MIN_VERTS else min(4, n - 1)
@@ -599,6 +627,11 @@ class BatchEncoder:
                          device_s_per_mesh=round(td, 4))
             if probe_failed:
                 entry["reason"] = "device probe fell back"
+            else:
+                # remember the measured outcome for this topology (see the
+                # reuse rule above); failed probes never cache
+                self._plane_cache[sig] = (
+                    "device" if use_dev else "host", probe_w + k)
             self.routing_log.append(entry)
 
     def _encode_one_safe(self, mesh: Mesh) -> bytes | None:
