@@ -85,6 +85,20 @@ def quantize_coordinate_wise(att: Attribute, bits: int, writer) -> Attribute:
     u8 bits."""
     _require_finite(att)
     vals = att.values.astype(np.float32)
+    if len(vals) and bits <= 16 and vals.shape[1] <= 16:
+        # C++ fused twin (native/csrc/quantize.cpp): same IEEE f32 ops in
+        # the same order, two memory passes instead of ~8 (equality
+        # pinned by tests/test_parallel.py). Inputs are finite here, so
+        # None only means "no toolchain" — fall through to numpy.
+        from .. import native
+        got = native.quantize_batch(vals[None], bits)
+        if got is not None:
+            q_u16, mins_b, delta_b, _, _ = got
+            for m in mins_b[0]:
+                writer.write_f32(float(m))
+            writer.write_f32(float(delta_b[0]))
+            writer.write_u8(bits)
+            return _clone_with_values(att, q_u16[0].astype(np.int32))
     zero = np.float32(0.0)
     mins = np.minimum(vals.min(axis=0), zero).astype(np.float32) \
         if len(vals) else np.zeros(att.num_components, np.float32)
