@@ -163,3 +163,22 @@ def test_native_uv_decode_chain_matches_scalar(monkeypatch):
     slow = decode(blob)
     for a, b in zip(fast.attributes, slow.attributes):
         assert np.array_equal(np.asarray(a.values), np.asarray(b.values))
+
+
+def test_fused_native_predict_matches_numpy_twin(monkeypatch):
+    """The native fused parallelogram+wrap+zigzag step
+    (tpud_predict_wrapped_zigzag) must emit bytes identical to the numpy
+    _vectorized_predict + WrappedDifferenceTransform.squeeze chain — on
+    plain and seam-carrying (multi-attribute) meshes."""
+    from tpudraco.encode import attribute as ea
+    import tpudraco.native as native
+
+    if native.load_library() is None:
+        pytest.skip("native library unavailable")
+
+    for mesh in (_textured_grid(n=7, seed=2), _textured_grid(n=5, seed=9)):
+        fast = encode(mesh)
+        monkeypatch.setattr(ea, "_fused_predict_squeeze",
+                            lambda *a, **k: None)
+        assert encode(mesh) == fast
+        monkeypatch.undo()

@@ -198,6 +198,26 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     # pure gathers on the encoder side and run vectorized; normal/texcoord
     # keep the reference per-vertex loop (value-dependent decisions).
     n = port_att.num_components
+    if (scheme_id == PRED_PARALLELOGRAM
+            and xform_id == XFORM_WRAPPED_DIFFERENCE and len(sequence)
+            and VECTORIZED_PREDICTIONS):
+        # native fused step (predict + wrap + zigzag in one C pass);
+        # falls through to the numpy twin without a toolchain. The wire
+        # bytes are identical (equality pinned by tests + golden pins).
+        fused = _fused_predict_squeeze(view, sequence, port_att,
+                                       cache=pred_cache,
+                                       cache_key=att_data_id)
+        if fused is not None:
+            symbols, vmin, vmax = fused
+            writer.write_u8(1)  # rans_encoding flag
+            method = _pick_symbol_method(symbols.ravel(), symbol_coding)
+            encode_symbols(symbols.ravel(), n, method, writer)
+            xbuf = _Buf()
+            xbuf.write_u32(vmin & 0xFFFFFFFF)
+            xbuf.write_u32(vmax & 0xFFFFFFFF)
+            writer.write_bytes(xbuf.buf)
+            writer.write_bytes(port_buf.buf)
+            return port_att
     pred = make_prediction(scheme_id, view, parents, n, normal_bits=bits)
     state = PredictionState(view.num_vertices)
     per_point = port_att.values[port_att.unique_indices()].astype(np.int64)
@@ -274,6 +294,64 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     return port_att
 
 
+def _parallelogram_gather_cache(view, sequence, port_att,
+                                cache: dict | None = None, cache_key=None):
+    """Build (or fetch) the topology-pinned parallelogram gather dict:
+    value indices for orig/next/prev/opp/fallback plus the predictability
+    masks, in the dtypes the native fused step consumes directly."""
+    from ..native import topo
+    from ..ops.gathers import build_parallelogram_gathers
+
+    g = cache.get(cache_key) if cache is not None else None
+    if g is not None:
+        return g
+    seq = np.asarray(sequence, dtype=np.int64)
+    eff_opp, ctv, lm = view.as_arrays()
+    unique_of_point = port_att.unique_indices()
+    point_of_corner = view.u.faces_points.ravel() \
+        if hasattr(view, "u") else None
+    val_of_corner = unique_of_point[point_of_corner]
+    g = topo.parallelogram_gathers(eff_opp, ctv, lm, val_of_corner, seq)
+    if g is None:
+        g = build_parallelogram_gathers(view, seq.tolist(),
+                                        unique_of_point)
+    # augment with the other topology-pinned pieces so cache hits
+    # skip every per-mesh index/mask build, not just the walk
+    g = dict(g)
+    g["origs_idx"] = unique_of_point[point_of_corner[seq]].astype(np.int32)
+    g["can_para_b"] = np.asarray(g["can_para"], dtype=bool)[:, None]
+    g["has_fb_b"] = np.asarray(g["has_fallback"], dtype=bool)[:, None]
+    g["can_para_u8"] = np.ascontiguousarray(
+        g["can_para_b"].ravel().view(np.uint8))
+    g["has_fb_u8"] = np.ascontiguousarray(
+        g["has_fb_b"].ravel().view(np.uint8))
+    for k in ("next", "prev", "opp", "fallback"):
+        g[k] = np.ascontiguousarray(g[k], dtype=np.int32)
+    if cache is not None:
+        cache[cache_key] = g
+    return g
+
+
+def _fused_predict_squeeze(view, sequence, port_att,
+                           cache: dict | None = None, cache_key=None):
+    """Native fused parallelogram + wrapped-difference + zigzag over the
+    whole traversal (native/csrc/quantize.cpp::tpud_predict_wrapped_
+    zigzag): one C pass instead of ~10 numpy passes per mesh. Returns
+    (symbols uint64 (T, n), vmin, vmax) or None (no toolchain /
+    unsupported dtype — callers run the numpy twin, which stays the
+    VECTORIZED_PREDICTIONS off-switch twin as well)."""
+    from ..native import predict_wrapped_zigzag
+
+    vals = port_att.values
+    if vals.dtype != np.int32 or vals.ndim != 2 or not vals.flags.c_contiguous:
+        return None
+    g = _parallelogram_gather_cache(view, sequence, port_att,
+                                    cache=cache, cache_key=cache_key)
+    return predict_wrapped_zigzag(vals, g["origs_idx"], g["next"],
+                                  g["prev"], g["opp"], g["fallback"],
+                                  g["can_para_u8"], g["has_fb_u8"])
+
+
 def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
                         cache: dict | None = None, cache_key=None):
     """Vectorized parallelogram/delta prediction over the whole traversal
@@ -282,9 +360,6 @@ def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
     gathers per attribute: they depend only on the topology, traversal
     sequence, and the value-dedup map, all pinned by the topology
     signature (parallel/batch.py:topology_signature)."""
-    from ..native import topo
-    from ..ops.gathers import build_parallelogram_gathers
-
     seq = np.asarray(sequence, dtype=np.int64)
     eff_opp, ctv, lm = view.as_arrays()
     unique_of_point = port_att.unique_indices()
@@ -301,22 +376,8 @@ def _vectorized_predict(scheme_id, view, sequence, port_att, per_point,
             preds[1:] = vals[fb_idx]
         return origs, preds
 
-    g = cache.get(cache_key) if cache is not None else None
-    if g is None:
-        val_of_corner = unique_of_point[point_of_corner]
-        g = topo.parallelogram_gathers(eff_opp, ctv, lm, val_of_corner,
-                                       seq)
-        if g is None:
-            g = build_parallelogram_gathers(view, seq.tolist(),
-                                            unique_of_point)
-        # augment with the other topology-pinned pieces so cache hits
-        # skip every per-mesh index/mask build, not just the walk
-        g = dict(g)
-        g["origs_idx"] = unique_of_point[point_of_corner[seq]]
-        g["can_para_b"] = np.asarray(g["can_para"], dtype=bool)[:, None]
-        g["has_fb_b"] = np.asarray(g["has_fallback"], dtype=bool)[:, None]
-        if cache is not None:
-            cache[cache_key] = g
+    g = _parallelogram_gather_cache(view, sequence, port_att,
+                                    cache=cache, cache_key=cache_key)
     origs = vals[g["origs_idx"]]
     a = vals[g["next"]]
     b = vals[g["prev"]]

@@ -81,6 +81,11 @@ def load_library():
         lib.tpud_quantize_batch.restype = i32
         lib.tpud_quantize_batch.argtypes = [f32p, i64, i64, i64, i32,
                                             u16p, f32p, f32p, i32p, i32p]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.tpud_predict_wrapped_zigzag.restype = i32
+        lib.tpud_predict_wrapped_zigzag.argtypes = [
+            i32p, i64, i64, i32p, i32p, i32p, i32p, i32p, u8p, u8p, i64,
+            u64p, i32p, i32p]
         _lib = lib
     except Exception as exc:
         # fall back to the pure-Python paths, but loudly: a silent 15x
@@ -166,6 +171,31 @@ def rans_decode(blob: bytes, freqs: np.ndarray, cums: np.ndarray,
     if rc != 0:
         raise ValueError("native rANS decode failed")
     return out
+
+
+def predict_wrapped_zigzag(vals: np.ndarray, origs_idx: np.ndarray,
+                           nxt: np.ndarray, prv: np.ndarray,
+                           opp: np.ndarray, fb: np.ndarray,
+                           can_para_u8: np.ndarray, has_fb_u8: np.ndarray):
+    """Fused parallelogram + wrapped-difference + zigzag over a
+    traversal. vals int32 (V, C) C-contiguous; index arrays int32 (T,);
+    flags uint8 (T,). Returns (symbols uint64 (T, C), vmin, vmax) or
+    None without a toolchain."""
+    lib = load_library()
+    if lib is None:
+        return None
+    V, C = vals.shape
+    T = len(origs_idx)
+    out = np.empty((T, C), dtype=np.uint64)
+    vminmax = np.empty(2, dtype=np.int32)
+    rc = lib.tpud_predict_wrapped_zigzag(
+        _i32p(vals), V, C, _i32p(origs_idx), _i32p(nxt), _i32p(prv),
+        _i32p(opp), _i32p(fb), _u8p(can_para_u8), _u8p(has_fb_u8), T,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _i32p(vminmax[:1]), _i32p(vminmax[1:]))
+    if rc != 0:
+        return None
+    return out, int(vminmax[0]), int(vminmax[1])
 
 
 def rans_decode_auto(blob: bytes, freqs: np.ndarray, cums: np.ndarray,

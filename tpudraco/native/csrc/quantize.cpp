@@ -140,3 +140,66 @@ int32_t tpud_quantize_batch(const float* vals, int64_t B, int64_t V,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused host prediction step for the dominant attribute chain:
+// parallelogram predict -> wrapped-difference residual -> zigzag, one
+// pass over the traversal. Twin of encode/attribute.py::
+// _vectorized_predict (cached-gather branch) + transforms.py::
+// WrappedDifferenceTransform.squeeze — pure int64 arithmetic, identical
+// by construction (equality pinned by tests; the numpy twin remains the
+// VECTORIZED_PREDICTIONS off-switch path).
+// vals: (V, C) int32 portabilized values; gathers: (T,) int32 value
+// indices; flags: (T,) uint8. Outputs zigzagged symbols (T, C) uint64
+// and the wrapped-difference vmin/vmax metadata.
+int32_t tpud_predict_wrapped_zigzag(
+    const int32_t* vals, int64_t V, int64_t C,
+    const int32_t* origs_idx, const int32_t* nx, const int32_t* pv,
+    const int32_t* op, const int32_t* fb, const uint8_t* can_para,
+    const uint8_t* has_fb, int64_t T, uint64_t* sym_out,
+    int32_t* vmin_out, int32_t* vmax_out) {
+    if (T <= 0 || C <= 0 || C > 16) return 2;
+    // pass 1: vmin/vmax over the traversal's original values
+    int64_t vmin = vals[(int64_t)origs_idx[0] * C];
+    int64_t vmax = vmin;
+    for (int64_t t = 0; t < T; ++t) {
+        const int32_t* o = vals + (int64_t)origs_idx[t] * C;
+        for (int64_t c = 0; c < C; ++c) {
+            const int64_t x = o[c];
+            if (x < vmin) vmin = x;
+            if (x > vmax) vmax = x;
+        }
+    }
+    const int64_t max_diff = 1 + vmax - vmin;
+    int64_t max_corr = max_diff / 2;
+    const int64_t min_corr = -max_corr;
+    if ((max_diff & 1) == 0) max_corr -= 1;
+    // pass 2: predict + clamp + wrap + zigzag
+    for (int64_t t = 0; t < T; ++t) {
+        const int32_t* o = vals + (int64_t)origs_idx[t] * C;
+        const int32_t* a = vals + (int64_t)nx[t] * C;
+        const int32_t* b = vals + (int64_t)pv[t] * C;
+        const int32_t* d = vals + (int64_t)op[t] * C;
+        const int32_t* f = vals + (int64_t)fb[t] * C;
+        const bool cp = can_para[t] != 0;
+        const bool hf = has_fb[t] != 0;
+        uint64_t* out = sym_out + t * C;
+        for (int64_t c = 0; c < C; ++c) {
+            int64_t pred = cp ? ((int64_t)a[c] + b[c] - d[c])
+                              : (hf ? (int64_t)f[c] : 0);
+            if (pred < vmin) pred = vmin;
+            if (pred > vmax) pred = vmax;
+            int64_t corr = (int64_t)o[c] - pred;
+            if (corr > max_corr) corr -= max_diff;
+            else if (corr < min_corr) corr += max_diff;
+            out[c] = corr >= 0 ? (uint64_t)(corr << 1)
+                               : (uint64_t)(((-(corr + 1)) << 1) + 1);
+        }
+    }
+    *vmin_out = (int32_t)vmin;
+    *vmax_out = (int32_t)vmax;
+    return 0;
+}
+
+}  // extern "C"
