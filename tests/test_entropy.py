@@ -249,3 +249,35 @@ def test_table_serialization_wide_alphabet_leb128():
     back = parse_rans_table(ByteReader(w.getvalue()))
     assert len(back) == ns
     assert np.array_equal(back, dist)
+
+
+def test_native_encode_direct_matches_python_twin(monkeypatch):
+    """tpud_encode_direct (bincount -> normalize -> table tokens -> rANS
+    -> flush, one native call) must emit bytes identical to the Python
+    DirectCoded path across alphabet shapes: dense, geometric, wide
+    sparse (>=65 zero-run quirk), all-zero, single-symbol."""
+    import numpy as np
+
+    import tpudraco.native as native
+    from tpudraco.entropy import symbol_coding as sc
+    from tpudraco.wire.byte_io import ByteWriter
+
+    if native.load_library() is None:
+        pytest.skip("native library unavailable")
+
+    def py_bytes(symbols):
+        w = ByteWriter()
+        monkeypatch.setattr(native, "encode_direct", lambda s: None)
+        try:
+            sc._encode_direct_coded(symbols, w)
+        finally:
+            monkeypatch.undo()
+        return bytes(w.getvalue())
+
+    rng = np.random.RandomState(11)
+    cases = [rng.randint(0, 8, 700), rng.geometric(0.08, 2500) - 1,
+             rng.randint(0, 70000, 900), np.zeros(50, np.int64),
+             np.full(300, 77)]
+    for s in cases:
+        s = s.astype(np.uint64)
+        assert native.encode_direct(s) == py_bytes(s)

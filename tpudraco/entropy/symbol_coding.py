@@ -69,6 +69,11 @@ def _encode_direct_coded(symbols: np.ndarray, writer: ByteWriter) -> None:
     """u8 bit-length token derived from the count of nonzero symbols
     (a reference quirk — symbol_coding.rs:110-112), then one rANS stream at
     the precision schedule, symbols fed in reverse."""
+    from .. import native
+    blob = native.encode_direct(symbols)
+    if blob is not None:
+        writer.write_bytes(blob)
+        return
     num_nonzero = int(np.count_nonzero(symbols))
     bit_length = int(bit_length_u64(np.asarray([num_nonzero]))[0]) + 1
     bit_length = max(1, min(18, bit_length))

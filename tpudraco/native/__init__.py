@@ -73,6 +73,9 @@ def load_library():
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.tpud_parse_rans_table.restype = i64
         lib.tpud_parse_rans_table.argtypes = [u8p, i64, i64, i64p]
+        u64p_ = ctypes.POINTER(ctypes.c_uint64)
+        lib.tpud_encode_direct.restype = i64
+        lib.tpud_encode_direct.argtypes = [u64p_, i64, u8p, i64]
         lib.tpud_rans_decode_auto.restype = i32
         lib.tpud_rans_decode_auto.argtypes = [u8p, i64, i32p, i32p, i64,
                                               i32, i64, i64, i32p]
@@ -171,6 +174,26 @@ def rans_decode(blob: bytes, freqs: np.ndarray, cums: np.ndarray,
     if rc != 0:
         raise ValueError("native rANS decode failed")
     return out
+
+
+def encode_direct(symbols: np.ndarray) -> bytes | None:
+    """Whole DirectCoded section ([bit-length, table, leb128 len, rANS
+    stream]) in one native call — twin of _encode_direct_coded (bytes
+    pinned by tests). None without a toolchain or for inputs the C path
+    bounds out (empty streams, symbols >= 2^24); the Python path then
+    raises the canonical errors."""
+    lib = load_library()
+    if lib is None or len(symbols) == 0:
+        return None
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint64)
+    cap = len(symbols) * 8 + 3 * (1 << 20) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tpud_encode_direct(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(symbols), _u8p(out), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def predict_wrapped_zigzag(vals: np.ndarray, origs_idx: np.ndarray,

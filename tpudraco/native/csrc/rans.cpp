@@ -6,8 +6,11 @@
 // interpreter overhead (~100x on large streams). Exposed via a C ABI for
 // ctypes.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -238,6 +241,144 @@ int32_t tpud_rans_decode_auto(const uint8_t* buf, int64_t len,
                               l_base, n, out);
     delete[] slots;
     return rc;
+}
+
+
+// Whole DirectCoded symbol-stream encode in one call, twin of
+// entropy/symbol_coding.py::_encode_direct_coded (bit-length token,
+// bincount, normalize_freq_counts, serialize_rans_table incl. the
+// >=65-zero-run quirk, reversed rANS feed, flush framing, leb128 blob
+// length) — the per-mesh numpy/Python overhead of these five stages
+// dominated warm host encode once the prediction step went native.
+// Emits [u8 bit_length][leb128 ns][table tokens][leb128 blob_len][blob]
+// into out; returns bytes written or -1 (caller falls back to the
+// Python path, which raises the canonical errors).
+static void leb128_emit(uint64_t v, uint8_t* out, int64_t* pos) {
+    while (true) {
+        uint8_t b = v & 0x7F;
+        v >>= 7;
+        if (v == 0) { out[(*pos)++] = b; return; }
+        out[(*pos)++] = b | 0x80;
+    }
+}
+
+int64_t tpud_encode_direct(const uint64_t* symbols, int64_t n,
+                           uint8_t* out, int64_t cap) {
+    if (n <= 0) return -1;
+    uint64_t max_symbol = 0;
+    int64_t num_nonzero = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (symbols[i] > max_symbol) max_symbol = symbols[i];
+        if (symbols[i] != 0) ++num_nonzero;
+    }
+    if (max_symbol >= ((uint64_t)1 << 24)) return -1;  // numpy path
+    // bit_length(num_nonzero) + 1, clamped to [1, 18]
+    int32_t bl = 0;
+    for (uint64_t v = (uint64_t)num_nonzero; v; v >>= 1) ++bl;
+    bl += 1;
+    if (bl < 1) bl = 1;
+    if (bl > 18) bl = 18;
+    const int32_t precision = std::max(12, std::min(20, (3 * bl) / 2));
+    const int64_t rp = (int64_t)1 << precision;
+    const uint64_t l_base = (uint64_t)rp << 2;
+
+    const int64_t S = (int64_t)max_symbol + 1;
+    std::vector<int64_t> freqs(S, 0);
+    for (int64_t i = 0; i < n; ++i) ++freqs[symbols[i]];
+
+    // normalize_freq_counts (rans.py:284): same f64 expression, then the
+    // greedy stable-order fixup
+    const double total = (double)n;
+    std::vector<int64_t> dist(S);
+    int64_t total_rans = 0;
+    for (int64_t s = 0; s < S; ++s) {
+        double d = std::floor((double)freqs[s] / total * (double)rp + 0.5);
+        int64_t di = (int64_t)d;
+        if (di == 0 && freqs[s] > 0) di = 1;
+        dist[s] = di;
+        total_rans += di;
+    }
+    if (total_rans != rp) {
+        std::vector<int64_t> order(S);
+        for (int64_t s = 0; s < S; ++s) order[s] = s;
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int64_t a, int64_t b) {
+                             return dist[a] < dist[b];
+                         });
+        if (total_rans < rp) {
+            dist[order[S - 1]] += rp - total_rans;
+        } else {
+            int64_t err = total_rans - rp;
+            int64_t i = S - 1;
+            while (err > 0) {
+                dist[order[i]] -= 1;
+                --i;
+                --err;
+            }
+        }
+    }
+
+    int64_t pos = 0;
+    if (cap < 16) return -1;
+    out[pos++] = (uint8_t)bl;
+    // table: leb128 symbol count + tokens (rans.rs:194-230 incl. the
+    // >=65-run quirk where each overflow zero degrades to a bare 3)
+    leb128_emit((uint64_t)S, out, &pos);
+    int64_t gap = 0;
+    for (int64_t s = 0; s < S; ++s) {
+        if (dist[s] <= 0) { ++gap; continue; }
+        if (gap > 0) {
+            int64_t run = gap > 64 ? gap - 63 : 1;
+            if (pos + run + 4 > cap) return -1;
+            for (int64_t r = 0; r < run - 1; ++r) out[pos++] = 3;
+            int64_t capped = gap > 64 ? 64 : gap;
+            out[pos++] = (uint8_t)((((capped - 1) << 2) | 3) & 0xFF);
+            gap = 0;
+        }
+        const int64_t f = dist[s];
+        const int32_t extra = (f >= (1 << 6)) + (f >= (1 << 14));
+        if (pos + 3 > cap) return -1;
+        out[pos++] = (uint8_t)(((f << 2) | extra) & 0xFF);
+        if (extra >= 1) out[pos++] = (uint8_t)((f >> 6) & 0xFF);
+        if (extra == 2) out[pos++] = (uint8_t)((f >> 14) & 0xFF);
+    }
+
+    // rANS encode, symbols fed in REVERSE (write_all(symbols[::-1]))
+    std::vector<int64_t> cums(S, 0);
+    for (int64_t s = 1; s < S; ++s) cums[s] = cums[s - 1] + dist[s - 1];
+    std::vector<uint8_t> blob(n * 8 + 16);
+    uint64_t state = l_base;
+    int64_t bpos = 0;
+    const uint64_t base_shift = l_base >> precision;
+    for (int64_t i = n - 1; i >= 0; --i) {
+        const uint64_t s = symbols[i];
+        const uint64_t freq = (uint64_t)dist[s];
+        if (freq == 0) return -1;
+        const uint64_t limit = (base_shift * freq) << 8;
+        while (state >= limit) {
+            blob[bpos++] = (uint8_t)(state & 0xFF);
+            state >>= 8;
+        }
+        state = ((state / freq) << precision) + (state % freq)
+                + (uint64_t)cums[s];
+    }
+    // flush framing (rans.rs:48-68): state - l_base with a 2-bit size
+    // flag in the top bits of the last byte
+    uint64_t st = state - l_base;
+    int32_t nbytes;
+    if (st < ((uint64_t)1 << 6)) nbytes = 1;
+    else if (st < ((uint64_t)1 << 14)) nbytes = 2;
+    else if (st < ((uint64_t)1 << 22)) nbytes = 3;
+    else nbytes = 4;
+    const uint64_t packed = st + ((uint64_t)(nbytes - 1)
+                                  << (6 + 8 * (nbytes - 1)));
+    for (int32_t b = 0; b < nbytes; ++b)
+        blob[bpos++] = (uint8_t)((packed >> (8 * b)) & 0xFF);
+
+    if (pos + 10 + bpos > cap) return -1;
+    leb128_emit((uint64_t)bpos, out, &pos);
+    for (int64_t i = 0; i < bpos; ++i) out[pos++] = blob[i];
+    return pos;
 }
 
 }  // extern "C"
