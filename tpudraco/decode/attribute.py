@@ -18,8 +18,8 @@ from ..models.corner_table import (
 )
 from ..shared.octahedral import octahedral_inverse_transform
 from ..shared.prediction import (
-    PRED_DELTA, PRED_NONE, PRED_NORMAL, PRED_PARALLELOGRAM, PRED_TEX_COORDS,
-    PredictionState, make_prediction,
+    PRED_DELTA, PRED_DERIVATIVE, PRED_NONE, PRED_NORMAL,
+    PRED_PARALLELOGRAM, PRED_TEX_COORDS, PredictionState, make_prediction,
 )
 from ..shared.sequencer import compute_sequence
 from ..wire.byte_io import ByteReader
@@ -251,7 +251,8 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
     # --- reconstruct portabilized values along the traversal ---
     # parents are referenced through the decoded position attribute
     parents = []
-    if scheme_id in (PRED_NORMAL, PRED_TEX_COORDS, PRED_PARALLELOGRAM):
+    if scheme_id in (PRED_NORMAL, PRED_TEX_COORDS, PRED_PARALLELOGRAM,
+                     PRED_DERIVATIVE):
         pos = next((d for d in decoded_so_far
                     if d.att_type == AttributeType.POSITION), None)
         if pos is not None:

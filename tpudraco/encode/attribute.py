@@ -15,8 +15,8 @@ from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import TableView
 from ..shared.clers import TRAVERSAL_DEPTH_FIRST
 from ..shared.prediction import (
-    PRED_DELTA, PRED_MULTI_PARALLELOGRAM, PRED_NORMAL, PRED_PARALLELOGRAM,
-    PRED_TEX_COORDS, PredictionState, make_prediction,
+    PRED_DELTA, PRED_DERIVATIVE, PRED_MULTI_PARALLELOGRAM, PRED_NORMAL,
+    PRED_PARALLELOGRAM, PRED_TEX_COORDS, PredictionState, make_prediction,
 )
 from ..shared.sequencer import compute_sequence
 from .connectivity import ConnectivityOutput
@@ -47,6 +47,11 @@ def default_prediction_for(att_type: AttributeType,
         scheme = int(prediction[att_type])
         allowed = (PRED_DELTA, PRED_PARALLELOGRAM,
                    PRED_MULTI_PARALLELOGRAM)
+        if att_type == AttributeType.TEX_COORD:
+            # Derivative (wire id 7) predicts UVs from the position
+            # parent — a working opt-in where the reference ships only
+            # unimplemented!() dead code (derivative_prediction.rs)
+            allowed = allowed + (PRED_DERIVATIVE,)
         if scheme not in allowed:
             raise ValueError(
                 f"prediction override {scheme} not supported for "

@@ -504,6 +504,77 @@ def write_normal_flips(flips, writer) -> None:
     writer.write_bytes(blob)
 
 
+class DerivativePrediction(BasePrediction):
+    """Derivative UV prediction (wire id 7): project the new vertex's
+    position delta onto the decoded adjacent triangle's tangent plane and
+    apply the same barycentric displacement in UV space.
+
+    The reference reserves this scheme and carries the algorithm only as
+    commented-out dead code behind ``unimplemented!()``
+    (shared/attribute/prediction_scheme/derivative_prediction.rs:20-111;
+    its encoder defaults never select id 7, attribute_encoder.rs:59-108).
+    This is a WORKING opt-in implementation of that algorithm — a
+    tpudraco dialect surface like MultiParallelogram: strict mode rejects
+    it (Config.validate_strict rejects every prediction override), and
+    the self-decoder is the oracle. Geometry uses the same next/prev/opp
+    corners as the parallelogram; all float math is f64 on both sides
+    (encoder and decoder run this same method, so prediction equality is
+    by construction), with floor(x + 0.5) rounding to ints."""
+    scheme_id = PRED_DERIVATIVE
+
+    def __init__(self, view, parents, n):
+        super().__init__(view, parents)
+        if not parents:
+            raise ValueError(
+                "Derivative prediction needs a POSITION parent")
+        self.pos = parents[0]
+        self.n = n
+
+    def _pos(self, p: int) -> np.ndarray:
+        if p < self.pos.num_points:
+            return self.pos.value_at_point(p).astype(np.int64)
+        return np.zeros(3, dtype=np.int64)
+
+    def _fallback(self, c, state, att_get):
+        view = self.view
+        nc = next_corner(c)
+        if state.contains(view.vertex(nc)):
+            return att_get(view.point(nc)).astype(np.int64)
+        return _last_value_fallback(view, state, att_get, self.n)
+
+    def predict(self, c, state, att_get):
+        view = self.view
+        opp = view.opp(c)
+        if opp == NONE:
+            return self._fallback(c, state, att_get)
+        nc, pc = next_corner(c), prev_corner(c)
+        if not (state.contains(view.vertex(opp))
+                and state.contains(view.vertex(nc))
+                and state.contains(view.vertex(pc))):
+            return self._fallback(c, state, att_get)
+        a_uv = att_get(view.point(nc)).astype(np.int64)
+        b_uv = att_get(view.point(pc)).astype(np.int64)
+        d_uv = att_get(view.point(opp)).astype(np.int64)
+        u_pos = (self._pos(view.point(nc))
+                 - self._pos(view.point(opp))).astype(np.float64)
+        v_pos = (self._pos(view.point(pc))
+                 - self._pos(view.point(opp))).astype(np.float64)
+        normal = np.cross(u_pos, v_pos)
+        n2 = float(normal @ normal)
+        if n2 == 0.0:  # degenerate adjacent triangle
+            return self._fallback(c, state, att_get)
+        delta = (self._pos(view.point(c))
+                 - self._pos(view.point(opp))).astype(np.float64)
+        # project the position delta onto the triangle plane, then solve
+        # the barycentric coordinates s, t along (u_pos, v_pos)
+        proj = normal * (-(float(normal @ delta)) / n2) + delta
+        s = float(np.cross(proj, v_pos) @ normal) / n2
+        t = float(np.cross(u_pos, proj) @ normal) / n2
+        delta_uv = ((a_uv - d_uv).astype(np.float64) * s
+                    + (b_uv - d_uv).astype(np.float64) * t)
+        return d_uv + np.floor(delta_uv + 0.5).astype(np.int64)
+
+
 class TexCoordPrediction(BasePrediction):
     """Draco's UV prediction from quantized positions with integer sqrt and
     per-vertex orientation bits; replicates the reference's fallback quirk
@@ -811,6 +882,8 @@ def make_prediction(scheme_id: int, view: TableView, parents, n: int,
         return NormalPrediction(view, parents, n, bits=normal_bits)
     if scheme_id == PRED_TEX_COORDS:
         return TexCoordPrediction(view, parents, n)
+    if scheme_id == PRED_DERIVATIVE:
+        return DerivativePrediction(view, parents, n)
     if scheme_id == PRED_NONE:
         return NoPrediction(view, parents, n)
     raise ValueError(f"unsupported prediction scheme {scheme_id}")

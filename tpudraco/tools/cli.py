@@ -25,7 +25,14 @@ def _build_config(args):
     from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
     from ..models import AttributeType
     from ..shared.clers import EB_STANDARD, EB_VALENCE
-    from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
+    from ..shared.prediction import (PRED_DERIVATIVE,
+                                     PRED_MULTI_PARALLELOGRAM)
+
+    _PREDICTION_CHOICES = {
+        "default": {},
+        "multi": {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM},
+        "derivative-uv": {AttributeType.TEX_COORD: PRED_DERIVATIVE},
+    }
 
     quant_bits = {}
     if args.qp is not None:
@@ -49,15 +56,11 @@ def _build_config(args):
                                   if args.method == "sequential"
                                   else METHOD_EDGEBREAKER)
         if args.prediction is not None:
-            cfg.prediction = (
-                {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
-                if args.prediction == "multi" else {})
+            cfg.prediction = dict(_PREDICTION_CHOICES[args.prediction])
         if args.sequential_method is not None:
             cfg.sequential_method = args.sequential_method
     else:
-        prediction = {}
-        if args.prediction == "multi":
-            prediction[AttributeType.POSITION] = PRED_MULTI_PARALLELOGRAM
+        prediction = dict(_PREDICTION_CHOICES[args.prediction or "default"])
         cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
                      else EB_STANDARD,
                      encoder_method=METHOD_SEQUENTIAL
@@ -114,12 +117,16 @@ def main(argv=None) -> int:
                         "output stream is shaped exactly like the "
                         "reference encoder's; --transcode also switches "
                         "KHR ids to the reference's quirk mapping")
-    p.add_argument("--prediction", choices=("default", "multi"),
+    p.add_argument("--prediction",
+                   choices=("default", "multi", "derivative-uv"),
                    default=None,
-                   help="position prediction scheme: 'multi' opts into "
-                        "averaged multi-parallelogram (wire id 2; the "
-                        "reference stubs it) — usually smaller on regular "
-                        "meshes, decodable by this tool")
+                   help="prediction overrides: 'multi' opts positions "
+                        "into averaged multi-parallelogram (wire id 2; "
+                        "the reference stubs it); 'derivative-uv' opts "
+                        "TEX_COORD into the derivative scheme (wire id "
+                        "7; unimplemented!() dead code in the reference) "
+                        "— both are tpudraco dialect surfaces, decodable "
+                        "by this tool, rejected by --strict-draco")
     p.add_argument("-cl", "--compression-level", type=int, default=None,
                    choices=range(0, 11), metavar="N",
                    help="compression level 0 (fastest) .. 10 (smallest); "
