@@ -104,6 +104,11 @@ def random_config(rng, has_extras):
     if rng.random() < 0.2 and cfg.encoder_method != 0:
         from tpudraco.shared.prediction import PRED_MULTI_PARALLELOGRAM
         cfg.prediction = {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
+    if rng.random() < 0.15 and cfg.encoder_method != 0:
+        # round-4 knob: derivative UV prediction (wire id 7, opt-in)
+        from tpudraco.shared.prediction import PRED_DERIVATIVE
+        cfg.prediction = dict(cfg.prediction or {})
+        cfg.prediction[AttributeType.TEX_COORD] = PRED_DERIVATIVE
     if rng.random() < 0.6:
         cfg.quant_bits[AttributeType.POSITION] = int(rng.integers(4, 22))
     if rng.random() < 0.5:
