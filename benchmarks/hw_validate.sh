@@ -32,12 +32,19 @@ timeout 1200 python benchmarks/profile_words.py \
 
 log "stage 2: bench e2e"
 timeout 1200 python bench.py 2>&1 | tee benchmarks/hw_logs/e2e_${TS}.log | tail -2
+log "stage 2: bench e2e, packed upload OFF (A/B: u16 vs 12-bit upload)"
+timeout 1200 env TPUDRACO_PACKED_UPLOAD=0 python bench.py \
+    2>&1 | tee benchmarks/hw_logs/e2e_nopack_${TS}.log | tail -2
 log "stage 2: bench breakdown"
 timeout 1200 python bench.py --breakdown \
     2>&1 | tee benchmarks/hw_logs/brk_${TS}.log | tail -2
 log "stage 2: bench all"
 timeout 1800 python bench.py --metric all \
     2>&1 | tee benchmarks/hw_logs/all_${TS}.log | tail -4
+
+log "stage 2b: e2e stage split (upload/step/flip/normalize/combo/scan/payload)"
+timeout 1200 python benchmarks/profile_stages.py \
+    2>&1 | tee benchmarks/hw_logs/stages_${TS}.log | tail -16
 
 log "stage 3: mixed-corpus routing"
 timeout 2400 python benchmarks/bench_mixed.py \

@@ -3,6 +3,7 @@ corpus resume, error isolation, device-batched group encoding."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -108,6 +109,71 @@ def test_device_batch_encode_bit_exact(monkeypatch):
     got = be.encode_meshes_device(meshes)
     for m, blob in zip(meshes, got):
         assert blob == encode(m)
+
+
+def test_packed_upload_roundtrip_and_twin():
+    """native.pack12 <-> ops.unpack12_kernel invert each other, and the
+    numpy fallback twin produces identical packed bytes (incl. odd row
+    lengths, where the final nibble pairs with zero)."""
+    import tpudraco.native as nat
+    from tpudraco.native import pack12
+    from tpudraco.ops import unpack12_kernel
+    rng = np.random.default_rng(3)
+    for shape, bits in [((4, 100, 3), 11), ((3, 7, 3), 12),
+                        ((2, 5, 1), 9), ((1, 3, 3), 11)]:
+        q = rng.integers(0, 1 << bits, size=shape).astype(np.uint16)
+        lo, hb = pack12(q)
+        assert lo.nbytes + hb.nbytes < q.nbytes
+        out = np.asarray(unpack12_kernel(jnp.asarray(lo), jnp.asarray(hb)))
+        assert out.shape == q.shape and (out == q).all()
+    # numpy twin == native bytes (odd per-row count: n = 33)
+    q = rng.integers(0, 4096, size=(5, 33)).astype(np.uint16)
+    lo1, hb1 = pack12(q)
+    orig = nat.load_library
+    nat.load_library = lambda: None
+    try:
+        lo2, hb2 = pack12(q)
+    finally:
+        nat.load_library = orig
+    assert (lo1 == lo2).all() and (hb1 == hb2).all()
+
+
+@pytest.mark.parametrize("bits,knob", [(11, True), (11, False),
+                                       (8, True), (12, True)])
+def test_packed_upload_byte_oracle(monkeypatch, bits, knob):
+    """Device batch bytes with the narrow upload layouts (u8 at
+    bits<=8, 12-bit pack at bits<=12) == the PACKED_UPLOAD=False u16
+    twin == sequential host encode(), at every depth bucket and with no
+    silent host fallback."""
+    import tpudraco.parallel.batch as pb
+    from tpudraco.encode import Config
+    monkeypatch.setattr(pb, "PACKED_UPLOAD", knob)
+    meshes = [_grid_mesh(5, s) for s in range(6)]
+    cfg = Config(quant_bits={AttributeType.POSITION: bits})
+    seq = [encode(m, cfg=cfg) for m in meshes]
+    be = BatchEncoder(use_device=True, strict_device=True, cfg=cfg)
+    be.MIN_DEVICE_GROUP = 1
+    got = be.encode_meshes(meshes)
+    assert [bytes(b) for b in got] == [bytes(s) for s in seq]
+
+
+def test_packed_upload_sharded_byte_oracle(monkeypatch):
+    """The packed upload shards on the data axis (lo AND the per-row
+    nibble array) — sharded bytes must equal sequential encode()."""
+    import jax
+    from jax.sharding import Mesh as JMesh
+
+    import tpudraco.parallel.batch as pb
+    monkeypatch.setattr(pb, "PACKED_UPLOAD", True)
+    devs = np.array(jax.devices()[:4])
+    if devs.size < 4:
+        pytest.skip("needs 4 devices")
+    meshes = [_grid_mesh(5, s) for s in range(8)]
+    be = BatchEncoder(use_device=True, strict_device=True,
+                      mesh_axis=JMesh(devs, ("data",)))
+    be.MIN_DEVICE_GROUP = 1
+    got = be.encode_meshes(meshes)
+    assert [bytes(b) for b in got] == [bytes(encode(m)) for m in meshes]
 
 
 def test_batch_decoder_corpus(tmp_path):

@@ -84,6 +84,8 @@ def load_library():
         lib.tpud_quantize_batch.restype = i32
         lib.tpud_quantize_batch.argtypes = [f32p, i64, i64, i64, i32,
                                             u16p, f32p, f32p, i32p, i32p]
+        lib.tpud_pack12.restype = None
+        lib.tpud_pack12.argtypes = [u16p, i64, u8p, u8p]
         u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.tpud_predict_wrapped_zigzag.restype = i32
         lib.tpud_predict_wrapped_zigzag.argtypes = [
@@ -139,6 +141,43 @@ def quantize_batch(vals: np.ndarray, bits: int):
     if rc != 0:
         return None
     return q, mins, delta, vmin, vmax
+
+
+def pack12(q: np.ndarray):
+    """Pack uint16 values < 4096 into (lo bytes, paired high nibbles)
+    for the 12-bit H2D upload (see csrc/quantize.cpp::tpud_pack12 and
+    ops/device.py::unpack12_kernel). The first axis is the batch axis:
+    nibbles pair within a row only, so a (B, ...) batch keeps hb
+    shardable as (B, ceil(N/2)) under the data-parallel mesh. Falls back
+    to a numpy twin (equality-pinned) when the native library is
+    missing."""
+    q = np.ascontiguousarray(q, dtype=np.uint16)
+    B = q.shape[0] if q.ndim > 1 else 1
+    n = q.size // B
+    lo = np.empty(q.shape, dtype=np.uint8)
+    hb = np.empty((B, (n + 1) // 2), dtype=np.uint8)
+    lib = load_library()
+    if lib is not None:
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        if n % 2 == 0:
+            # pairs never cross rows when the row length is even: one
+            # flat pass over the whole batch
+            lib.tpud_pack12(q.ctypes.data_as(u16p), q.size,
+                            _u8p(lo), _u8p(hb))
+        else:
+            q2 = q.reshape(B, n)
+            lo2 = lo.reshape(B, n)
+            for b in range(B):
+                lib.tpud_pack12(q2[b].ctypes.data_as(u16p), n,
+                                _u8p(lo2[b]), _u8p(hb[b]))
+        return lo, hb if q.ndim > 1 else hb[0]
+    flat = q.reshape(B, n)
+    np.copyto(lo.reshape(B, n), flat.astype(np.uint8))
+    hi = (flat >> 8).astype(np.uint8)
+    if n & 1:
+        hi = np.concatenate([hi, np.zeros((B, 1), dtype=np.uint8)], axis=1)
+    np.bitwise_or(hi[:, 0::2], hi[:, 1::2] << 4, out=hb)
+    return lo, hb if q.ndim > 1 else hb[0]
 
 
 def rans_encode(symbols: np.ndarray, freqs: np.ndarray, cums: np.ndarray,

@@ -139,6 +139,29 @@ int32_t tpud_quantize_batch(const float* vals, int64_t B, int64_t V,
     return 0;
 }
 
+// 12-bit upload pack: split each uint16 value (< 4096) into a low byte
+// and a 4-bit high nibble; nibbles pack in pairs (even index -> low
+// nibble). The device unpacks with two shifts and an OR
+// (ops/device.py::unpack12_kernel) inside the jitted encode step, so
+// the H2D transfer carries 1.5 bytes/value instead of 2 — and transfer
+// bytes are pure wall time on a tunnel that cannot overlap transfers
+// with compute (BASELINE.md round-4 characterization). One linear pass;
+// n may be odd (the final nibble pairs with zero).
+void tpud_pack12(const uint16_t* q, int64_t n, uint8_t* lo, uint8_t* hb) {
+    const int64_t pairs = n / 2;
+    for (int64_t i = 0; i < pairs; ++i) {
+        const uint16_t a = q[2 * i], b = q[2 * i + 1];
+        lo[2 * i] = (uint8_t)a;
+        lo[2 * i + 1] = (uint8_t)b;
+        hb[i] = (uint8_t)((a >> 8) | ((b >> 8) << 4));
+    }
+    if (n & 1) {
+        const uint16_t a = q[n - 1];
+        lo[n - 1] = (uint8_t)a;
+        hb[pairs] = (uint8_t)(a >> 8);
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

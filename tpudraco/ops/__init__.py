@@ -15,6 +15,7 @@ from .device import (
     quantize_kernel,
     quantize_rows_kernel,
     quantized_range_chunk_kernel,
+    unpack12_kernel,
     unzigzag_kernel,
     wrapped_difference_kernel,
     zigzag_kernel,
@@ -35,7 +36,8 @@ __all__ = [
     "encode_step_pallas", "encode_step_pallas_from_q",
     "minmax_chunk_kernel", "parallelogram_predict_kernel", "quantize_kernel",
     "quantize_rows_kernel", "quantized_range_chunk_kernel",
-    "unzigzag_kernel", "wrapped_difference_kernel", "zigzag_kernel",
+    "unpack12_kernel", "unzigzag_kernel", "wrapped_difference_kernel",
+    "zigzag_kernel",
     "build_parallelogram_gathers", "build_combined_matrix",
     "build_prediction_matrix", "histogram_pallas", "predict_matmul_pallas",
     "predict_matmul_viable",

@@ -470,6 +470,23 @@ def encode_step_from_q(q_in: jnp.ndarray, gathers: dict, bits: int = 11,
     return {"symbols": corr, "counts": counts, "vmin": vmin, "vmax": vmax}
 
 
+def unpack12_kernel(lo: jnp.ndarray, hb: jnp.ndarray) -> jnp.ndarray:
+    """Device inverse of native.pack12: rebuild int32 quantized values
+    from the 12-bit upload layout (lo bytes shaped like q, high nibbles
+    paired per batch row). Two shifts + an OR + a relayout — trivial VPU
+    work that fuses into the jitted encode step; the win is the H2D
+    transfer carrying 1.5 bytes/value instead of 2 on a link where
+    transfer bytes are pure wall time (BASELINE.md round-4 tunnel
+    characterization: no H2D/compute/D2H overlap)."""
+    B = lo.shape[0]
+    n = int(np.prod(lo.shape[1:]))
+    # interleave (low nibble = even index, high = odd) then trim the
+    # odd-length pad nibble
+    hi = jnp.stack([hb & jnp.uint8(0xF), hb >> 4], axis=-1).reshape(B, -1)
+    hi = hi[:, :n].reshape(lo.shape)
+    return lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 8)
+
+
 def encode_step_pallas_from_q(q_in: jnp.ndarray, gathers: dict,
                               M: jnp.ndarray, bits: int = 11,
                               hist_bins: int | None = None):

@@ -25,6 +25,11 @@ from ..encode import Config, encode
 from ..models import AttributeType, Mesh, TableView
 from ..wire.byte_io import ByteWriter
 
+# Narrow upload layouts (u8 / 12-bit pack) for the device batch plane;
+# TPUDRACO_PACKED_UPLOAD=0 is the off-switch twin (byte-equality pinned
+# by tests/test_parallel.py). See device_encode_group for the rationale.
+PACKED_UPLOAD = os.environ.get("TPUDRACO_PACKED_UPLOAD", "1") != "0"
+
 
 class PreparedTopology:
     """Reusable connectivity state for meshes sharing one topology: the
@@ -1324,14 +1329,46 @@ def device_encode_group(positions_batch: np.ndarray, topo: PreparedTopology,
             topo._dev_combo_matrix = M
 
     t0 = _time.perf_counter()
-    q_dev = jnp.asarray(q_up)  # H2D (async dispatch; lands at first use)
+    # Upload layout: transfer bytes are pure wall time on this tunnel
+    # (no H2D/compute/D2H overlap, BASELINE.md round 4), so ship the
+    # narrowest layout the depth allows — u8 at bits<=8 (half the u16
+    # bytes), the 12-bit pack at bits<=12 (3/4), u16 otherwise. The
+    # device unpacks inside the jitted step (ops.unpack12_kernel); the
+    # symbols are bit-identical because every op past the upload is
+    # integer. PACKED_UPLOAD=False (or TPUDRACO_PACKED_UPLOAD=0) is the
+    # equality-tested off-switch twin.
+    packed = None
+    if PACKED_UPLOAD and bits <= 12 and q_up.dtype == np.uint16:
+        if bits <= 8:
+            q_up8 = q_up.astype(np.uint8)
+            q_dev = jnp.asarray(q_up8)
+            up_bytes = q_up8.nbytes
+        else:
+            from ..native import pack12 as _pack12
+            lo, hb = _pack12(q_up)
+            packed = (jnp.asarray(lo), jnp.asarray(hb))
+            up_bytes = lo.nbytes + hb.nbytes
+    else:
+        q_dev = jnp.asarray(q_up)  # H2D (async; lands at first use)
+        up_bytes = q_up.nbytes
     if _timings is not None:
         _timings["upload_dispatch"] = (_timings.get("upload_dispatch", 0.0)
                                        + _time.perf_counter() - t0)
+        _timings["h2d_mb"] += (up_bytes - q_up.nbytes) / 1e6
     if mesh_axis is not None:
-        syms, counts = _jit_step_sharded_q(q_dev, gathers, bits, mesh_axis)
+        if packed is not None:
+            syms, counts = _jit_step_sharded_p12(*packed, gathers, bits,
+                                                 mesh_axis)
+        else:
+            syms, counts = _jit_step_sharded_q(q_dev, gathers, bits,
+                                               mesh_axis)
     elif use_pallas:
-        syms, counts = _jit_step_pallas_q(q_dev, gathers, M, bits)
+        if packed is not None:
+            syms, counts = _jit_step_pallas_p12(*packed, gathers, M, bits)
+        else:
+            syms, counts = _jit_step_pallas_q(q_dev, gathers, M, bits)
+    elif packed is not None:
+        syms, counts = _jit_step_gather_p12(*packed, gathers, bits)
     else:
         syms, counts = _jit_step_gather_q(q_dev, gathers, bits)
     if _timings is not None:
@@ -1370,6 +1407,47 @@ def _jit_step_gather_q(q, gathers, bits):
     from ..ops import encode_step_from_q
     out = encode_step_from_q(q, gathers, bits=bits)
     return out["symbols"], out["counts"]
+
+
+# packed-upload twins of the three steps above: same compute after a
+# fused device unpack (ops.unpack12_kernel); bit-identical symbols
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_step_gather_p12(lo, hb, gathers, bits):
+    from ..ops import encode_step_from_q, unpack12_kernel
+    out = encode_step_from_q(unpack12_kernel(lo, hb), gathers, bits=bits)
+    return out["symbols"], out["counts"]
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _jit_step_pallas_p12(lo, hb, gathers, M, bits):
+    from ..ops import encode_step_pallas_from_q, unpack12_kernel
+    out = encode_step_pallas_from_q(unpack12_kernel(lo, hb), gathers, M,
+                                    bits=bits)
+    return out["symbols"], out["counts"]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
+def _jit_step_sharded_p12(lo, hb, gathers, bits, mesh_axis):
+    """Packed-upload twin of _jit_step_sharded_q: lo/hb shard on the
+    data axis (nibbles pair within a mesh row only — native.pack12's
+    layout contract), each shard unpacks locally, then runs the plain
+    step."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import encode_step_from_q, unpack12_kernel
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(lo_s, hb_s, g):
+        out = encode_step_from_q(unpack12_kernel(lo_s, hb_s), g, bits=bits)
+        return out["symbols"], out["counts"]
+
+    fn = shard_map(step, mesh=mesh_axis,
+                   in_specs=(P("data", None, None), P("data", None), P()),
+                   out_specs=(P("data", None, None), P("data", None)))
+    return fn(lo, hb, gathers)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
