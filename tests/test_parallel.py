@@ -686,6 +686,26 @@ def test_device_batch_encode_normals_bit_exact(monkeypatch):
     assert 2 in entries[0]  # texcoord attribute index 2
 
 
+def test_device_batch_nonfinite_uvs_route_to_host_error():
+    """A mesh whose UVs hold NaN must FAIL through the device batch the
+    same way sequential encode() fails (portabilize's canonical
+    non-finite rejection), and must not poison the group: the old device
+    UV quantize silently encoded garbage from NaN; now the finiteness
+    precheck drops the UV chain so the host path raises per mesh."""
+    meshes = [_grid_mesh_with_normals(7, s) for s in range(3)]
+    bad = _grid_mesh_with_normals(7, 9)
+    bad.attributes[2].values[3, 0] = np.nan
+    meshes.append(bad)
+    with pytest.raises(ValueError, match="non-finite"):
+        encode(bad)
+    be = BatchEncoder(use_device=True)
+    be.MIN_DEVICE_GROUP = 1
+    got = be.encode_meshes(meshes)
+    assert got[3] is None  # canonical failure, isolated
+    for m, blob in zip(meshes[:3], got[:3]):
+        assert bytes(blob) == bytes(encode(m))
+
+
 def test_device_batch_quant_depth_overrides_bit_exact(monkeypatch):
     """Every device chain honors -qp/-qn/-qt depths: batch bytes with
     (bits=12, normal_bits=10, uv_bits=12) must equal sequential host

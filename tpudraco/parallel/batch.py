@@ -1031,6 +1031,58 @@ def _jit_quantize(pos, bits):
     return quantize_kernel(pos, bits)
 
 
+@jax.jit
+def _jit_unpack12(lo, hb):
+    from ..ops import unpack12_kernel
+    return unpack12_kernel(lo, hb)
+
+
+@jax.jit
+def _jit_widen(x):
+    import jax.numpy as jnp
+    return x.astype(jnp.int32)
+
+
+def _host_quantized_upload(batch: np.ndarray, bits: int):
+    """Host-quantize a (B, V, C) float32 batch (canonical formula — the
+    native fused kernel with the numpy twin as fallback) and upload the
+    NARROWEST layout the depth allows, exactly like device_encode_group's
+    position upload: u8 at bits<=8, the 12-bit pack at bits<=12, u16
+    otherwise. Returns the device int32 quantized array.
+
+    The extra-attribute chains (_device_extra_attribute_entries)
+    previously uploaded raw float32 and quantized on device — a SECOND
+    full-size upload of the positions the main path had already
+    quantized, on a link where transfer bytes are pure wall time. The
+    device quantize_kernel was built to match the host formula
+    bit-for-bit, so swapping the producer cannot change any byte
+    (oracles in tests/test_parallel.py).
+
+    Returns None when the batch holds non-finite values (callers route
+    the attribute to the host path, whose portabilize raises the
+    canonical error — the old device quantize silently encoded garbage
+    from NaN here) or when bits > 16 (caller keeps the f32 upload)."""
+    import jax.numpy as jnp
+
+    if bits > 16:
+        return None
+    from ..native import quantize_batch as _nq
+    got = _nq(batch, bits)
+    if got is not None:
+        q_up = got[0]
+    else:
+        if not np.isfinite(batch).all():
+            return None
+        q_up = quantize_positions_host(batch, bits)[0].astype(np.uint16)
+    if PACKED_UPLOAD and bits <= 8:
+        return _jit_widen(jnp.asarray(q_up.astype(np.uint8)))
+    if PACKED_UPLOAD and bits <= 12:
+        from ..native import pack12 as _pack12
+        lo, hb = _pack12(q_up)  # lo keeps (B, V, C); nibbles pair per row
+        return _jit_unpack12(jnp.asarray(lo), jnp.asarray(hb))
+    return _jit_widen(jnp.asarray(q_up))
+
+
 def _attribute_eligible(meshes, idxs, att_idx, pos_id, n_comp):
     """Device-chain eligibility shared by the normal and UV entries: the
     attribute must be float32 with the expected component count IN EVERY
@@ -1118,6 +1170,11 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
     uv_batches = {ui: padded([meshes[i].attributes[ui]
                               .values.astype(np.float32) for i in idxs])
                   for ui in uv_idxs}
+    # non-finite UVs must take the host path (its portabilize raises the
+    # canonical error); the old device quantize silently encoded garbage
+    uv_idxs = [ui for ui in uv_idxs if np.isfinite(uv_batches[ui]).all()]
+    if not normal_idxs and not uv_idxs:
+        return out
     uv_gathers = {ui: collect_uv_gathers(topo.view_for(ui),
                                          topo.sequences[ui],
                                          pos_att0.num_points)
@@ -1125,8 +1182,12 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
 
     results: dict = {}
     for c0 in range(0, n_pad, chunk):
-        q_pos = _jit_quantize(jnp.asarray(pos_batch[c0:c0 + chunk]),
-                              bits)[0]
+        # host quantize + narrow upload (u8/pack12/u16); the f32 upload +
+        # device quantize remains only for depths past 16 bits
+        q_pos = _host_quantized_upload(pos_batch[c0:c0 + chunk], bits)
+        if q_pos is None:
+            q_pos = _jit_quantize(jnp.asarray(pos_batch[c0:c0 + chunk]),
+                                  bits)[0]
         for ni in normal_idxs:
             rings = topo.rings_for(ni)
             a0 = mesh0.attributes[ni]
@@ -1142,8 +1203,11 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
             r["flips"].append(flips)
         for ui in uv_idxs:
             a0 = mesh0.attributes[ui]
-            q_uv = _jit_quantize(jnp.asarray(uv_batches[ui][c0:c0 + chunk]),
-                                 uv_bits)[0]
+            q_uv = _host_quantized_upload(uv_batches[ui][c0:c0 + chunk],
+                                          uv_bits)
+            if q_uv is None:  # bits > 16 (finiteness pre-checked above)
+                q_uv = _jit_quantize(
+                    jnp.asarray(uv_batches[ui][c0:c0 + chunk]), uv_bits)[0]
             syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
                 q_pos, q_uv, uv_gathers[ui], pos_att0.unique_indices(),
                 a0.unique_indices())
