@@ -30,10 +30,13 @@ log "stage 1b: words-path profile (gather/core/sort shares, marks vs sort)"
 timeout 1200 python benchmarks/profile_words.py \
     2>&1 | tee benchmarks/hw_logs/words_${TS}.log | tail -8
 
-log "stage 2: bench e2e"
-timeout 1200 python bench.py 2>&1 | tee benchmarks/hw_logs/e2e_${TS}.log | tail -2
+log "stage 2: bench corpus (production auto-routed headline)"
+timeout 1800 python bench.py 2>&1 | tee benchmarks/hw_logs/corpus_${TS}.log | tail -2
+log "stage 2: bench e2e (device batch only)"
+timeout 1200 python bench.py --metric e2e \
+    2>&1 | tee benchmarks/hw_logs/e2e_${TS}.log | tail -2
 log "stage 2: bench e2e, packed upload OFF (A/B: u16 vs 12-bit upload)"
-timeout 1200 env TPUDRACO_PACKED_UPLOAD=0 python bench.py \
+timeout 1200 env TPUDRACO_PACKED_UPLOAD=0 python bench.py --metric e2e \
     2>&1 | tee benchmarks/hw_logs/e2e_nopack_${TS}.log | tail -2
 log "stage 2: bench breakdown"
 timeout 1200 python bench.py --breakdown \
