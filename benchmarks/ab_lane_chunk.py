@@ -73,6 +73,9 @@ def main():
                 (one_shot, True, "sortkv", 8),
                 (64, True, "sort", 8),
                 (128, True, "sort", 8), (128, True, "marks", 8),
+                # the PRODUCTION default combo (LANE_CHUNK=128 + sortkv
+                # on TPU), twice — it was missing from the round-4 matrix
+                (128, True, "sortkv", 8), (128, True, "sortkv", 8),
                 (256, True, "sort", 8), (128, False, "sort", 8),
                 (one_shot, False, "marks", 8),
                 (one_shot, False, "sortkv", 8),

@@ -98,6 +98,28 @@ def upload_once():
 
 
 timed("upload+sync", upload_once, trials=3)
+
+# 1b. the PACKED upload (12-bit: lo bytes + paired nibbles) + the fused
+# device unpack — what device_encode_group actually ships at bits<=12
+from tpudraco.native import pack12
+from tpudraco.parallel.batch import _jit_unpack12
+
+lo0, hb0 = pack12(q_u16)
+print(f"packed h2d={(lo0.nbytes + hb0.nbytes)/1e6:.2f}MB "
+      f"(u16 {q_u16.nbytes/1e6:.2f})")
+pk = [(lo0.copy(), hb0.copy()) for _ in range(3)]
+itp = iter(pk)
+
+
+def upload_packed_once():
+    lo, hb = next(itp)
+    q = _jit_unpack12(jax.device_put(lo), jax.device_put(hb))
+    np.asarray(q.ravel()[:1])
+    return q
+
+
+timed("upload_packed+unpack", upload_packed_once, trials=3)
+timed("host_pack12", lambda: pack12(q_u16), trials=3)
 q_dev = jax.block_until_ready(jax.device_put(q_u16))
 
 # 2. step from resident q
