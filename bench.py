@@ -541,6 +541,11 @@ def bench_corpus_auto(positions, faces):
     res["routing"] = [
         f"{e.get('plane')}:{e.get('meshes')}x{e.get('verts')}v"
         for e in auto.routing_log[-3:]]
+    if auto.fallback_groups or auto.fallback_meshes:
+        # silent device->host fallbacks would otherwise masquerade as a
+        # routing decision in the recorded line
+        res["device_fallbacks"] = [auto.fallback_groups,
+                                   auto.fallback_meshes]
     return res
 
 
