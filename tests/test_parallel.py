@@ -176,6 +176,31 @@ def test_packed_upload_sharded_byte_oracle(monkeypatch):
     assert [bytes(b) for b in got] == [bytes(encode(m)) for m in meshes]
 
 
+def test_sharded_normal_uv_chains_byte_oracle():
+    """Under a ("data",) device mesh the NORMAL and TEX_COORD chains
+    shard_map over the batch axis too (round-4 late; previously they ran
+    unsharded) — sharded bytes must equal sequential encode(), with no
+    host fallback (strict), and the chain entries must actually engage."""
+    import jax
+    from jax.sharding import Mesh as JMesh
+
+    import tpudraco.parallel.batch as bm
+    devs = np.array(jax.devices()[:4])
+    if devs.size < 4:
+        pytest.skip("needs 4 devices")
+    meshes = [_grid_mesh_with_normals(7, s) for s in range(8)]
+    mesh_ax = JMesh(devs, ("data",))
+    be = BatchEncoder(use_device=True, strict_device=True,
+                      mesh_axis=mesh_ax)
+    be.MIN_DEVICE_GROUP = 1
+    got = be.encode_meshes(meshes)
+    assert [bytes(b) for b in got] == [bytes(encode(m)) for m in meshes]
+    topo = be._topo_cache[topology_signature(meshes[0])]
+    entries = bm._device_extra_attribute_entries(
+        meshes, list(range(8)), topo, bits=11, chunk=8, mesh_axis=mesh_ax)
+    assert 1 in entries[0] and 2 in entries[0]
+
+
 def test_batch_decoder_corpus(tmp_path):
     from tpudraco.parallel import BatchDecoder
     import os

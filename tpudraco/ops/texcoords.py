@@ -190,3 +190,40 @@ def _uv_chain_x64(*args):
     if "fn" not in _uv_chain_cache:
         _uv_chain_cache["fn"] = jax.jit(_uv_chain_impl)
     return _uv_chain_cache["fn"](*args)
+
+
+def uv_encode_chain_sharded(q_pos, q_uv, g, uo_pos, uo_uv, mesh_axis):
+    """Data-parallel twin of uv_encode_chain over a ("data",) device
+    mesh: q_pos/q_uv shard on the batch axis (meshes are independent),
+    every gather table replicates, the x64-scoped recurrence runs
+    per-shard. Bytes equal the unsharded chain (oracle in
+    tests/test_parallel.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    with jax.enable_x64(True):
+        key = ("sharded", mesh_axis)
+        if key not in _uv_chain_cache:
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            fn = shard_map(
+                _uv_chain_impl, mesh=mesh_axis,
+                in_specs=(P("data", None, None), P("data", None, None))
+                + (P(),) * 11,
+                out_specs=(P("data", None, None), P("data"), P("data"),
+                           P("data", None), P("data", None), P("data")))
+            _uv_chain_cache[key] = jax.jit(fn)
+        out = _uv_chain_cache[key](
+            jnp.asarray(q_pos).astype(jnp.int64),
+            jnp.asarray(q_uv).astype(jnp.int64),
+            jnp.asarray(np.asarray(uo_pos).astype(np.int32)),
+            jnp.asarray(np.asarray(uo_uv).astype(np.int32)),
+            jnp.asarray(g["cpt"]), jnp.asarray(g["npt"]),
+            jnp.asarray(g["ppt"]), jnp.asarray(g["last_pt"]),
+            jnp.asarray(g["vis_n"]), jnp.asarray(g["vis_p"]),
+            jnp.asarray(g["pos_ok_n"]), jnp.asarray(g["pos_ok_p"]),
+            jnp.asarray(g["pos_ok_c"]))
+        return tuple(np.asarray(x) for x in out)

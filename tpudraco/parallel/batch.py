@@ -442,7 +442,8 @@ class BatchEncoder:
                 # (ops/normals.py ring chain, ops/texcoords.py UV chain)
                 normal_pre = _device_extra_attribute_entries(
                     meshes, idxs, topo, bits=bits, chunk=chunk,
-                    normal_bits=normal_bits, uv_bits=uv_bits)
+                    normal_bits=normal_bits, uv_bits=uv_bits,
+                    mesh_axis=self.mesh_axis)
                 bits_byte = bytes([bits])
                 for k, i in enumerate(idxs):
                     w = ByteWriter()
@@ -1099,7 +1100,8 @@ def _attribute_eligible(meshes, idxs, att_idx, pos_id, n_comp):
 def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
                                     bits: int, chunk: int,
                                     normal_bits: int = 8,
-                                    uv_bits: int = 10) -> dict:
+                                    uv_bits: int = 10,
+                                    mesh_axis=None) -> dict:
     """Device-encode the NORMAL (ops/normals.py) and TEX_COORD
     (ops/texcoords.py) attributes of a topology group. Positions quantize
     ONCE per chunk and feed every chain. Returns
@@ -1191,12 +1193,16 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
         for ni in normal_idxs:
             rings = topo.rings_for(ni)
             a0 = mesh0.attributes[ni]
-            s, f = normal_encode_chain(
+            n_args = (
                 q_pos, jnp.asarray(nrm_batches[ni][c0:c0 + chunk]),
                 jnp.asarray(rings["tip_pt"]), jnp.asarray(rings["next_pt"]),
                 jnp.asarray(rings["prev_pt"]), jnp.asarray(rings["mask"]),
-                uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)),
-                bits=normal_bits)
+                uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)))
+            if mesh_axis is not None:
+                s, f = _jit_normal_chain_sharded(*n_args, bits=normal_bits,
+                                                 mesh_axis=mesh_axis)
+            else:
+                s, f = normal_encode_chain(*n_args, bits=normal_bits)
             syms, flips = np.asarray(s), np.asarray(f)
             r = results.setdefault(ni, {"syms": [], "flips": []})
             r["syms"].append(syms)
@@ -1208,9 +1214,17 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
             if q_uv is None:  # bits > 16 (finiteness pre-checked above)
                 q_uv = _jit_quantize(
                     jnp.asarray(uv_batches[ui][c0:c0 + chunk]), uv_bits)[0]
-            syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
-                q_pos, q_uv, uv_gathers[ui], pos_att0.unique_indices(),
-                a0.unique_indices())
+            if mesh_axis is not None:
+                from ..ops.texcoords import uv_encode_chain_sharded
+                syms, vmin, vmax, ovals, oflags, risky = \
+                    uv_encode_chain_sharded(
+                        q_pos, q_uv, uv_gathers[ui],
+                        pos_att0.unique_indices(), a0.unique_indices(),
+                        mesh_axis)
+            else:
+                syms, vmin, vmax, ovals, oflags, risky = uv_encode_chain(
+                    q_pos, q_uv, uv_gathers[ui], pos_att0.unique_indices(),
+                    a0.unique_indices())
             r = results.setdefault(ui, {"syms": [], "vmin": [], "vmax": [],
                                         "ovals": [], "oflags": [],
                                         "risky": []})
@@ -1471,6 +1485,32 @@ def _jit_step_gather_q(q, gathers, bits):
     from ..ops import encode_step_from_q
     out = encode_step_from_q(q, gathers, bits=bits)
     return out["symbols"], out["counts"]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
+def _jit_normal_chain_sharded(q_pos, normals, tip_pt, next_pt, prev_pt,
+                              mask, uo_pos, uo_nrm, bits, mesh_axis):
+    """Data-parallel NORMAL chain over the ("data",) mesh: the batch axis
+    shards (meshes are independent), every ring/index table replicates.
+    Bytes equal the unsharded chain (oracle in tests/test_parallel.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.normals import normal_encode_chain
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def run(qp, nr, tp, nx, pv, mk, up, un):
+        return normal_encode_chain(qp, nr, tp, nx, pv, mk, up, un,
+                                   bits=bits)
+
+    fn = shard_map(run, mesh=mesh_axis,
+                   in_specs=(P("data", None, None), P("data", None, None),
+                             P(), P(), P(), P(), P(), P()),
+                   out_specs=(P("data", None, None), P("data", None)))
+    return fn(q_pos, normals, tip_pt, next_pt, prev_pt, mask, uo_pos,
+              uo_nrm)
 
 
 # packed-upload twins of the three steps above: same compute after a
