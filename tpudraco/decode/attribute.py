@@ -98,7 +98,12 @@ class _DecView:
 
     def as_arrays(self):
         """(effective opposite, corner_to_vertex, left_most) for the native
-        topology passes."""
+        topology passes. Memoized: the view is immutable once built, and
+        the grouped decoder calls this once per BLOB on a shared topology
+        (it was ~7% of a 128-blob grouped decode wall)."""
+        cached = getattr(self, "_arrays_cache", None)
+        if cached is not None:
+            return cached
         opp = np.asarray(self.ct.opposite, dtype=np.int64)
         if self.seam is not None:
             opp = np.where(self.seam, NONE, opp)
@@ -106,7 +111,8 @@ class _DecView:
                else np.asarray(self.ct.corner_to_vertex, dtype=np.int64))
         lm = (np.asarray(self.alm, dtype=np.int64) if self.alm is not None
               else np.asarray(self.ct.left_most, dtype=np.int64))
-        return opp, ctv, lm
+        self._arrays_cache = (opp, ctv, lm)
+        return self._arrays_cache
 
 
 class DecodedAttribute:
