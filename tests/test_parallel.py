@@ -201,6 +201,30 @@ def test_sharded_normal_uv_chains_byte_oracle():
     assert 1 in entries[0] and 2 in entries[0]
 
 
+def test_lone_huge_mesh_routes_host_on_degraded_link(monkeypatch):
+    """The auto-router's static lone-huge-mesh -> device rule defers to
+    a link-health probe: in a degraded-tunnel phase the resident route
+    would stall for minutes while the host finishes in seconds, so the
+    mesh must route host with the reason recorded (and identical
+    bytes)."""
+    import tpudraco.parallel.batch as bm
+    mesh = _grid_mesh(40, 3)  # 1600 verts, "huge" under the lowered bar
+    be = BatchEncoder(use_device="auto")
+    be.CHUNKED_MIN_VERTS = 256
+    monkeypatch.setattr(bm, "_device_link_healthy", lambda **kw: False)
+    got = be.encode_meshes_auto([mesh])
+    assert bytes(got[0]) == bytes(encode(mesh))
+    assert be.routing_log[-1]["plane"] == "host"
+    assert be.routing_log[-1]["reason"] == "single mesh (link degraded)"
+    # healthy link: the static device rule stands
+    monkeypatch.setattr(bm, "_device_link_healthy", lambda **kw: True)
+    be2 = BatchEncoder(use_device="auto")
+    be2.CHUNKED_MIN_VERTS = 256
+    got2 = be2.encode_meshes_auto([mesh])
+    assert bytes(got2[0]) == bytes(encode(mesh))
+    assert be2.routing_log[-1]["plane"] == "device"
+
+
 def test_batch_decoder_corpus(tmp_path):
     from tpudraco.parallel import BatchDecoder
     import os

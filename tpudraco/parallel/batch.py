@@ -543,13 +543,21 @@ class BatchEncoder:
                 # a lone mesh cannot be probed without doing the work
                 # twice: huge meshes take the resident device path
                 # (chunked streaming beyond RESIDENT_MAX_VERTS), the
-                # rest stay host
+                # rest stay host — UNLESS a tiny link probe says the
+                # tunnel is degraded (observed phases: 70+ s for a
+                # sub-MB readback), where the static device rule would
+                # turn into a multi-minute stall the host finishes in
+                # seconds
                 huge = v >= (self.CHUNKED_MIN_VERTS << 2)
+                reason = "single mesh (static)"
+                if huge and not _device_link_healthy():
+                    huge = False
+                    reason = "single mesh (link degraded)"
                 out[idxs[0]] = (self._encode_huge_safe(meshes[idxs[0]])
                                 if huge else
                                 self._encode_one_safe(meshes[idxs[0]]))
                 entry.update(plane="device" if huge else "host",
-                             reason="single mesh (static)")
+                             reason=reason)
                 self.routing_log.append(entry)
                 return
             if n < self.MIN_DEVICE_GROUP and v < self.CHUNKED_MIN_VERTS:
@@ -1485,6 +1493,31 @@ def _jit_step_gather_q(q, gathers, bits):
     from ..ops import encode_step_from_q
     out = encode_step_from_q(q, gathers, bits=bits)
     return out["symbols"], out["counts"]
+
+
+_LINK_PROBE = {"ok": None, "ts": 0.0}
+
+
+def _device_link_healthy(budget_s: float = 1.0, ttl_s: float = 600.0) -> bool:
+    """One tiny device roundtrip (warmed, so a one-time remote compile
+    doesn't read as degradation), cached for ttl_s: the auto-router's
+    static huge-mesh rule assumes a working link, and degraded tunnel
+    phases (CLAUDE.md: 70+ s per sub-MB readback) would turn it into a
+    multi-minute stall. A probe above budget_s marks the link degraded
+    for the next ttl_s. Instant-true on the CPU backend (tests)."""
+    now = time.time()
+    if _LINK_PROBE["ok"] is not None and now - _LINK_PROBE["ts"] < ttl_s:
+        return _LINK_PROBE["ok"]
+    try:
+        import jax.numpy as jnp
+        np.asarray(jnp.zeros((8, 128), jnp.float32) + 1)  # warm / compile
+        t0 = time.perf_counter()
+        np.asarray(jnp.zeros((8, 128), jnp.float32) + 2)
+        ok = (time.perf_counter() - t0) <= budget_s
+    except Exception:
+        ok = False
+    _LINK_PROBE["ok"], _LINK_PROBE["ts"] = ok, now
+    return ok
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "mesh_axis"))
