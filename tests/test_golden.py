@@ -28,7 +28,10 @@ CONFIGS = {"standard": {}, "valence": {"traversal": 2},
                     "prediction": {0: 2}},
            # round-3 mode: delta-coded sequential indices (method id 0)
            "seq_compressed": {"encoder_method": 0,
-                              "sequential_method": "compressed"}}
+                              "sequential_method": "compressed"},
+           # round-5 mode: exact D4 orthogonal normal transform (wire id 4;
+           # AttributeType.NORMAL == 1 as a plain dict key)
+           "orthogonal": {"transform": {1: 4}}}
 
 
 def _digest(name: str, cfg_kwargs: dict) -> tuple[str, int]:

@@ -279,10 +279,12 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
             xmeta.get("min", 0), xmeta.get("max", 0), view.num_vertices)
 
     if (values_by_vertex is None and scheme_id == PRED_NORMAL and parents
-            and flips is not None and xform_id == XFORM_OCT_ORTHOGONAL):
+            and flips is not None and xform_id in (
+                XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION,
+                XFORM_ORTHOGONAL)):
         values_by_vertex = _decode_normals_vectorized(
             view, sequence, symbols, flips, parents[0],
-            xmeta.get("max_q", 255))
+            xmeta.get("max_q", 255), xform_id=xform_id)
 
     if (values_by_vertex is None and scheme_id == PRED_TEX_COORDS
             and parents and orientations is not None
@@ -350,11 +352,15 @@ class _CornerIndexedParent:
 
 
 def _decode_normals_vectorized(view, sequence, symbols, flips,
-                               pos_parent, max_q: int = 255) -> np.ndarray:
+                               pos_parent, max_q: int = 255,
+                               xform_id: int = XFORM_OCT_ORTHOGONAL
+                               ) -> np.ndarray:
     """Whole-traversal normal decode: batched ring-sum prediction (the ring
-    is traversal-state-independent) + batched oct-orthogonal inverse
-    transform. Bit-identical to the scalar loop (pinned by round-trip
-    tests); the scalar path remains for other transform combinations."""
+    is traversal-state-independent) + batched inverse transform for all
+    three octahedral transforms (OctOrthogonal mod-residual; OctReflection
+    zigzag, no rotation; Orthogonal zigzag with the full D4 swap).
+    Bit-identical to the scalar loop (pinned by round-trip tests); the
+    scalar path remains for other transform combinations."""
     from ..shared.octahedral import invert_diamond, invert_diamond_inverse_batched
     from ..shared.prediction import NormalPrediction
 
@@ -371,6 +377,16 @@ def _decode_normals_vectorized(view, sequence, symbols, flips,
     flip = np.abs(p).sum(axis=1) > one
     p = np.where(flip[:, None], invert_diamond(p, one), p)
 
+    if xform_id == XFORM_OCT_REFLECTION:
+        o = p + unzigzag(corr.astype(np.uint64))
+        o = np.where(flip[:, None],
+                     invert_diamond_inverse_batched(o, one), o)
+        vals = o + one
+        _opp, ctv, _lm = view.as_arrays()
+        vbv = np.zeros((view.num_vertices, 2), dtype=np.int64)
+        vbv[ctv[np.asarray(sequence, dtype=np.int64)]] = vals
+        return vbv
+
     # rotation count: smallest r in 0..3 with rot^r(p) in the third
     # quadrant (x < 0, y <= 0); zero vectors don't rotate
     rots = [p]
@@ -383,7 +399,14 @@ def _decode_normals_vectorized(view, sequence, symbols, flips,
     idx = np.arange(T)
     p_rot = rots[r, idx]
 
-    o = ((p_rot + corr + one) % max_q) - one
+    if xform_id == XFORM_ORTHOGONAL:
+        # diagonal reflection into |p0| >= |p1|, then exact zigzag residual
+        swap = p_rot[:, 0] > p_rot[:, 1]
+        p_rot = np.where(swap[:, None], p_rot[:, ::-1], p_rot)
+        o = p_rot + unzigzag(corr.astype(np.uint64))
+        o = np.where(swap[:, None], o[:, ::-1], o)
+    else:
+        o = ((p_rot + corr + one) % max_q) - one
     # undo rotations (inverse rot (x,y)->(y,-x) applied r times)
     outs = [o]
     for _ in range(3):
@@ -406,7 +429,8 @@ def _read_transform_meta(reader, xform_id, out: dict) -> None:
         vmax = reader.read_u32()
         out["min"] = vmin - (1 << 32) if vmin >= (1 << 31) else vmin
         out["max"] = vmax - (1 << 32) if vmax >= (1 << 31) else vmax
-    elif xform_id in (XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION):
+    elif xform_id in (XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION,
+                      XFORM_ORTHOGONAL):
         out["max_q"] = reader.read_u32()
         out["center"] = reader.read_u32()
     elif xform_id in (XFORM_DIFFERENCE, XFORM_NONE):
@@ -524,6 +548,36 @@ def _make_inverse_transform(xform_id: int, meta: dict):
             if flip:
                 p = invert_diamond(p, one)
             o = p + unzigzag(corr.astype(np.uint64))
+            if flip:
+                o = invert_diamond_inverse(o, one)
+            return o + one
+        return inv
+    if xform_id == XFORM_ORTHOGONAL:
+        from ..shared.octahedral import invert_diamond, invert_diamond_inverse
+
+        mx = meta.get("max_q", 255)
+
+        def inv(corr, pred):
+            one = mx // 2
+            p = pred.astype(np.int64) - one
+            # replicate the encoder's D4 canonicalization of pred
+            # (encode/transforms.py OrthogonalTransform)
+            flip = abs(int(p[0])) + abs(int(p[1])) > one
+            if flip:
+                p = invert_diamond(p, one)
+            rot = 0
+            if p.any():
+                while p[0] >= 0 or p[1] > 0:
+                    p = np.array([-p[1], p[0]], dtype=np.int64)
+                    rot += 1
+            swap = p[0] > p[1]
+            if swap:
+                p = p[::-1]
+            o = p + unzigzag(corr.astype(np.uint64))
+            if swap:
+                o = o[::-1]
+            for _ in range(rot):
+                o = np.array([o[1], -o[0]], dtype=np.int64)
             if flip:
                 o = invert_diamond_inverse(o, one)
             return o + one

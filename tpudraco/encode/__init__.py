@@ -44,6 +44,14 @@ class Config:
     # PRED_MULTI_PARALLELOGRAM} opts into the averaged multi-parallelogram
     # the reference only stubs; streams stay self-describing
     prediction: dict = field(default_factory=dict)
+    # per-AttributeType residual-transform overrides (wire ids,
+    # encode/transforms.py) — e.g. {AttributeType.NORMAL: XFORM_ORTHOGONAL}
+    # opts normals into the exact D4 orthogonal transform (wire id 4, the
+    # one the reference declares but leaves unimplemented!(),
+    # orthogonal.rs:44) or OctReflection (wire id 2, half-built in the
+    # reference). Streams stay self-describing; strict mode rejects
+    # overrides (the reference encoder only ever emits OctOrthogonal)
+    transform: dict = field(default_factory=dict)
     # sequential-connectivity index payload: "direct" (id 1, the only
     # method the reference's encoder emits) or "compressed" (id 0, the
     # delta-coded method the reference models but never implements —
@@ -78,6 +86,11 @@ class Config:
         if self.prediction:
             offending.append("prediction overrides (the reference only "
                              "emits single-parallelogram)")
+        if self.transform:
+            offending.append("transform overrides (the reference only "
+                             "emits OctOrthogonal for normals; its "
+                             "Orthogonal/OctReflection bodies are "
+                             "unimplemented)")
         if self.sequential_method != "direct":
             offending.append("compressed sequential indices (the reference "
                              "models but never emits method 0)")
@@ -232,7 +245,8 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
     encode_attributes(mesh.attributes, writer, conn_out, recorder=rec,
                       quant_bits=cfg.quant_bits,
                       symbol_coding=cfg.symbol_coding,
-                      prediction=cfg.prediction)
+                      prediction=cfg.prediction,
+                      transform=cfg.transform)
     rec.scope_end(writer)
     debug_write(writer, "attributes done")
     rec.scope_end(writer)

@@ -22,17 +22,20 @@ from ..shared.sequencer import compute_sequence
 from .connectivity import ConnectivityOutput
 from .portabilization import default_portabilization_for, portabilize
 from .transforms import (
-    XFORM_DIFFERENCE, XFORM_OCT_ORTHOGONAL, XFORM_WRAPPED_DIFFERENCE,
-    make_transform,
+    XFORM_DIFFERENCE, XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION,
+    XFORM_ORTHOGONAL, XFORM_WRAPPED_DIFFERENCE, make_transform,
 )
 
 
 def default_prediction_for(att_type: AttributeType,
-                           prediction: dict | None = None) -> tuple[int, int]:
+                           prediction: dict | None = None,
+                           transform: dict | None = None) -> tuple[int, int]:
     """(prediction scheme, transform) defaults
     (attribute_encoder.rs:59-108). ``prediction`` optionally overrides the
-    scheme per AttributeType (Config.prediction) — the transform stays the
-    type default; only traversal-value schemes may be substituted."""
+    scheme per AttributeType (Config.prediction); ``transform`` optionally
+    overrides the residual transform per AttributeType (Config.transform) —
+    only octahedral transforms may substitute for NORMAL (the only type
+    whose portabilization yields the 2-component oct domain they expect)."""
     if att_type == AttributeType.POSITION:
         out = PRED_PARALLELOGRAM, XFORM_WRAPPED_DIFFERENCE
     elif att_type == AttributeType.NORMAL:
@@ -57,6 +60,16 @@ def default_prediction_for(att_type: AttributeType,
                 f"prediction override {scheme} not supported for "
                 f"{att_type.name}; pick one of {allowed}")
         out = (scheme, out[1])
+    if transform and att_type in transform:
+        xf = int(transform[att_type])
+        if att_type != AttributeType.NORMAL or xf not in (
+                XFORM_OCT_ORTHOGONAL, XFORM_OCT_REFLECTION,
+                XFORM_ORTHOGONAL):
+            raise ValueError(
+                f"transform override {xf} not supported for "
+                f"{att_type.name}; NORMAL accepts OctOrthogonal (3), "
+                "OctReflection (2), or Orthogonal (4)")
+        out = (out[0], xf)
     return out
 
 
@@ -72,6 +85,7 @@ def encode_attributes(attributes: list[Attribute], writer,
                       quant_bits: dict | None = None,
                       symbol_coding: str = "direct",
                       prediction: dict | None = None,
+                      transform: dict | None = None,
                       pred_cache: dict | None = None) -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
@@ -124,6 +138,7 @@ def encode_attributes(attributes: list[Attribute], writer,
                                quant_bits=quant_bits,
                                symbol_coding=symbol_coding,
                                prediction=prediction,
+                               transform=transform,
                                pred_cache=pred_cache)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
@@ -156,11 +171,13 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 sequence=None, precomputed=None,
                 quant_bits=None, symbol_coding: str = "direct",
                 prediction: dict | None = None,
+                transform: dict | None = None,
                 pred_cache: dict | None = None) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
-    scheme_id, xform_id = default_prediction_for(att.att_type, prediction)
+    scheme_id, xform_id = default_prediction_for(att.att_type, prediction,
+                                                 transform)
     rec.write_pair("prediction_scheme", scheme_id)
     rec.write_pair("prediction_transform", xform_id)
     writer.write_u8(scheme_id)

@@ -144,17 +144,60 @@ class OctReflectionTransform:
 
 
 class OrthogonalTransform:
-    """Angle-pair residual for unit vectors. Declared in the reference's
-    wire-id table (prediction_transform/mod.rs:89-102) but its body is
-    unimplemented!() (encode/attribute/prediction_transform/orthogonal.rs) —
-    no config can produce it. Kept as an explicit stub for wire-id parity."""
+    """Exact orthogonal-frame residual for octahedral normals (wire id 4).
+
+    The reference declares this id (prediction_transform/mod.rs:89-102) but
+    its body is unimplemented!() at the core map
+    (encode/attribute/prediction_transform/orthogonal.rs:44) and the partial
+    forward it does ship is numerically unsound (the law-of-cosines terms at
+    orthogonal.rs:87,94 are not cosines — parenthesization drops the 2·r
+    divisor — so acos would see arguments far outside [-1, 1]); no config
+    can produce it. This is the completed, integer-exact form: canonicalize
+    the prediction with an element of the full dihedral group D4 ⊂ O(2)
+    (diamond inversion + 90° rotations as in OctOrthogonal, PLUS a diagonal
+    reflection so |p0| >= |p1|), apply the same orthogonal map to the
+    original, then plain zigzag difference. Every step is a bijection on
+    ℤ², so — unlike OctOrthogonal's mod-max residual — there is NO
+    boundary ambiguity at any quantization depth. Metadata: u32 max,
+    u32 center (self-describing, same wire shape as the oct transforms).
+    The D4 element derives from pred alone, so the decoder recomputes it
+    without side data."""
     xform_id = XFORM_ORTHOGONAL
 
+    def __init__(self, bits: int = 8) -> None:
+        self.mx = (1 << bits) - 1
+
     def squeeze(self, origs: np.ndarray, preds: np.ndarray, writer) -> np.ndarray:
-        raise NotImplementedError(
-            "Orthogonal transform is unimplemented in the draco-oxide "
-            "reference and produced by no config; use OctOrthogonal for "
-            "octahedral normals")
+        from ..shared.octahedral import invert_diamond
+        one = self.mx // 2
+        orig = origs.astype(np.int64) - one
+        pred = preds.astype(np.int64) - one
+
+        flip = (np.abs(pred).sum(axis=1)) > one
+        pred = np.where(flip[:, None], invert_diamond(pred, one), pred)
+        orig = np.where(flip[:, None], invert_diamond(orig, one), orig)
+
+        # rotate in 90° steps until pred lands in the third quadrant
+        # (p0 < 0 and p1 <= 0), exactly as OctOrthogonal
+        nonzero = (pred != 0).any(axis=1)
+        for _ in range(4):
+            todo = nonzero & ((pred[:, 0] >= 0) | (pred[:, 1] > 0))
+            if not todo.any():
+                break
+            rp = np.stack([-pred[:, 1], pred[:, 0]], axis=1)
+            ro = np.stack([-orig[:, 1], orig[:, 0]], axis=1)
+            pred = np.where(todo[:, None], rp, pred)
+            orig = np.where(todo[:, None], ro, orig)
+
+        # reflect across the diagonal into the canonical half-octant
+        # |p0| >= |p1| (in Q3 both components are <= 0, so that is p0 <= p1)
+        swap = pred[:, 0] > pred[:, 1]
+        pred = np.where(swap[:, None], pred[:, ::-1], pred)
+        orig = np.where(swap[:, None], orig[:, ::-1], orig)
+
+        writer.write_u32(self.mx)
+        writer.write_u32(self.mx // 2)
+        return zigzag(orig - pred)
 
 
 def make_transform(xform_id: int, normal_bits: int = 8):
@@ -167,7 +210,7 @@ def make_transform(xform_id: int, normal_bits: int = 8):
     if xform_id == XFORM_OCT_REFLECTION:
         return OctReflectionTransform(normal_bits)
     if xform_id == XFORM_ORTHOGONAL:
-        return OrthogonalTransform()
+        return OrthogonalTransform(normal_bits)
     if xform_id == XFORM_NONE:
         return NoTransform()
     raise ValueError(f"unsupported prediction transform {xform_id}")

@@ -179,6 +179,7 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
                       quant_bits=cfg.quant_bits,
                       symbol_coding=cfg.symbol_coding,
                       prediction=cfg.prediction,
+                      transform=cfg.transform,
                       pred_cache=topo.pred_gathers)
     return writer.getvalue()
 

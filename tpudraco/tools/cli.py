@@ -28,10 +28,17 @@ def _build_config(args):
     from ..shared.prediction import (PRED_DERIVATIVE,
                                      PRED_MULTI_PARALLELOGRAM)
 
+    from ..encode.transforms import XFORM_OCT_REFLECTION, XFORM_ORTHOGONAL
+
     _PREDICTION_CHOICES = {
         "default": {},
         "multi": {AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM},
         "derivative-uv": {AttributeType.TEX_COORD: PRED_DERIVATIVE},
+    }
+    _TRANSFORM_CHOICES = {
+        "default": {},
+        "orthogonal": {AttributeType.NORMAL: XFORM_ORTHOGONAL},
+        "oct-reflection": {AttributeType.NORMAL: XFORM_OCT_REFLECTION},
     }
 
     quant_bits = {}
@@ -57,16 +64,20 @@ def _build_config(args):
                                   else METHOD_EDGEBREAKER)
         if args.prediction is not None:
             cfg.prediction = dict(_PREDICTION_CHOICES[args.prediction])
+        if args.transform is not None:
+            cfg.transform = dict(_TRANSFORM_CHOICES[args.transform])
         if args.sequential_method is not None:
             cfg.sequential_method = args.sequential_method
     else:
         prediction = dict(_PREDICTION_CHOICES[args.prediction or "default"])
+        transform = dict(_TRANSFORM_CHOICES[args.transform or "default"])
         cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
                      else EB_STANDARD,
                      encoder_method=METHOD_SEQUENTIAL
                      if args.method == "sequential"
                      else METHOD_EDGEBREAKER,
                      quant_bits=quant_bits, prediction=prediction,
+                     transform=transform,
                      sequential_method=args.sequential_method
                      or "direct")
     cfg.strict = args.strict_draco
@@ -127,6 +138,18 @@ def main(argv=None) -> int:
                         "7; unimplemented!() dead code in the reference) "
                         "— both are tpudraco dialect surfaces, decodable "
                         "by this tool, rejected by --strict-draco")
+    p.add_argument("--transform",
+                   choices=("default", "orthogonal", "oct-reflection"),
+                   default=None,
+                   help="normal residual-transform override: 'orthogonal' "
+                        "opts normals into the exact D4 orthogonal "
+                        "transform (wire id 4; the reference declares the "
+                        "id but its body is unimplemented!()) — no "
+                        "mod-boundary ambiguity at any depth; "
+                        "'oct-reflection' opts into OctReflection (wire "
+                        "id 2; half-built in the reference). Both are "
+                        "tpudraco dialect surfaces, decodable by this "
+                        "tool, rejected by --strict-draco")
     p.add_argument("-cl", "--compression-level", type=int, default=None,
                    choices=range(0, 11), metavar="N",
                    help="compression level 0 (fastest) .. 10 (smallest); "
