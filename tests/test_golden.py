@@ -29,9 +29,11 @@ CONFIGS = {"standard": {}, "valence": {"traversal": 2},
            # round-3 mode: delta-coded sequential indices (method id 0)
            "seq_compressed": {"encoder_method": 0,
                               "sequential_method": "compressed"},
-           # round-5 mode: exact D4 orthogonal normal transform (wire id 4;
-           # AttributeType.NORMAL == 1 as a plain dict key)
-           "orthogonal": {"transform": {1: 4}}}
+           # round-5 modes: exact D4 orthogonal normal transform (wire id
+           # 4; AttributeType.NORMAL == 1 as a plain dict key) and the
+           # prediction-degree traversal (wire TraversalType=1)
+           "orthogonal": {"transform": {1: 4}},
+           "preddeg": {"attribute_traversal": "prediction-degree"}}
 
 
 def _digest(name: str, cfg_kwargs: dict) -> tuple[str, int]:

@@ -174,7 +174,10 @@ def decode_attributes(reader: ByteReader,
         cache = conn._att_view_cache = {}
     for i, h in enumerate(headers):
         att_table_idx = (h["dec_id"] + 1) & 0xFF  # inverse of (i-1) wrap
-        hit = cache.get(att_table_idx)
+        if h["traversal"] not in (0, 1):  # TraversalType wire ids
+            raise DecodeError(
+                f"unsupported attribute traversal {h['traversal']}")
+        hit = cache.get((att_table_idx, h["traversal"]))
         if hit is not None:
             view, seq = hit
         else:
@@ -191,8 +194,15 @@ def decode_attributes(reader: ByteReader,
                 actv, alm, nav, _ = recompute_attribute_vertices(
                     ct, seam, is_v_seam)
                 view = _DecView(ct, actv, alm, seam, nav)
-            seq = compute_sequence(view, list(conn.seed_corners))
-            cache[att_table_idx] = (view, seq)
+            if h["traversal"] == 1:  # PredictionDegree (mod.rs:59-88)
+                from ..shared.sequencer import (
+                    compute_sequence_prediction_degree,
+                )
+                seq = compute_sequence_prediction_degree(
+                    view, list(conn.seed_corners))
+            else:
+                seq = compute_sequence(view, list(conn.seed_corners))
+            cache[(att_table_idx, h["traversal"])] = (view, seq)
 
         da = _decode_one(reader, h, view, conn, decoded,
                          att_idx=i, symbol_source=symbol_source,
@@ -212,7 +222,12 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
     xform_id = reader.read_u8()
 
     if sequence is None:
-        sequence = compute_sequence(view, list(conn.seed_corners))
+        if h.get("traversal") == 1:
+            from ..shared.sequencer import compute_sequence_prediction_degree
+            sequence = compute_sequence_prediction_degree(
+                view, list(conn.seed_corners))
+        else:
+            sequence = compute_sequence(view, list(conn.seed_corners))
     num_values = len(sequence)
 
     rans_flag = reader.read_u8()

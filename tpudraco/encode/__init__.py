@@ -52,6 +52,13 @@ class Config:
     # reference). Streams stay self-describing; strict mode rejects
     # overrides (the reference encoder only ever emits OctOrthogonal)
     transform: dict = field(default_factory=dict)
+    # attribute traversal order: "depth-first" (wire TraversalType=0, the
+    # only one the reference writes) or "prediction-degree" (wire 1 — the
+    # reference declares the enum variant but ships no sequencer,
+    # shared/connectivity/edgebreaker/mod.rs:59-88; ours is real). Both
+    # are topology-only, so streams stay self-describing; strict rejects
+    # prediction-degree
+    attribute_traversal: str = "depth-first"
     # sequential-connectivity index payload: "direct" (id 1, the only
     # method the reference's encoder emits) or "compressed" (id 0, the
     # delta-coded method the reference models but never implements —
@@ -91,6 +98,10 @@ class Config:
                              "emits OctOrthogonal for normals; its "
                              "Orthogonal/OctReflection bodies are "
                              "unimplemented)")
+        if self.attribute_traversal != "depth-first":
+            offending.append("prediction-degree traversal (the reference "
+                             "declares TraversalType=1 but only ever "
+                             "writes DepthFirst)")
         if self.sequential_method != "direct":
             offending.append("compressed sequential indices (the reference "
                              "models but never emits method 0)")
@@ -138,6 +149,18 @@ class Config:
             cfg.prediction = {
                 AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
         return cfg
+
+
+def _traversal_wire_id(name: str) -> int:
+    """Config.attribute_traversal -> wire TraversalType (mod.rs:59-88)."""
+    from ..shared.clers import (TRAVERSAL_DEPTH_FIRST,
+                                TRAVERSAL_PREDICTION_DEGREE)
+    try:
+        return {"depth-first": TRAVERSAL_DEPTH_FIRST,
+                "prediction-degree": TRAVERSAL_PREDICTION_DEGREE}[name]
+    except KeyError:
+        raise ValueError(f"unknown attribute_traversal {name!r}; pick "
+                         "'depth-first' or 'prediction-degree'") from None
 
 
 def encode_header(writer: ByteWriter, cfg: Config) -> None:
@@ -246,7 +269,9 @@ def encode(mesh: Mesh, writer: ByteWriter | None = None,
                       quant_bits=cfg.quant_bits,
                       symbol_coding=cfg.symbol_coding,
                       prediction=cfg.prediction,
-                      transform=cfg.transform)
+                      transform=cfg.transform,
+                      attribute_traversal=_traversal_wire_id(
+                          cfg.attribute_traversal))
     rec.scope_end(writer)
     debug_write(writer, "attributes done")
     rec.scope_end(writer)

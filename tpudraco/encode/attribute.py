@@ -13,12 +13,14 @@ import numpy as np
 from ..entropy.symbol_coding import DIRECT_CODED, LENGTH_CODED, encode_symbols
 from ..models.attribute import Attribute, AttributeType
 from ..models.corner_table import TableView
-from ..shared.clers import TRAVERSAL_DEPTH_FIRST
+from ..shared.clers import TRAVERSAL_DEPTH_FIRST, TRAVERSAL_PREDICTION_DEGREE
 from ..shared.prediction import (
     PRED_DELTA, PRED_DERIVATIVE, PRED_MULTI_PARALLELOGRAM, PRED_NORMAL,
     PRED_PARALLELOGRAM, PRED_TEX_COORDS, PredictionState, make_prediction,
 )
-from ..shared.sequencer import compute_sequence
+from ..shared.sequencer import (
+    compute_sequence, compute_sequence_prediction_degree,
+)
 from .connectivity import ConnectivityOutput
 from .portabilization import default_portabilization_for, portabilize
 from .transforms import (
@@ -86,13 +88,25 @@ def encode_attributes(attributes: list[Attribute], writer,
                       symbol_coding: str = "direct",
                       prediction: dict | None = None,
                       transform: dict | None = None,
-                      pred_cache: dict | None = None) -> None:
+                      pred_cache: dict | None = None,
+                      attribute_traversal: int = TRAVERSAL_DEPTH_FIRST
+                      ) -> None:
     """``precomputed`` optionally maps attribute index -> {"payload": bytes
     (the encode_symbols output, computed on the accelerator),
     "xform_meta": bytes} to skip the host predict/transform/entropy stages
     for that attribute (device batch path; bit-exactness pinned by
-    tests/test_parallel.py)."""
+    tests/test_parallel.py). ``attribute_traversal`` is the wire
+    TraversalType (mod.rs:59-88) every attribute is sequenced with."""
     from ..eval import NULL
+    if attribute_traversal not in (TRAVERSAL_DEPTH_FIRST,
+                                   TRAVERSAL_PREDICTION_DEGREE):
+        raise ValueError(
+            f"unsupported attribute traversal {attribute_traversal}")
+    if attribute_traversal != TRAVERSAL_DEPTH_FIRST:
+        # cached sequences/gathers are depth-first artifacts — recompute
+        sequences = None
+        precomputed = None
+        pred_cache = None
     rec = recorder if recorder is not None else NULL
     rec.write_pair("attributes count", len(attributes))
     writer.write_u8(len(attributes))
@@ -101,7 +115,7 @@ def encode_attributes(attributes: list[Attribute], writer,
         # meaning "universal corner table" (encode/attribute/mod.rs:33)
         writer.write_u8((i - 1) & 0xFF)
         writer.write_u8(att.domain)
-        writer.write_u8(TRAVERSAL_DEPTH_FIRST)
+        writer.write_u8(attribute_traversal)
 
     for att in attributes:
         writer.write_u8(1)  # one attribute per decoder
@@ -139,7 +153,8 @@ def encode_attributes(attributes: list[Attribute], writer,
                                symbol_coding=symbol_coding,
                                prediction=prediction,
                                transform=transform,
-                               pred_cache=pred_cache)
+                               pred_cache=pred_cache,
+                               attribute_traversal=attribute_traversal)
         rec.write_pair("num_values", int(att.num_points))
         rec.write_pair("num_unique_values", int(att.num_unique_values))
         rec.scope_end(writer)
@@ -172,7 +187,9 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
                 quant_bits=None, symbol_coding: str = "direct",
                 prediction: dict | None = None,
                 transform: dict | None = None,
-                pred_cache: dict | None = None) -> Attribute:
+                pred_cache: dict | None = None,
+                attribute_traversal: int = TRAVERSAL_DEPTH_FIRST
+                ) -> Attribute:
     from ..eval import NULL
     if rec is None:
         rec = NULL
@@ -190,7 +207,11 @@ def _encode_one(att: Attribute, att_data_id: int, parents: list[Attribute],
     view = TableView(aict.corner_table, att_table)
 
     if sequence is None:
-        sequence = compute_sequence(view, list(conn_out.corners_of_edgebreaker))
+        seeds = list(conn_out.corners_of_edgebreaker)
+        if attribute_traversal == TRAVERSAL_PREDICTION_DEGREE:
+            sequence = compute_sequence_prediction_degree(view, seeds)
+        else:
+            sequence = compute_sequence(view, seeds)
 
     # portabilize (writes quantization metadata into a side buffer)
     port_type, bits = default_portabilization_for(att.att_type, quant_bits)

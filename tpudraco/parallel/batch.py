@@ -165,7 +165,7 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
                          precomputed: dict | None = None) -> bytes:
     """encode() with the connectivity stage replayed from the cache (and,
     in the device batch path, attribute payloads precomputed on chip)."""
-    from ..encode import encode_header, encode_metadata
+    from ..encode import _traversal_wire_id, encode_header, encode_metadata
     from ..encode.attribute import encode_attributes
 
     cfg = cfg or Config()
@@ -180,7 +180,9 @@ def encode_with_topology(mesh: Mesh, topo: PreparedTopology,
                       symbol_coding=cfg.symbol_coding,
                       prediction=cfg.prediction,
                       transform=cfg.transform,
-                      pred_cache=topo.pred_gathers)
+                      pred_cache=topo.pred_gathers,
+                      attribute_traversal=_traversal_wire_id(
+                          cfg.attribute_traversal))
     return writer.getvalue()
 
 

@@ -1,14 +1,21 @@
-"""Depth-first attribute traversal sequencer: replays the edgebreaker decode
-order to produce the vertex-visit sequence consumed by the attribute
-prediction pipeline (both encoder and decoder).
+"""Attribute traversal sequencers: produce the vertex-visit sequence
+consumed by the attribute prediction pipeline (both encoder and decoder).
 
+Depth-first (wire TraversalType=0) replays the edgebreaker decode order.
 Reference behavior: draco-oxide/src/shared/attribute/sequence.rs. The
 reference prunes handle entries with an O(stack) scan per face
 (sequence.rs:98-131); we keep identical semantics with O(1) amortized lazy
 deletion (entries are tagged and tombstoned per face).
+
+Prediction-degree (wire TraversalType=1) prioritizes corners whose tip
+vertex already has prediction support. The reference declares the variant
+but ships no sequencer (shared/connectivity/edgebreaker/mod.rs:59-88 —
+enum + wire bytes only, flagged dead_code); this is the working form.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from ..models.corner_table import NONE, TableView
 
@@ -105,4 +112,108 @@ def compute_sequence(view: TableView, init_stack: list[int]) -> list[int]:
                     push(left_c)
                 if right_c != NONE:
                     push(right_c)
+    return out
+
+
+# prediction-degree priority levels: 0 = tip already visited (free),
+# 1 = tip has parallelogram support building up (degree > 1), 2 = first
+# touch. Mirrors Google Draco's MaxPredictionDegreeTraverser (kMaxPriority)
+_PD_MAX_PRIORITY = 3
+
+
+def compute_sequence_prediction_degree(view, init_stack: list[int]
+                                       ) -> list[int]:
+    """Max-prediction-degree traversal (wire TraversalType=1): corners wait
+    in three priority stacks; corners whose tip vertex is already visited
+    drain first, then tips whose prediction degree (number of traversal
+    touches so far) exceeds one, then first-touch corners — so vertices
+    tend to be sequenced when a full parallelogram is available, improving
+    residual compression on regular meshes. Depends only on topology, so
+    the decoder replays the identical sequence from the connectivity
+    section. Visits the same vertex set as compute_sequence (pinned by
+    tests); ``init_stack`` seeds are consumed from the end, matching the
+    depth-first sequencer's pop order."""
+    if hasattr(view, "as_arrays"):
+        opp_a, ctv_a, _lm = view.as_arrays()
+        opp = np.asarray(opp_a, dtype=np.int64)
+        ctv = np.asarray(ctv_a, dtype=np.int64)
+        num_faces = len(ctv) // 3
+    else:  # pragma: no cover - every view in the codec has as_arrays
+        num_faces = view.num_faces()
+        ctv = np.array([view.vertex(c) for c in range(3 * num_faces)],
+                       dtype=np.int64)
+        opp = np.array([view.opp(c) for c in range(3 * num_faces)],
+                       dtype=np.int64)
+
+    visited_v = np.zeros(view.num_vertices, dtype=bool)
+    visited_f = np.zeros(num_faces, dtype=bool)
+    pred_degree = np.zeros(view.num_vertices, dtype=np.int32)
+    out: list[int] = []
+    stacks: tuple[list[int], ...] = ([], [], [])
+    best = 0
+
+    def visit(v: int, c: int) -> None:
+        visited_v[v] = True
+        out.append(c)
+
+    def compute_priority(c: int) -> int:
+        v = int(ctv[c])
+        if visited_v[v]:
+            return 0
+        pred_degree[v] += 1
+        return 1 if pred_degree[v] > 1 else 2
+
+    def pop_next() -> int:
+        nonlocal best
+        for i in range(best, _PD_MAX_PRIORITY):
+            if stacks[i]:
+                best = i
+                return stacks[i].pop()
+        return NONE
+
+    for seed in reversed(init_stack):
+        if visited_f[seed // 3]:
+            continue
+        best = 0
+        stacks[0].append(seed)
+        nc = seed - 2 if seed % 3 == 2 else seed + 1
+        pc = seed + 2 if seed % 3 == 0 else seed - 1
+        for cc in (nc, pc, seed):  # draco order: next, previous, tip
+            vv = int(ctv[cc])
+            if not visited_v[vv]:
+                visit(vv, cc)
+        while True:
+            c = pop_next()
+            if c == NONE:
+                break
+            if visited_f[c // 3]:
+                continue
+            while True:
+                visited_f[c // 3] = True
+                v = int(ctv[c])
+                if not visited_v[v]:
+                    visit(v, c)
+                ncc = c - 2 if c % 3 == 2 else c + 1
+                pcc = c + 2 if c % 3 == 0 else c - 1
+                rc = int(opp[ncc])
+                lc = int(opp[pcc])
+                r_done = rc == NONE or visited_f[rc // 3]
+                l_done = lc == NONE or visited_f[lc // 3]
+                if not l_done:
+                    pr = compute_priority(lc)
+                    if r_done and pr <= best:
+                        c = lc
+                        continue
+                    stacks[pr].append(lc)
+                    if pr < best:
+                        best = pr
+                if not r_done:
+                    pr = compute_priority(rc)
+                    if pr <= best:
+                        c = rc
+                        continue
+                    stacks[pr].append(rc)
+                    if pr < best:
+                        best = pr
+                break
     return out

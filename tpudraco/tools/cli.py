@@ -66,6 +66,8 @@ def _build_config(args):
             cfg.prediction = dict(_PREDICTION_CHOICES[args.prediction])
         if args.transform is not None:
             cfg.transform = dict(_TRANSFORM_CHOICES[args.transform])
+        if args.traversal_order is not None:
+            cfg.attribute_traversal = args.traversal_order
         if args.sequential_method is not None:
             cfg.sequential_method = args.sequential_method
     else:
@@ -78,6 +80,8 @@ def _build_config(args):
                      else METHOD_EDGEBREAKER,
                      quant_bits=quant_bits, prediction=prediction,
                      transform=transform,
+                     attribute_traversal=args.traversal_order
+                     or "depth-first",
                      sequential_method=args.sequential_method
                      or "direct")
     cfg.strict = args.strict_draco
@@ -150,6 +154,17 @@ def main(argv=None) -> int:
                         "id 2; half-built in the reference). Both are "
                         "tpudraco dialect surfaces, decodable by this "
                         "tool, rejected by --strict-draco")
+    p.add_argument("--traversal-order",
+                   choices=("depth-first", "prediction-degree"),
+                   default=None,
+                   help="attribute traversal sequencer: 'depth-first' "
+                        "(wire TraversalType=0, the only one the "
+                        "reference writes) or 'prediction-degree' (wire "
+                        "1 — declared but never implemented in the "
+                        "reference; sequences vertices when parallelogram "
+                        "support is available). Dialect surface, "
+                        "decodable by this tool, rejected by "
+                        "--strict-draco")
     p.add_argument("-cl", "--compression-level", type=int, default=None,
                    choices=range(0, 11), metavar="N",
                    help="compression level 0 (fastest) .. 10 (smallest); "
