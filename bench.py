@@ -529,8 +529,17 @@ def bench_corpus_auto(positions, faces):
     corpus = small + huge + bulk
     raw = sum(m.position_attribute().values.nbytes for m in corpus)
 
-    auto = BatchEncoder(use_device="auto")
+    # cold vs warm routing (VERDICT r4 #5): the first pass pays probes +
+    # compiles; a second FRESH encoder reading the disk route cache skips
+    # the probes (compiles stay warm process-wide, so auto_cold_cached_s
+    # isolates exactly the probe cost a one-shot CLI no longer pays)
+    import tempfile
+    route_cache = os.path.join(
+        tempfile.gettempdir(), f"tpudraco_bench_routes_{os.getpid()}.json")
+    auto = BatchEncoder(use_device="auto", route_cache_path=route_cache)
+    t0 = time.perf_counter()
     blobs_a = auto.encode_meshes_auto(corpus)  # probes + compiles + caches
+    cold_s = time.perf_counter() - t0
     host = BatchEncoder()
     host._topo_cache = auto._topo_cache
     blobs_h = [host.encode_mesh(m) for m in corpus]
@@ -551,6 +560,21 @@ def bench_corpus_auto(positions, faces):
     res["routing"] = [
         f"{e.get('plane')}:{e.get('meshes')}x{e.get('verts')}v"
         for e in auto.routing_log[-3:]]
+    res["auto_cold_s"] = round(cold_s, 3)
+    try:
+        fresh = BatchEncoder(use_device="auto",
+                             route_cache_path=route_cache)
+        t0 = time.perf_counter()
+        fresh.encode_meshes_auto(corpus)
+        res["auto_cold_cached_s"] = round(time.perf_counter() - t0, 3)
+        res["route_cache_hits"] = sum(
+            1 for e in fresh.routing_log
+            if str(e.get("reason", "")).startswith("cached decision"))
+    finally:
+        try:
+            os.remove(route_cache)
+        except OSError:
+            pass
     if auto.fallback_groups or auto.fallback_meshes:
         # silent device->host fallbacks would otherwise masquerade as a
         # routing decision in the recorded line

@@ -8,6 +8,9 @@ compiled Pallas kernels instead of interpret mode."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the suite hermetic: never read/write the user-level routing cache
+# (tests that exercise persistence opt in with a tmp_path override)
+os.environ.setdefault("TPUDRACO_ROUTE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

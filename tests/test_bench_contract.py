@@ -60,3 +60,8 @@ def test_live_line_carries_single_plane_submetrics():
     assert res.get("bulk_host_mbs", 0) > 0
     assert "link_d2h_mbps" in res and "link_latency_ms" in res
     assert res["routing"], "routing decisions must be visible"
+    # cold vs warm auto (VERDICT r4 #5): the cold pass and the fresh-
+    # encoder-with-disk-route-cache pass both ride the recorded line
+    assert res.get("auto_cold_s", 0) > 0
+    assert res.get("auto_cold_cached_s", 0) > 0
+    assert res.get("route_cache_hits", -1) >= 0

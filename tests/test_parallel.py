@@ -1292,7 +1292,7 @@ def test_auto_routing_decision_cache():
     be = BatchEncoder(use_device="auto")
     be.encode_meshes_auto(meshes)
     first = be.routing_log[-1]
-    assert first.get("reason") != "cached decision"
+    assert not str(first.get("reason", "")).startswith("cached decision")
 
     blobs = be.encode_meshes_auto(meshes)
     second = be.routing_log[-1]
@@ -1300,7 +1300,111 @@ def test_auto_routing_decision_cache():
         # nothing was cached; the skip rule re-fires instead
         assert second["reason"] == "group cheaper than probe"
     else:
-        assert second["reason"] == "cached decision"
+        assert second["reason"] == "cached decision (memory)"
         assert second["plane"] == first["plane"]
     for m, blob in zip(meshes, blobs):
         assert blob == encode(m)
+
+
+def test_route_cache_persists_across_encoders(tmp_path, monkeypatch):
+    """VERDICT r4 #5: routing decisions persist on disk so a fresh process
+    (modeled by a fresh BatchEncoder with the same cache path) routes
+    without paying the probe. Bytes stay pinned."""
+    cache = str(tmp_path / "route_cache.json")
+    meshes = [_grid_mesh(7, s) for s in range(20)]
+
+    a = BatchEncoder(use_device="auto", route_cache_path=cache)
+    a.encode_meshes_auto(meshes)
+    first = a.routing_log[-1]
+    if first.get("reason") == "group cheaper than probe":
+        pytest.skip("host finished the group under the probe threshold "
+                    "in this window; nothing to persist")
+    assert os.path.isfile(cache)
+
+    b = BatchEncoder(use_device="auto", route_cache_path=cache)
+    blobs = b.encode_meshes_auto(meshes)
+    second = b.routing_log[-1]
+    assert second["reason"] == "cached decision (disk)"
+    assert second["plane"] == first["plane"]
+    for m, blob in zip(meshes, blobs):
+        assert blob == encode(m)
+
+    # expired entries are ignored (TTL'd: host/link speed drifts)
+    import json as _json
+    data = _json.load(open(cache))
+    for e in data["entries"].values():
+        e["ts"] -= 7 * 3600.0
+    _json.dump(data, open(cache, "w"))
+    c = BatchEncoder(use_device="auto", route_cache_path=cache)
+    c.encode_meshes_auto(meshes)
+    assert c.routing_log[-1]["reason"] != "cached decision (disk)"
+
+
+def test_route_cache_disabled_and_corrupt(tmp_path):
+    """A disabled or corrupt cache must never break routing."""
+    meshes = [_grid_mesh(7, s) for s in range(20)]
+    be = BatchEncoder(use_device="auto", route_cache_path=None)
+    blobs = be.encode_meshes_auto(meshes)
+    assert all(b == encode(m) for m, b in zip(meshes, blobs))
+
+    bad = tmp_path / "corrupt.json"
+    bad.write_text("{not json")
+    be2 = BatchEncoder(use_device="auto", route_cache_path=str(bad))
+    blobs2 = be2.encode_meshes_auto(meshes)
+    assert all(b == encode(m) for m, b in zip(meshes, blobs2))
+
+
+def test_route_cache_cross_process(tmp_path):
+    """Two genuinely fresh processes: the second routes from the disk
+    cache without probing (the one-shot CLI scenario)."""
+    import json
+    import subprocess
+    import sys
+
+    cache = str(tmp_path / "route_cache.json")
+    script = tmp_path / "drive.py"
+    script.write_text("""
+import os, sys, json
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tpudraco.models import MeshBuilder, AttributeType
+from tpudraco.models.attribute import AttributeDomain
+from tpudraco.parallel.batch import BatchEncoder
+
+def grid(n, seed):
+    rng = np.random.RandomState(seed)
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float32),
+                         np.arange(n, dtype=np.float32))
+    pos = np.stack([xs.ravel(), ys.ravel(),
+                    rng.rand(n * n).astype(np.float32)], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    b = MeshBuilder()
+    b.set_connectivity_attribute(np.asarray(faces))
+    b.add_attribute(pos, AttributeType.POSITION, AttributeDomain.POSITION)
+    return b.build()
+
+be = BatchEncoder(use_device="auto")
+be.encode_meshes_auto([grid(7, s) for s in range(20)])
+print(json.dumps(be.routing_log[-1]))
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ, TPUDRACO_ROUTE_CACHE=cache,
+               JAX_PLATFORMS="cpu")
+    r1 = subprocess.run([sys.executable, str(script)], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    first = json.loads(r1.stdout.strip().splitlines()[-1])
+    if first.get("reason") == "group cheaper than probe":
+        pytest.skip("host under probe threshold; nothing persisted")
+    r2 = subprocess.run([sys.executable, str(script)], env=env,
+                        capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    second = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert second["reason"] == "cached decision (disk)", second
+    assert second["plane"] == first["plane"]
