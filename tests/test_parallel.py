@@ -1414,3 +1414,56 @@ print(json.dumps(be.routing_log[-1]))
     second = json.loads(r2.stdout.strip().splitlines()[-1])
     assert second["reason"] == "cached decision (disk)", second
     assert second["plane"] == first["plane"]
+
+
+def test_lone_huge_mesh_measured_estimates(monkeypatch):
+    """Round-5: the static huge->device rule defers to measured
+    throughput estimates when both planes have data (hardware 2026-08-20:
+    warm host ~65 MB/s vs device-huge 6.6 — the static rule mis-routed).
+    Estimates come from in-process observations or the disk route cache;
+    the decision is recorded with both numbers."""
+    import tpudraco.parallel.batch as bm
+
+    mesh = _grid_mesh(40, 3)  # 1600 verts, "huge" under the lowered bar
+    monkeypatch.setattr(bm, "_device_link_healthy", lambda **kw: True)
+
+    # host observed much faster than device-huge -> routes host
+    be = BatchEncoder(use_device="auto")
+    be.CHUNKED_MIN_VERTS = 256
+    be._host_obs = [100e6, 1.0]       # 100 MB/s
+    be._huge_dev_obs = [10e6, 1.0]    # 10 MB/s
+    got = be.encode_meshes_auto([mesh])
+    assert bytes(got[0]) == bytes(encode(mesh))
+    entry = be.routing_log[-1]
+    assert entry["plane"] == "host"
+    assert entry["reason"].startswith("single mesh (measured")
+
+    # device observed faster -> routes device
+    be2 = BatchEncoder(use_device="auto")
+    be2.CHUNKED_MIN_VERTS = 256
+    be2._host_obs = [5e6, 1.0]
+    be2._huge_dev_obs = [50e6, 1.0]
+    got2 = be2.encode_meshes_auto([mesh])
+    assert bytes(got2[0]) == bytes(encode(mesh))
+    assert be2.routing_log[-1]["plane"] == "device"
+
+    # estimates persist: a fresh encoder sharing the disk cache sees them
+    import json as _json
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        cache = os.path.join(td, "routes.json")
+        be3 = BatchEncoder(use_device="auto", route_cache_path=cache)
+        be3.CHUNKED_MIN_VERTS = 256
+        be3._note_mbs("host", int(100e6), 1.0)
+        be3._note_mbs("huge_device", int(10e6), 1.0)
+        data = _json.load(open(cache))
+        keys = set(data["entries"])
+        assert any(k.startswith("__mbs__|host|") for k in keys)
+        assert any(k.startswith("__mbs__|huge_device|") for k in keys)
+        be4 = BatchEncoder(use_device="auto", route_cache_path=cache)
+        be4.CHUNKED_MIN_VERTS = 256
+        got4 = be4.encode_meshes_auto([mesh])
+        assert bytes(got4[0]) == bytes(encode(mesh))
+        assert be4.routing_log[-1]["plane"] == "host"
+        assert be4.routing_log[-1]["reason"].startswith(
+            "single mesh (measured")

@@ -236,6 +236,13 @@ class BatchEncoder:
                                   if route_cache_path == "default"
                                   else (route_cache_path or None))
         self._route_disk: dict | None = None
+        # opportunistic throughput observations (raw position bytes /
+        # wall seconds) feeding the lone-huge-mesh decision: the round-4
+        # static "huge -> device" rule mis-routed once the native host
+        # plane got ~3x faster (hardware-measured 2026-08-20: device huge
+        # 6.6 MB/s vs warm host ~65 — a 10x gap the estimates exist to see)
+        self._host_obs = [0.0, 0.0]         # bytes, seconds on host
+        self._huge_dev_obs = [0.0, 0.0]     # bytes, seconds on device-huge
         self._topo_cache: dict[str, PreparedTopology] = {}
         # LRU over device-resident topology artifacts (gather arrays +
         # Pallas combo matrix): sig -> topo, most-recent last
@@ -555,19 +562,35 @@ class BatchEncoder:
                 # a lone mesh cannot be probed without doing the work
                 # twice: huge meshes take the resident device path
                 # (chunked streaming beyond RESIDENT_MAX_VERTS), the
-                # rest stay host — UNLESS a tiny link probe says the
-                # tunnel is degraded (observed phases: 70+ s for a
-                # sub-MB readback), where the static device rule would
-                # turn into a multi-minute stall the host finishes in
-                # seconds
+                # rest stay host — UNLESS either (a) measured throughput
+                # estimates (this process or the disk cache) say the warm
+                # host plane is faster (hardware 2026-08-20: host ~65 vs
+                # device-huge 6.6 MB/s — the static rule predates the
+                # native host plane), or (b) a tiny link probe says the
+                # tunnel is degraded (observed phases: 70+ s per sub-MB
+                # readback), where the static rule would turn into a
+                # multi-minute stall the host finishes in seconds
                 huge = v >= (self.CHUNKED_MIN_VERTS << 2)
                 reason = "single mesh (static)"
-                if huge and not _device_link_healthy():
-                    huge = False
-                    reason = "single mesh (link degraded)"
-                out[idxs[0]] = (self._encode_huge_safe(meshes[idxs[0]])
-                                if huge else
-                                self._encode_one_safe(meshes[idxs[0]]))
+                if huge:
+                    est_h = self._mbs_estimate("host")
+                    est_d = self._mbs_estimate("huge_device")
+                    if est_h and est_d:
+                        huge = est_d > est_h
+                        reason = (f"single mesh (measured: device "
+                                  f"{est_d:.1f} vs host {est_h:.1f} MB/s)")
+                    elif not _device_link_healthy():
+                        huge = False
+                        reason = "single mesh (link degraded)"
+                m = meshes[idxs[0]]
+                nbytes = int(m.position_attribute().values.nbytes)
+                t0 = time.perf_counter()
+                out[idxs[0]] = (self._encode_huge_safe(m) if huge
+                                else self._encode_one_safe(m))
+                dt = time.perf_counter() - t0
+                if out[idxs[0]] is not None and dt > 0:
+                    self._note_mbs("huge_device" if huge else "host",
+                                   nbytes, dt)
                 entry.update(plane="device" if huge else "host",
                              reason=reason)
                 self.routing_log.append(entry)
@@ -619,6 +642,10 @@ class BatchEncoder:
             for i in idxs[:k]:
                 out[i] = self._encode_one_safe(meshes[i])
             th = (time.perf_counter() - t0) / k
+            self._note_mbs(
+                "host",
+                k * int(meshes[idxs[0]].position_attribute().values.nbytes),
+                th * k)
             if th * (n - k) < self.PROBE_SKIP_S:
                 # the whole group costs less on host than a device probe's
                 # fixed dispatch+readback overhead could ever recoup
@@ -717,6 +744,42 @@ class BatchEncoder:
             self._route_disk = entries
         except Exception:
             pass
+
+    def _note_mbs(self, kind: str, nbytes: int, seconds: float) -> None:
+        """Accumulate a throughput observation (raw position bytes / wall
+        seconds) and persist it once enough data exists to be meaningful.
+        kind: "host" (any host-plane encode) or "huge_device" (the
+        resident/chunked lone-huge route)."""
+        obs = self._host_obs if kind == "host" else self._huge_dev_obs
+        obs[0] += float(nbytes)
+        obs[1] += float(seconds)
+        if obs[0] >= 1e6 and obs[1] > 0.05 and self._route_cache_path:
+            try:
+                entries = dict(self._route_cache_load())
+                entries[f"__mbs__|{kind}|{_route_link_bucket()}"] = {
+                    "mbs": round(obs[0] / obs[1] / 1e6, 2),
+                    "ts": time.time()}
+                p = self._route_cache_path
+                os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+                tmp = f"{p}.tmp{os.getpid()}"
+                with open(tmp, "w") as f:
+                    json.dump({"v": 1, "entries": entries}, f)
+                os.replace(tmp, p)
+                self._route_disk = entries
+            except Exception:
+                pass
+
+    def _mbs_estimate(self, kind: str) -> float | None:
+        """In-process observation first (same window beats any cache),
+        then the TTL'd disk record for the current link bucket."""
+        obs = self._host_obs if kind == "host" else self._huge_dev_obs
+        if obs[0] >= 1e6 and obs[1] > 0.05:
+            return obs[0] / obs[1] / 1e6
+        e = self._route_cache_load().get(
+            f"__mbs__|{kind}|{_route_link_bucket()}")
+        if e and e.get("mbs"):
+            return float(e["mbs"])
+        return None
 
     def _encode_one_safe(self, mesh: Mesh) -> bytes | None:
         try:
