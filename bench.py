@@ -669,12 +669,18 @@ def bench_corpus_tunnel_down(err: str):
     return res
 
 
-def _probe_backend(timeout_s: float = 180.0) -> str | None:
+def _probe_backend(timeout_s: float = 180.0, attempts: int = 2) -> str | None:
     """Confirm the accelerator answers a trivial round-trip before the
     benchmarks start. The axon tunnel can die outright (observed:
     jax.devices() blocks forever) — a hung bench leaves the driver with
     NO result line, so probe in a subprocess with a hard timeout and
-    report the failure as JSON instead."""
+    report the failure as JSON instead.
+
+    Probes RETRY once: a cold/idle tunnel's first handshake can exceed
+    the timeout while the attempt itself warms it (observed twice on
+    2026-08-20: the first bench of a healthy window timed out at 180 s,
+    the next invocation 3 minutes later probed instantly). One retry
+    turns that false negative into a captured number."""
     import subprocess
     import sys
 
@@ -686,15 +692,19 @@ def _probe_backend(timeout_s: float = 180.0) -> str | None:
     code = ("import jax, numpy as np, jax.numpy as jnp;"
             "np.asarray(jnp.ones((8, 128)) * 2);"
             "print(jax.default_backend())")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-        if r.returncode == 0:
-            return None
-        return f"backend probe failed: {r.stderr.strip()[-200:]}"
-    except subprocess.TimeoutExpired:
-        return f"backend unreachable (probe timed out after {timeout_s}s)"
+    err = "backend probe never ran"
+    for k in range(max(attempts, 1)):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                return None
+            err = f"backend probe failed: {r.stderr.strip()[-200:]}"
+        except subprocess.TimeoutExpired:
+            err = (f"backend unreachable (probe timed out after "
+                   f"{timeout_s}s, attempt {k + 1}/{attempts})")
+    return err
 
 
 def main():
