@@ -33,7 +33,10 @@ CONFIGS = {"standard": {}, "valence": {"traversal": 2},
            # 4; AttributeType.NORMAL == 1 as a plain dict key) and the
            # prediction-degree traversal (wire TraversalType=1)
            "orthogonal": {"transform": {1: 4}},
-           "preddeg": {"attribute_traversal": "prediction-degree"}}
+           "preddeg": {"attribute_traversal": "prediction-degree"},
+           # round-5 mode: predictive edgebreaker (EdgebreakerKind=1,
+           # order-1 previous-symbol context rANS)
+           "predictive": {"traversal": 1}}
 
 
 def _digest(name: str, cfg_kwargs: dict) -> tuple[str, int]:

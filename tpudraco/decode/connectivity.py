@@ -17,7 +17,8 @@ import numpy as np
 from ..entropy.rans import RabsDecoder
 from ..entropy.symbol_coding import decode_symbols
 from ..models.corner_table import NONE, next_corner
-from ..shared.clers import EB_STANDARD, EB_VALENCE, ORIENTATION_RIGHT, crlight_decode
+from ..shared.clers import (EB_PREDICTIVE, EB_STANDARD, EB_VALENCE,
+                            ORIENTATION_RIGHT, crlight_decode)
 from ..shared.spirale import (
     NUM_VALENCE_CONTEXTS, DecodedCornerTable, DecodeError,
     spirale_reversi_core, valence_context,
@@ -41,7 +42,7 @@ class ConnectivityDecodeResult:
 
 def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
     traversal_kind = reader.read_u8()
-    if traversal_kind not in (EB_STANDARD, EB_VALENCE):
+    if traversal_kind not in (EB_STANDARD, EB_VALENCE, EB_PREDICTIVE):
         raise DecodeError(f"unsupported edgebreaker kind {traversal_kind}")
     num_vertices = leb128_read(reader)
     num_faces = leb128_read(reader)
@@ -107,6 +108,58 @@ def decode_connectivity(reader: ByteReader) -> ConnectivityDecodeResult:
                 ct, nat["active_stack"], nat["invalid_vertices"],
                 nat["num_decoded_faces"], num_faces, num_symbols,
                 num_att_data, start_face_prob_zero, sf_bytes, seam_streams)
+    elif traversal_kind == EB_PREDICTIVE:
+        # Predictive layout (EdgebreakerKind=1; the reference declares the
+        # variant but ships no semantics — mod.rs:20-53): start-face flags
+        # and seams as Standard, then SIX direct-coded symbol streams, one
+        # per order-1 context (previous decoded symbol; context 5 seeds).
+        # The context chain depends only on the symbols themselves, so the
+        # whole decode-order sequence reconstructs here with no topology
+        # state and feeds the native Spirale core like Standard's path.
+        start_face_prob_zero = reader.read_u8()
+        sf_size = leb128_read(reader)
+        sf_bytes = reader.read_bytes(sf_size)
+        seam_streams = _read_seam_streams(reader, num_att_data)
+        pqueues: list[deque] = []
+        for _ in range(6):
+            n = leb128_read(reader)
+            if n > cap:
+                raise DecodeError("predictive stream count exceeds "
+                                  "stream size (corrupt header)")
+            pqueues.append(deque(decode_symbols(n, 1, reader).tolist())
+                           if n else deque())
+        syms_list: list[int] = []
+        prev = 5
+        for _ in range(num_symbols):
+            if not pqueues[prev]:
+                raise DecodeError(f"predictive context {prev} exhausted")
+            s = int(pqueues[prev].popleft())
+            if s > 4:
+                raise DecodeError(f"invalid CLERS symbol {s}")
+            syms_list.append(s)
+            prev = s
+        if any(pqueues):
+            raise DecodeError("trailing symbols in predictive streams")
+
+        from ..native import topo as _topo
+        nat = _topo.spirale(np.asarray(syms_list, dtype=np.int32),
+                            num_split_symbols, num_vertices, num_faces,
+                            splits)
+        if nat is not None:
+            ct = DecodedCornerTable(num_faces)
+            ct.opposite = nat["opposite"]
+            ct.corner_to_vertex = nat["corner_to_vertex"]
+            ct.num_vertices = nat["num_vertices"]
+            ct.left_most = nat["left_most"][:ct.num_vertices].tolist()
+            return _finish_connectivity(
+                ct, nat["active_stack"], nat["invalid_vertices"],
+                nat["num_decoded_faces"], num_faces, num_symbols,
+                num_att_data, start_face_prob_zero, sf_bytes, seam_streams)
+
+        sym_iter = iter(syms_list)
+
+        def get_symbol(ct, active_stack, symbol_id):
+            return next(sym_iter)
     else:
         # Valence layout: start-face flags, seams, then per-context
         # direct-coded symbol streams (decode order)

@@ -85,7 +85,9 @@ class Config:
         from ..shared.clers import EB_STANDARD
         offending = []
         if self.traversal != EB_STANDARD:
-            offending.append("valence traversal (tpudraco dialect)")
+            offending.append("non-standard edgebreaker traversal "
+                             "(valence/predictive are tpudraco dialects; "
+                             "the reference only emits Standard)")
         if self.symbol_coding != "direct":
             offending.append(
                 f"symbol_coding={self.symbol_coding!r} (reference emits "

@@ -19,7 +19,8 @@ from ..models.corner_table import (
     next_corner, next_corners, prev_corner, prev_corners,
 )
 from ..shared.clers import (
-    C, CRLIGHT_CODES, E, EB_STANDARD, EB_VALENCE, L, ORIENTATION_LEFT,
+    C, CRLIGHT_CODES, E, EB_PREDICTIVE, EB_STANDARD, EB_VALENCE, L,
+    ORIENTATION_LEFT,
     ORIENTATION_RIGHT, R, S,
 )
 from ..shared.spirale import (
@@ -89,7 +90,7 @@ class EdgebreakerEncoder:
     def __init__(self, faces: np.ndarray, attributes: list[Attribute],
                  traversal: int = EB_STANDARD,
                  single_connectivity: bool = False) -> None:
-        if traversal not in (EB_STANDARD, EB_VALENCE):
+        if traversal not in (EB_STANDARD, EB_VALENCE, EB_PREDICTIVE):
             raise EdgebreakerError(f"unsupported traversal kind {traversal}")
         self.traversal_kind = traversal
         if single_connectivity:
@@ -296,6 +297,8 @@ class EdgebreakerEncoder:
         self._encode_topology_splits(writer)
         if self.traversal_kind == EB_VALENCE:
             self._encode_valence_traversal(writer)
+        elif self.traversal_kind == EB_PREDICTIVE:
+            self._encode_predictive_traversal(writer)
         else:
             self._encode_traversal(writer)
 
@@ -375,6 +378,39 @@ class EdgebreakerEncoder:
                                  self.ct.num_vertices,
                                  splits_copy, get_symbol)
 
+        for q in queues:
+            leb128_write(len(q), writer)
+            if q:
+                encode_symbols(np.asarray(q, dtype=np.uint64), 1,
+                               DIRECT_CODED, writer)
+
+    def _encode_predictive_traversal(self, writer) -> None:
+        """Predictive traversal body (EdgebreakerKind=1): start-face and
+        seam flags exactly as Standard, then the CLERS symbols coded with
+        an order-1 context model — each symbol rides the rANS stream
+        selected by the PREVIOUS decoded symbol (a sixth context seeds the
+        chain), one direct-coded stream per context, written in decode
+        order.
+
+        The reference declares the Predictive variant but gives it no
+        semantics or code at all (shared/connectivity/edgebreaker/
+        mod.rs:20-53 — enum + wire byte only); this dialect defines it as
+        the natural context-model coder: the previous symbol strongly
+        predicts the next (C runs on regular interiors, R chains along
+        strips), so per-context adaptive tables beat CrLight's fixed
+        1/3-bit code on most meshes. Unlike Valence, the context chain
+        depends only on the symbol sequence itself — the decoder
+        pre-decodes all six streams, replays the chain with no
+        reconstruction state, and feeds the whole sequence to the native
+        Spirale core (decode/connectivity.py)."""
+        self._encode_start_faces(writer)
+        self._encode_seams(writer)
+        rev = list(reversed(self.symbols))  # decode order
+        queues: list[list[int]] = [[] for _ in range(6)]
+        prev = 5  # start context
+        for s in rev:
+            queues[prev].append(int(s))
+            prev = int(s)
         for q in queues:
             leb128_write(len(q), writer)
             if q:

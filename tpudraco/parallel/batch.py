@@ -36,13 +36,16 @@ class PreparedTopology:
     connectivity byte blob, the corner tables, and per-attribute traversal
     sequences."""
 
-    def __init__(self, mesh: Mesh) -> None:
+    def __init__(self, mesh: Mesh, traversal: int = 0,
+                 single_connectivity: bool = False) -> None:
         from ..encode.connectivity import EdgebreakerEncoder
         from ..shared.sequencer import compute_sequence
 
         self.signature = topology_signature(mesh)
         w = ByteWriter()
-        eb = EdgebreakerEncoder(mesh.faces, mesh.attributes)
+        eb = EdgebreakerEncoder(mesh.faces, mesh.attributes,
+                                traversal=traversal,
+                                single_connectivity=single_connectivity)
         self.conn_out = eb.encode(w)
         self.conn_bytes = w.getvalue()
         self.sequences: dict[int, list[int]] = {}
@@ -280,10 +283,22 @@ class BatchEncoder:
     def encode_mesh(self, mesh: Mesh, cfg: Config | None = None) -> bytes:
         cfg = cfg if cfg is not None else self.cfg
         sig = topology_signature(mesh)
-        topo = self._topo_cache.get(sig)
+        # the prepared connectivity bytes bake the traversal kind and the
+        # single-connectivity vertex space — key the cache on them (a
+        # valence/predictive/single-conn cfg previously reused STANDARD
+        # connectivity silently, round-5 regression test)
+        key = sig
+        if cfg is not None and (cfg.traversal
+                                or cfg.use_single_connectivity):
+            key = (sig, cfg.traversal, cfg.use_single_connectivity)
+        topo = self._topo_cache.get(key)
         if topo is None:
-            topo = PreparedTopology(mesh)
-            self._topo_cache[sig] = topo
+            topo = PreparedTopology(
+                mesh,
+                traversal=cfg.traversal if cfg is not None else 0,
+                single_connectivity=bool(cfg.use_single_connectivity)
+                if cfg is not None else False)
+            self._topo_cache[key] = topo
         return encode_with_topology(mesh, topo, cfg=cfg)
 
     # fixed device batch width: jit compiles once per (topology, CHUNK)

@@ -81,6 +81,7 @@ def _size_table_configs():
             AttributeType.TEX_COORD: PRED_DERIVATIVE})),
         ("orthogonal", Config(transform={AttributeType.NORMAL: 4})),
         ("pred-degree", Config(attribute_traversal="prediction-degree")),
+        ("predictive-eb", Config(traversal=1)),
     ]
 
 

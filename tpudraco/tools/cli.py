@@ -24,7 +24,7 @@ def _build_config(args):
     directions since absent flags are None)."""
     from ..encode import METHOD_EDGEBREAKER, METHOD_SEQUENTIAL, Config
     from ..models import AttributeType
-    from ..shared.clers import EB_STANDARD, EB_VALENCE
+    from ..shared.clers import EB_PREDICTIVE, EB_STANDARD, EB_VALENCE
     from ..shared.prediction import (PRED_DERIVATIVE,
                                      PRED_MULTI_PARALLELOGRAM)
 
@@ -56,8 +56,9 @@ def _build_config(args):
         cfg = Config.from_level(args.compression_level)
         cfg.quant_bits = quant_bits
         if args.traversal is not None:
-            cfg.traversal = (EB_VALENCE if args.traversal == "valence"
-                             else EB_STANDARD)
+            cfg.traversal = {"standard": EB_STANDARD,
+                             "valence": EB_VALENCE,
+                             "predictive": EB_PREDICTIVE}[args.traversal]
         if args.method is not None:
             cfg.encoder_method = (METHOD_SEQUENTIAL
                                   if args.method == "sequential"
@@ -73,8 +74,9 @@ def _build_config(args):
     else:
         prediction = dict(_PREDICTION_CHOICES[args.prediction or "default"])
         transform = dict(_TRANSFORM_CHOICES[args.transform or "default"])
-        cfg = Config(traversal=EB_VALENCE if args.traversal == "valence"
-                     else EB_STANDARD,
+        cfg = Config(traversal={"valence": EB_VALENCE,
+                                "predictive": EB_PREDICTIVE}.get(
+                         args.traversal or "standard", EB_STANDARD),
                      encoder_method=METHOD_SEQUENTIAL
                      if args.method == "sequential"
                      else METHOD_EDGEBREAKER,
@@ -98,13 +100,18 @@ def main(argv=None) -> int:
                    help="glTF -> draco-compressed glTF")
     p.add_argument("--eval", dest="eval_json", default=None,
                    help="write per-stage metrics JSON to this path")
-    p.add_argument("--traversal", choices=("standard", "valence"),
+    p.add_argument("--traversal",
+                   choices=("standard", "valence", "predictive"),
                    default=None,
-                   help="edgebreaker symbol coding (valence wins on large "
-                        "regular meshes). WARNING: 'valence' is a "
-                        "tpudraco-specific dialect — the reference's "
-                        "valence coder is bit-rotted, so there is no "
-                        "cross-codec oracle; valence streams decode only "
+                   help="edgebreaker symbol coding: 'valence' (per-context "
+                        "rANS by attach-vertex valence; smallest on large "
+                        "regular meshes) or 'predictive' (EdgebreakerKind=1 "
+                        "— order-1 previous-symbol context rANS; the "
+                        "reference declares the variant with no code). "
+                        "WARNING: both are tpudraco-specific dialects — "
+                        "the reference's valence coder is bit-rotted and "
+                        "its predictive kind is an enum only, so there is "
+                        "no cross-codec oracle; such streams decode only "
                         "with this tool (standard is Draco v2.2)")
     p.add_argument("--khr-ids", choices=("unique", "reference"),
                    default="unique",
