@@ -1,0 +1,106 @@
+"""Phased device decode-normals (round 5): grouped decode defers NORMAL
+chains and batches them on the accelerator (positions first, then one
+ring-predict + inverse-transform batch). The hardware experiment measured
+5.2x vs the host marginal at 128 blobs (BASELINE.md); these tests pin the
+bit-exactness contract and the failure isolation."""
+
+import numpy as np
+import pytest
+
+from tpudraco.encode import Config, encode
+from tpudraco.decode import decode
+from tpudraco.models.attribute import AttributeType
+from tpudraco.parallel.decode_batch import BatchDecoder
+
+from tests.test_parallel import _grid_mesh, _grid_mesh_with_normals
+
+
+def _assert_equal(got, ref):
+    assert got is not None
+    assert len(got.attributes) == len(ref.attributes)
+    for ga, ra in zip(got.attributes, ref.attributes):
+        assert np.array_equal(ga.values_per_point(), ra.values_per_point())
+
+
+@pytest.mark.parametrize("mode", ["host", "device", "auto"])
+def test_phased_normals_bit_exact(mode):
+    """Textured grids (CORNER-domain normals -> real seams): every mode
+    must equal per-blob decode()."""
+    meshes = [_grid_mesh_with_normals(9, s) for s in range(20)]
+    blobs = [encode(m) for m in meshes]
+    ref = [decode(b) for b in blobs]
+    got = BatchDecoder().decode_blobs_shared_topology(blobs, normals=mode)
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)
+
+
+def test_phased_normals_with_device_entropy_and_depths():
+    meshes = [_grid_mesh_with_normals(9, s) for s in range(16)]
+    for qn in (7, 12, 16):
+        cfg = Config(quant_bits={AttributeType.NORMAL: qn})
+        blobs = [encode(m, cfg=cfg) for m in meshes]
+        ref = [decode(b) for b in blobs]
+        got = BatchDecoder().decode_blobs_shared_topology(
+            blobs, entropy="device", normals="device")
+        for g, r in zip(got, ref):
+            _assert_equal(g, r)
+
+
+def test_phased_normals_device_failure_refills_host(monkeypatch):
+    """A device-chain failure must refill the affected blobs from the
+    host path, bit-exactly, without poisoning the group."""
+    import tpudraco.parallel.decode_batch as db
+
+    meshes = [_grid_mesh_with_normals(8, s) for s in range(6)]
+    blobs = [encode(m) for m in meshes]
+    ref = [decode(b) for b in blobs]
+
+    def boom(conn, deferred):
+        return {bi for bi, _, _, _ in deferred}
+
+    monkeypatch.setattr(db.BatchDecoder, "_fill_deferred_normals",
+                        staticmethod(boom))
+    got = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      normals="device")
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)
+
+
+def test_phased_auto_threshold():
+    """auto engages the phased path only at PHASED_NORMALS_MIN_BLOBS+
+    blobs (below it the dispatch overhead loses) — and bytes stay equal
+    on both sides of the threshold."""
+    bd = BatchDecoder()
+    small = [encode(_grid_mesh_with_normals(8, s)) for s in range(4)]
+    large = [encode(_grid_mesh_with_normals(8, s))
+             for s in range(bd.PHASED_NORMALS_MIN_BLOBS)]
+    for blobs in (small, large):
+        ref = [decode(b) for b in blobs]
+        got = bd.decode_blobs_shared_topology(blobs, normals="auto")
+        for g, r in zip(got, ref):
+            _assert_equal(g, r)
+
+
+def test_phased_ignores_normal_free_groups():
+    """Position-only groups must pass through the phased gate untouched."""
+    meshes = [_grid_mesh(8, s) for s in range(20)]
+    blobs = [encode(m) for m in meshes]
+    ref = [decode(b) for b in blobs]
+    got = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      normals="device")
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)
+
+
+def test_phased_normals_opt_in_transforms_stay_host():
+    """Opt-in transforms (OctReflection / Orthogonal) are not deferred —
+    the scalar/vectorized host chains handle them and bytes stay equal."""
+    meshes = [_grid_mesh_with_normals(8, s) for s in range(18)]
+    for xf in (2, 4):
+        cfg = Config(transform={AttributeType.NORMAL: xf})
+        blobs = [encode(m, cfg=cfg) for m in meshes]
+        ref = [decode(b) for b in blobs]
+        got = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                          normals="device")
+        for g, r in zip(got, ref):
+            _assert_equal(g, r)

@@ -135,14 +135,24 @@ class DecodedAttribute:
 def decode_attributes(reader: ByteReader,
                       conn: ConnectivityDecodeResult,
                       symbol_source=None,
-                      collect_only: bool = False) -> list:
+                      collect_only: bool = False,
+                      normal_collector=None) -> list:
     """``symbol_source(att_idx, num_symbols, num_components, reader)``
     optionally replaces the host symbol decoder per attribute — it must
     CONSUME the symbol stream from ``reader`` and return the (num_values,
     n) symbol array (device batch path) or, with ``collect_only``, may
     return None after recording the stream: the reconstruction chains are
     then skipped and the entry in the result list is None (the stream-
-    collection phase of BatchDecoder's device path)."""
+    collection phase of BatchDecoder's device path).
+
+    ``normal_collector(att_idx, da, payload)`` optionally DEFERS the
+    NORMAL reconstruction chain (phased batch decode): when a normal
+    attribute has the default OctOrthogonal shape, its DecodedAttribute
+    is returned with values_by_vertex=None and the chain inputs (symbols,
+    flips, view, sequence, position parent, metadata) in ``payload`` —
+    the caller batches the chains across blobs on device and fills the
+    values (parallel/decode_batch.py). Normals never parent another
+    attribute, so deferral cannot starve a dependent chain."""
     num_atts = reader.read_u8()
     headers = []
     for _ in range(num_atts):
@@ -206,7 +216,8 @@ def decode_attributes(reader: ByteReader,
 
         da = _decode_one(reader, h, view, conn, decoded,
                          att_idx=i, symbol_source=symbol_source,
-                         collect_only=collect_only, sequence=seq)
+                         collect_only=collect_only, sequence=seq,
+                         normal_collector=normal_collector)
         decoded.append(da)
         if da is not None:
             parent_candidates[h["att_type"]] = da
@@ -217,7 +228,7 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
                 conn: ConnectivityDecodeResult,
                 decoded_so_far: list, att_idx: int = 0,
                 symbol_source=None, collect_only: bool = False,
-                sequence=None):
+                sequence=None, normal_collector=None):
     scheme_id = reader.read_u8()
     xform_id = reader.read_u8()
 
@@ -292,6 +303,25 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
             symbols.astype(np.uint64),
             1 if scheme_id == PRED_PARALLELOGRAM else 0, xform_id,
             xmeta.get("min", 0), xmeta.get("max", 0), view.num_vertices)
+
+    if (values_by_vertex is None and normal_collector is not None
+            and scheme_id == PRED_NORMAL and parents and flips is not None
+            and xform_id == XFORM_OCT_ORTHOGONAL and symbols is not None):
+        # phased batch decode: hand the chain inputs to the caller and
+        # return the attribute with values to be filled after the batched
+        # device pass (decode_attributes docstring)
+        actv = (view.actv if view.actv is not None
+                else np.asarray(view.ct.corner_to_vertex))
+        da = DecodedAttribute(
+            h["att_type"], AttributeDomain(h["domain"]),
+            h["component_type"], h["num_components"], h["unique_id"],
+            None, np.asarray(actv), quantized_by_vertex=None)
+        normal_collector(att_idx, da, {
+            "symbols": symbols, "flips": flips,
+            "max_q": xmeta.get("max_q", 255), "h": h,
+            "port_meta": port_meta, "view": view, "sequence": sequence,
+            "pos": parents[0]})
+        return da
 
     if (values_by_vertex is None and scheme_id == PRED_NORMAL and parents
             and flips is not None and xform_id in (

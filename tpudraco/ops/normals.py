@@ -135,25 +135,11 @@ def _trunc_div(a, b):
     return jnp.sign(a) * (jnp.abs(a) // jnp.maximum(jnp.abs(b), 1))
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
-def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
-                        uo_point_pos, uo_point_nrm, bits: int = 8):
-    """Batched device encode of a NORMAL attribute.
-
-    q_pos:    (B, Vp, 3) int32 quantized positions (unique values)
-    normals:  (B, Vn, 3) float32 normal values (unique values)
-    tip_pt/next_pt/prev_pt/mask: ring precompute (collect_normal_rings)
-    uo_point_pos / uo_point_nrm: (P,) point -> unique-value index maps
-    bits: octahedral depth (-qn, 7..16); every stage — quantization,
-          prediction, faithful fixups, squeeze — runs at this depth,
-          matching the host chain with Config.quant_bits[NORMAL]=bits.
-
-    Returns (symbols (B, T, 2) int32, flips (B, T) bool).
-    """
-    # per-point gathers resolved to unique-value rows
-    tip_i = uo_point_pos[tip_pt]           # (T,)
-    next_i = uo_point_pos[next_pt]         # (T, R)
-    prev_i = uo_point_pos[prev_pt]
+def _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits: int):
+    """Ring-sum normal prediction from quantized positions: (B, T, 2)
+    faithful oct-quantized predictions + the nonzero-ring mask. The exact
+    compute both directions share — the encoder's prediction and the
+    decoder's (which re-predicts from the already-decoded positions)."""
     pos_tip = q_pos[:, tip_i, :]           # (B, T, 3)
     pn = q_pos[:, next_i, :] - pos_tip[:, :, None, :]   # (B, T, R, 3)
     pp = q_pos[:, prev_i, :] - pos_tip[:, :, None, :]
@@ -180,6 +166,29 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     quant = (oct * jnp.float32((1 << (bits - 1)) - 1)).astype(jnp.int32)
     pred = into_faithful_device(quant, bits)
     pred = jnp.where(nonzero[..., None], pred, 0)       # (B, T, 2)
+    return pred, nonzero
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
+                        uo_point_pos, uo_point_nrm, bits: int = 8):
+    """Batched device encode of a NORMAL attribute.
+
+    q_pos:    (B, Vp, 3) int32 quantized positions (unique values)
+    normals:  (B, Vn, 3) float32 normal values (unique values)
+    tip_pt/next_pt/prev_pt/mask: ring precompute (collect_normal_rings)
+    uo_point_pos / uo_point_nrm: (P,) point -> unique-value index maps
+    bits: octahedral depth (-qn, 7..16); every stage — quantization,
+          prediction, faithful fixups, squeeze — runs at this depth,
+          matching the host chain with Config.quant_bits[NORMAL]=bits.
+
+    Returns (symbols (B, T, 2) int32, flips (B, T) bool).
+    """
+    # per-point gathers resolved to unique-value rows
+    tip_i = uo_point_pos[tip_pt]           # (T,)
+    next_i = uo_point_pos[next_pt]         # (T, R)
+    prev_i = uo_point_pos[prev_pt]
+    pred, nonzero = _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits)
 
     # orig values: oct-quantize the normals, faithful fixups, traversal
     # gather (portabilization + per_point[pts] in the host path)
@@ -222,3 +231,72 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     corr = o - p
     corr = jnp.where(corr < 0, corr + mx, corr)
     return corr.astype(jnp.int32), flips
+
+
+def invert_diamond_inverse_device(w: jnp.ndarray,
+                                  center: int = 127) -> jnp.ndarray:
+    """Exact diamond-inversion preimage, batched on device: evaluate the
+    five candidate preimages, forward-map them, take the first that maps
+    back to ``w`` (shared/octahedral.py invert_diamond_inverse_batched —
+    same preference order, so values are bit-identical)."""
+    w = w.astype(jnp.int32)
+    w0, w1 = w[..., 0], w[..., 1]
+    cands = jnp.stack([
+        invert_diamond_device(w, center),
+        jnp.stack([center - w1, center - w0], axis=-1),
+        jnp.stack([-w1 - center, -w0 - center], axis=-1),
+        jnp.stack([w1 + center, w0 - center], axis=-1),
+        jnp.stack([w1 - center, w0 + center], axis=-1),
+    ])                                                   # (5, ..., 2)
+    ok = (invert_diamond_device(cands, center) == w[None]).all(-1)
+    first = jnp.argmax(ok, axis=0)  # 0 when none match == host fallback
+    return jnp.take_along_axis(
+        cands, first[None, ..., None].astype(jnp.int32), axis=0)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def normal_decode_chain(q_pos, symbols, flips, tip_i, next_i, prev_i,
+                        mask, bits: int = 8):
+    """Batched device DECODE of a NORMAL attribute (the phased decoder's
+    second phase): re-predict from the already-decoded positions with the
+    exact encoder ring compute (_ring_predict), apply the wire flips,
+    then invert the OctOrthogonal residual — the device mirror of
+    decode/attribute.py _decode_normals_vectorized, integer-exact (pinned
+    by grouped-vs-per-blob byte equality tests).
+
+    q_pos:   (B, Vp, 3) int32 decoded quantized positions (by vertex)
+    symbols: (B, T, 2) int32 residual symbols (decode order)
+    flips:   (B, T) bool wire flip bits
+    tip_i/next_i/prev_i/mask: ring rows into q_pos (corner -> vertex
+    resolved on host)
+
+    Returns (B, T, 2) int32 decoded oct values along the traversal.
+    """
+    pred, _ = _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits)
+    pred = jnp.where(flips[..., None], -pred, pred)
+
+    mx = (1 << bits) - 1
+    one = mx // 2
+    corr = symbols.astype(jnp.int32)
+    p = pred - one
+    flip = jnp.abs(p).sum(-1) > one
+    p = jnp.where(flip[..., None], invert_diamond_device(p, one), p)
+
+    rots = [p]
+    for _ in range(3):
+        q = rots[-1]
+        rots.append(jnp.stack([-q[..., 1], q[..., 0]], axis=-1))
+    rots_s = jnp.stack(rots)                             # (4, B, T, 2)
+    in_q3 = (rots_s[..., 0] < 0) & (rots_s[..., 1] <= 0)
+    r = jnp.where(p.any(-1), jnp.argmax(in_q3, axis=0), 0)
+    r_idx = r[None, ..., None].astype(jnp.int32)
+    p_rot = jnp.take_along_axis(rots_s, r_idx, axis=0)[0]
+
+    o = ((p_rot + corr + one) % mx) - one
+    outs = [o]
+    for _ in range(3):
+        q = outs[-1]
+        outs.append(jnp.stack([q[..., 1], -q[..., 0]], axis=-1))
+    o = jnp.take_along_axis(jnp.stack(outs), r_idx, axis=0)[0]
+    o = jnp.where(flip[..., None], invert_diamond_inverse_device(o, one), o)
+    return (o + one).astype(jnp.int32)

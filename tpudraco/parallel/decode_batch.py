@@ -100,8 +100,15 @@ class BatchDecoder:
                 out.append(None)
         return out
 
+    # phased-normals auto threshold: below this many matching blobs the
+    # device dispatch overhead beats the host chains (the hardware
+    # experiment measured 5.2x at 128 blobs — benchmarks/
+    # decode_normals_phased.py, BASELINE.md round-5)
+    PHASED_NORMALS_MIN_BLOBS = 16
+
     def decode_blobs_shared_topology(self, blobs: list[bytes],
-                                     entropy: str = "host") -> list:
+                                     entropy: str = "host",
+                                     normals: str = "auto") -> list:
         """Batch decode for blobs produced from one topology group (the
         output of BatchEncoder.encode_meshes_device): the connectivity
         section is parsed and Spirale-reconstructed ONCE and reused for
@@ -111,8 +118,16 @@ class BatchDecoder:
 
         ``entropy="device"`` rANS-decodes every attribute symbol stream of
         the group as batched lanes on the accelerator (the decoder-side
-        mirror of encode_meshes_device(entropy="device")); the
-        prediction/dequantization chains stay on host."""
+        mirror of encode_meshes_device(entropy="device")).
+
+        ``normals``: "host" keeps the per-blob vectorized NORMAL chains;
+        "device" batches them across blobs on the accelerator (the PHASED
+        decode: positions first per blob, then all normal chains as one
+        ring-predict + inverse-transform batch — hardware-measured 5.2x
+        the host marginal at 128 blobs); "auto" picks device at
+        PHASED_NORMALS_MIN_BLOBS+ matching blobs. Bytes identical either
+        way (pinned by tests); any device failure refills from the host
+        path per blob."""
         from ..decode import _assemble_mesh, decode_header
         from ..decode.attribute import decode_attributes
         from ..decode.connectivity import decode_connectivity
@@ -134,26 +149,124 @@ class BatchDecoder:
             return self.decode_blobs(blobs)
 
         if entropy == "device":
-            return self._decode_shared_device(blobs, conn, conn_end, prefix)
+            return self._decode_shared_device(blobs, conn, conn_end, prefix,
+                                              normals=normals)
 
+        phased = (normals == "device"
+                  or (normals == "auto"
+                      and len(blobs) >= self.PHASED_NORMALS_MIN_BLOBS))
+        deferred: list = []       # (blob idx, att idx, da, payload)
+        pending: dict = {}        # blob idx -> decoded attribute list
         for i, blob in enumerate(blobs):
             try:
                 if bytes(blob[:conn_end]) != prefix:
                     out[i] = decode(blob)  # different topology: full path
                     continue
                 r = ByteReader(blob, pos=conn_end)
-                atts = decode_attributes(r, conn)
-                out[i] = _assemble_mesh(conn, atts)
+                if phased:
+                    collector = (lambda ai, da, pl, _i=i:
+                                 deferred.append((_i, ai, da, pl)))
+                    atts = decode_attributes(r, conn,
+                                             normal_collector=collector)
+                    pending[i] = atts
+                else:
+                    atts = decode_attributes(r, conn)
+                    out[i] = _assemble_mesh(conn, atts)
             except Exception:
+                deferred = [d for d in deferred if d[0] != i]
+                pending.pop(i, None)
                 out[i] = None
+        if pending:
+            failed = self._fill_deferred_normals(conn, deferred)
+            for i, atts in pending.items():
+                if i in failed:
+                    try:  # host refill keeps per-blob isolation
+                        out[i] = decode(blobs[i])
+                    except Exception:
+                        out[i] = None
+                    continue
+                try:
+                    out[i] = _assemble_mesh(conn, atts)
+                except Exception:
+                    out[i] = None
         return out
 
-    def _decode_shared_device(self, blobs, conn, conn_end, prefix) -> list:
+    @staticmethod
+    def _fill_deferred_normals(conn, deferred: list) -> set:
+        """Phase 2 of the phased decode: batch every deferred NORMAL chain
+        (same attribute slot, same topology) through the device ring
+        prediction + OctOrthogonal inverse (ops/normals.normal_decode_chain
+        — bit-identical to the host chain), then scatter, dequantize, and
+        fill each DecodedAttribute in place. Returns the blob indices that
+        must refill from the host path (empty on success)."""
+        if not deferred:
+            return set()
+        from ..decode.attribute import _deportabilize
+        from ..shared.prediction import collect_normal_rings
+
+        failed: set = set()
+        groups: dict = {}
+        for bi, ai, da, pl in deferred:
+            groups.setdefault((ai, int(pl["max_q"])), []).append(
+                (bi, da, pl))
+        for (ai, max_q), items in groups.items():
+            try:
+                import jax.numpy as jnp
+
+                from ..ops.normals import normal_decode_chain
+
+                pl0 = items[0][2]
+                view, seq = pl0["view"], pl0["sequence"]
+                bits = int(max_q).bit_length()  # max_q == 2^bits - 1
+                cache = getattr(conn, "_phased_rings", None)
+                if cache is None:
+                    cache = conn._phased_rings = {}
+                hit = cache.get(ai)
+                if hit is None:
+                    rings = collect_normal_rings(view, seq)
+                    row = np.asarray(pl0["pos"].da.vertex_of_corner,
+                                     dtype=np.int64)
+                    hit = cache[ai] = (
+                        jnp.asarray(row[rings["tip_pt"]]),
+                        jnp.asarray(row[rings["next_pt"]]),
+                        jnp.asarray(row[rings["prev_pt"]]),
+                        jnp.asarray(rings["mask"]))
+                tip_i, next_i, prev_i, mask = hit
+                T = len(seq)
+                q_pos = np.stack([
+                    np.asarray(pl["pos"].da.quantized_by_vertex,
+                               dtype=np.int32)
+                    for _, _, pl in items])
+                sym = np.stack([
+                    np.asarray(pl["symbols"][:T], dtype=np.int32)
+                    for _, _, pl in items])
+                fl = np.stack([
+                    np.asarray(pl["flips"][:T], dtype=bool)
+                    for _, _, pl in items])
+                vals = np.asarray(normal_decode_chain(
+                    jnp.asarray(q_pos), jnp.asarray(sym), jnp.asarray(fl),
+                    tip_i, next_i, prev_i, mask, bits=bits))
+                _opp, ctv, _lm = view.as_arrays()
+                rows = ctv[np.asarray(seq, dtype=np.int64)]
+                for b, (bi, da, pl) in enumerate(items):
+                    vbv = np.zeros((view.num_vertices, 2), dtype=np.int64)
+                    vbv[rows] = vals[b]
+                    da.quantized_by_vertex = vbv
+                    da.values_by_vertex = _deportabilize(
+                        vbv, pl["h"], pl["port_meta"])
+            except Exception:
+                failed.update(bi for bi, _, _ in items)
+        return failed
+
+    def _decode_shared_device(self, blobs, conn, conn_end, prefix,
+                              normals: str = "auto") -> list:
         """Three-phase device entropy decode: (A) one structural pass per
         blob collects every DirectCoded stream (table + payload bytes)
         without decoding, (B) all streams rANS-decode as device lanes
         grouped by precision, (C) a second pass injects the decoded
-        symbols into the reconstruction chains."""
+        symbols into the reconstruction chains (with the NORMAL chains
+        optionally deferred to the phased device batch, see
+        decode_blobs_shared_topology)."""
         from ..decode import _assemble_mesh
         from ..decode.attribute import decode_attributes
         from ..entropy.symbol_coding import parse_direct_coded_stream
@@ -199,6 +312,11 @@ class BatchDecoder:
                     out[i] = None
             return out
 
+        phased = (normals == "device"
+                  or (normals == "auto"
+                      and len(matching) >= self.PHASED_NORMALS_MIN_BLOBS))
+        deferred: list = []
+        pending: dict = {}
         for i in matching:
             try:
                 def inject(att_idx, n_sym, n, reader, _i=i):
@@ -207,10 +325,32 @@ class BatchDecoder:
                         np.uint64)
 
                 r = ByteReader(blobs[i], pos=conn_end)
-                atts = decode_attributes(r, conn, symbol_source=inject)
-                out[i] = _assemble_mesh(conn, atts)
+                if phased:
+                    collector = (lambda ai, da, pl, _i=i:
+                                 deferred.append((_i, ai, da, pl)))
+                    pending[i] = decode_attributes(
+                        r, conn, symbol_source=inject,
+                        normal_collector=collector)
+                else:
+                    atts = decode_attributes(r, conn, symbol_source=inject)
+                    out[i] = _assemble_mesh(conn, atts)
             except Exception:
+                deferred = [d for d in deferred if d[0] != i]
+                pending.pop(i, None)
                 out[i] = None
+        if pending:
+            failed = self._fill_deferred_normals(conn, deferred)
+            for i, atts in pending.items():
+                if i in failed:
+                    try:
+                        out[i] = decode(blobs[i])
+                    except Exception:
+                        out[i] = None
+                    continue
+                try:
+                    out[i] = _assemble_mesh(conn, atts)
+                except Exception:
+                    out[i] = None
         return out
 
     def decode_corpus(self, inputs: list[str], out_dir: str,
