@@ -97,8 +97,10 @@ def random_config(rng, has_extras):
         cfg.encoder_method = 0
         if rng.random() < 0.5:
             cfg.sequential_method = "compressed"
-    elif r < 0.35:
+    elif r < 0.30:
         cfg.traversal = 2  # valence
+    elif r < 0.40:
+        cfg.traversal = 1  # predictive (round-5 context-model coder)
     if rng.random() < 0.4:
         cfg.symbol_coding = str(rng.choice(["length", "auto"]))
     if rng.random() < 0.2 and cfg.encoder_method != 0:
@@ -120,7 +122,34 @@ def random_config(rng, has_extras):
     if rng.random() < 0.15 and cfg.encoder_method != 0:
         # round-4 knob: one corner table for all attributes
         cfg.use_single_connectivity = True
+    if rng.random() < 0.15 and cfg.encoder_method != 0:
+        # round-5 knob: normal residual-transform override (exact D4
+        # orthogonal / OctReflection)
+        cfg.transform = {AttributeType.NORMAL: int(rng.choice([4, 2]))}
+    if rng.random() < 0.15 and cfg.encoder_method != 0:
+        # round-5 knob: prediction-degree attribute traversal
+        cfg.attribute_traversal = "prediction-degree"
     return cfg
+
+
+def phased_decode_oracle(mesh, cfg):
+    """Grouped decode with device-batched normals must equal per-blob
+    decode() (the phased decoder, round 5): replicate the blob into a
+    group past the auto threshold and compare decoded values."""
+    from tpudraco.decode import decode
+    from tpudraco.parallel.decode_batch import BatchDecoder
+
+    blob = encode(mesh, cfg=cfg)
+    ref = decode(blob)
+    group = [blob] * 4
+    got = BatchDecoder().decode_blobs_shared_topology(group,
+                                                      normals="device")
+    for g in got:
+        assert g is not None, "phased decode dropped a blob"
+        for ga, ra in zip(g.attributes, ref.attributes):
+            assert np.array_equal(ga.values_per_point(),
+                                  ra.values_per_point()), \
+                "phased decode values diverge"
 
 
 def device_batch_oracle(rng, mesh, cfg):
@@ -175,6 +204,8 @@ def main():
             if trials % 10 == 0:
                 device_batch_oracle(rng, mesh, cfg)
                 dev_checks += 1
+            if trials % 7 == 3 and cfg.encoder_method != 0:
+                phased_decode_oracle(mesh, cfg)
         except Exception:
             fails += 1
             print(f"FAIL trial={trials} seed={seed} rng_state={state} "

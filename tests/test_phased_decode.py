@@ -104,3 +104,35 @@ def test_phased_normals_opt_in_transforms_stay_host():
                                                           normals="device")
         for g, r in zip(got, ref):
             _assert_equal(g, r)
+
+
+def test_ring_sum_overflow_at_deep_position_depth():
+    """Round-5 soak find: at deep -qp the ring-sum of cross products
+    exceeds int32, and the host clamps the UNWRAPPED int64 sum before
+    wrapping — the device chain used to sum in int32 (wrapping during
+    accumulation) and diverged on both the encode and the phased-decode
+    side. Pin both directions at -qp 18."""
+    from tpudraco.parallel import BatchEncoder
+
+    rng = np.random.RandomState(11)
+    meshes = []
+    for s in range(4):
+        m = _grid_mesh_with_normals(9, s)
+        # spread the positions so quantized diffs at -qp 18 push ring
+        # sums past 2^31
+        pos = m.attributes[0]
+        pos.values = (pos.values * np.float32(1e4)).astype(np.float32)
+        meshes.append(m)
+    cfg = Config(quant_bits={AttributeType.POSITION: 18})
+    blobs = [encode(m, cfg=cfg) for m in meshes]
+    # encode-side device chain byte oracle
+    got_e = BatchEncoder(use_device=True, strict_device=True,
+                         cfg=cfg).encode_meshes_device(meshes)
+    for b, w in zip(got_e, blobs):
+        assert bytes(b) == w
+    # phased decode value oracle
+    ref = [decode(b) for b in blobs]
+    got = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      normals="device")
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)

@@ -150,14 +150,24 @@ def _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits: int):
         pn[..., 0] * pp[..., 1] - pn[..., 1] * pp[..., 0],
     ], axis=-1)
     cr = jnp.where(mask[None, :, :, None], cr, 0)
-    total = cr.sum(axis=2).astype(jnp.int32)            # (B, T, 3)
+    # the ring SUM accumulates in int64 on the host (scalar + vectorized
+    # NormalPrediction) and the overflow clamp reads the UNWRAPPED sum —
+    # only afterwards does the host wrap to i32. Summing in int32 here
+    # diverged once deep position depths pushed ring sums past 2^31
+    # (round-5 soak, phased-decode oracle at -qp 18). Callers scope
+    # jax.enable_x64 so the int64 is real; without x64 this degrades to
+    # the old wrapped-sum behavior (identical whenever no clamp fires).
+    total64 = cr.astype(jnp.int64).sum(axis=2)          # (B, T, 3)
 
     upper = 1 << 29
-    abs_sum = jnp.abs(total).sum(axis=-1)               # (B, T)
+    abs_sum = jnp.abs(total64).sum(axis=-1)             # (B, T)
     big = abs_sum > upper
     qd = jnp.where(big, abs_sum // upper, 1)
-    total = jnp.where(big[..., None], _trunc_div(total, qd[..., None]),
-                      total)
+    total64 = jnp.where(big[..., None], _trunc_div(total64, qd[..., None]),
+                        total64)
+    # host wrap32 after the clamp (mesh_normal_prediction.rs wrap)
+    total = (((total64 + (1 << 31)) % (1 << 32)) - (1 << 31)).astype(
+        jnp.int32)
 
     nonzero = (total != 0).any(axis=-1)
     safe_total = jnp.where(nonzero[..., None], total,
@@ -169,9 +179,21 @@ def _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits: int):
     return pred, nonzero
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
 def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
                         uo_point_pos, uo_point_nrm, bits: int = 8):
+    """x64-scoped wrapper of the jitted chain: the ring-sum clamp needs a
+    real int64 (see _ring_predict); every compute dtype in the chain is
+    explicit, so enabling x64 changes no other op. Sharded callers
+    shard_map _normal_encode_chain_impl directly under their own x64
+    scope (parallel/batch.py)."""
+    with jax.enable_x64(True):
+        return _normal_encode_chain_jit(q_pos, normals, tip_pt, next_pt,
+                                        prev_pt, mask, uo_point_pos,
+                                        uo_point_nrm, bits=bits)
+
+
+def _normal_encode_chain_impl(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
+                              uo_point_pos, uo_point_nrm, bits: int = 8):
     """Batched device encode of a NORMAL attribute.
 
     q_pos:    (B, Vp, 3) int32 quantized positions (unique values)
@@ -233,6 +255,10 @@ def normal_encode_chain(q_pos, normals, tip_pt, next_pt, prev_pt, mask,
     return corr.astype(jnp.int32), flips
 
 
+_normal_encode_chain_jit = functools.partial(
+    jax.jit, static_argnames=("bits",))(_normal_encode_chain_impl)
+
+
 def invert_diamond_inverse_device(w: jnp.ndarray,
                                   center: int = 127) -> jnp.ndarray:
     """Exact diamond-inversion preimage, batched on device: evaluate the
@@ -254,9 +280,17 @@ def invert_diamond_inverse_device(w: jnp.ndarray,
         cands, first[None, ..., None].astype(jnp.int32), axis=0)[0]
 
 
-@functools.partial(jax.jit, static_argnames=("bits",))
 def normal_decode_chain(q_pos, symbols, flips, tip_i, next_i, prev_i,
                         mask, bits: int = 8):
+    """x64-scoped wrapper (see normal_encode_chain)."""
+    with jax.enable_x64(True):
+        return _normal_decode_chain_jit(q_pos, symbols, flips, tip_i,
+                                        next_i, prev_i, mask, bits=bits)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def _normal_decode_chain_jit(q_pos, symbols, flips, tip_i, next_i, prev_i,
+                             mask, bits: int = 8):
     """Batched device DECODE of a NORMAL attribute (the phased decoder's
     second phase): re-predict from the already-decoded positions with the
     exact encoder ring compute (_ring_predict), apply the wire flips,

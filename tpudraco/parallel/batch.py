@@ -1355,8 +1355,9 @@ def _device_extra_attribute_entries(meshes, idxs, topo: PreparedTopology,
                 jnp.asarray(rings["prev_pt"]), jnp.asarray(rings["mask"]),
                 uo_pos, jnp.asarray(a0.unique_indices().astype(np.int32)))
             if mesh_axis is not None:
-                s, f = _jit_normal_chain_sharded(*n_args, bits=normal_bits,
-                                                 mesh_axis=mesh_axis)
+                with jax.enable_x64(True):
+                    s, f = _jit_normal_chain_sharded(
+                        *n_args, bits=normal_bits, mesh_axis=mesh_axis)
             else:
                 s, f = normal_encode_chain(*n_args, bits=normal_bits)
             syms, flips = np.asarray(s), np.asarray(f)
@@ -1696,15 +1697,17 @@ def _jit_normal_chain_sharded(q_pos, normals, tip_pt, next_pt, prev_pt,
     Bytes equal the unsharded chain (oracle in tests/test_parallel.py)."""
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.normals import normal_encode_chain
+    from ..ops.normals import _normal_encode_chain_impl
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
     def run(qp, nr, tp, nx, pv, mk, up, un):
-        return normal_encode_chain(qp, nr, tp, nx, pv, mk, up, un,
-                                   bits=bits)
+        # the raw impl: the caller scopes jax.enable_x64 OUTSIDE this
+        # jit (the public wrapper would re-enter the scope mid-trace)
+        return _normal_encode_chain_impl(qp, nr, tp, nx, pv, mk, up, un,
+                                         bits=bits)
 
     fn = shard_map(run, mesh=mesh_axis,
                    in_specs=(P("data", None, None), P("data", None, None),
