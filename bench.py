@@ -420,8 +420,44 @@ def bench_decode_corpus(positions, faces, n_meshes: int = 128):
         for b in blobs:
             decode_one(b)
         best_n = min(best_n, time.perf_counter() - t0)
-    return _result("decode_corpus_throughput", n_meshes / best_g,
-                   "meshes/s", n_meshes / best_n)
+    res = _result("decode_corpus_throughput", n_meshes / best_g,
+                  "meshes/s", n_meshes / best_n)
+
+    # phased decode-normals sub-metric (round 5): the same group WITH
+    # normals, grouped host chains vs the batched device phase — the
+    # number that carries the 2.1x hardware claim into BENCH_r*.json
+    try:
+        nb = min(n_meshes, 64)
+        rng = np.random.RandomState(9)
+        nmeshes = []
+        from tpudraco.models import (AttributeDomain, AttributeType,
+                                     MeshBuilder)
+        for b in range(nb):
+            mb = MeshBuilder()
+            mb.set_connectivity_attribute(faces)
+            pid = mb.add_attribute(positions[b % len(positions)],
+                                   AttributeType.POSITION,
+                                   AttributeDomain.POSITION)
+            nrm = rng.randn(positions.shape[1], 3).astype(np.float32)
+            nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+            mb.add_attribute(nrm, AttributeType.NORMAL,
+                             AttributeDomain.CORNER, parents=[pid])
+            nmeshes.append(mb.build())
+        nblobs = [enc.encode_mesh(m) for m in nmeshes]
+        bd.decode_blobs_shared_topology(nblobs, normals="device")  # warm
+        best_h = best_d = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bd.decode_blobs_shared_topology(nblobs, normals="host")
+            best_h = min(best_h, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            bd.decode_blobs_shared_topology(nblobs, normals="device")
+            best_d = min(best_d, time.perf_counter() - t0)
+        res["normals_host_mps"] = round(nb / best_h, 1)
+        res["normals_phased_mps"] = round(nb / best_d, 1)
+    except Exception as e:  # pragma: no cover - sub-metric only
+        res["normals_phased_error"] = f"{type(e).__name__}: {e}"[:160]
+    return res
 
 
 def bench_huge(n: int = 1024):
