@@ -40,7 +40,11 @@ def _random_mesh(rng, n=7):
                                  Config(encoder_method=0,
                                         sequential_method="compressed"),
                                  Config.from_level(8),
-                                 Config.from_level(10)])
+                                 Config.from_level(10),
+                                 # round-5 dialect surfaces
+                                 Config(traversal=1),
+                                 Config(attribute_traversal=
+                                        "prediction-degree")])
 def test_roundtrip_torture_random_holed_grids(cfg):
     """Random holes produce boundary loops and non-manifold (bowtie)
     vertices; the corner table legitimately splits the latter, so the
@@ -59,7 +63,8 @@ def test_roundtrip_torture_random_holed_grids(cfg):
 @pytest.mark.parametrize("cfg", [Config(), Config(traversal=2),
                                  Config(encoder_method=0,
                                         sequential_method="compressed"),
-                                 Config.from_level(10)])
+                                 Config.from_level(10),
+                                 Config(traversal=1)])
 def test_decode_corruption_never_crashes(cfg):
     """Flip/zero bytes all over a valid stream: every corruption must
     either decode (harmless bit) or raise a typed error — including through
@@ -105,7 +110,12 @@ def test_decode_garbage_never_crashes():
                                  Config(quant_bits={AttributeType.NORMAL: 12,
                                                     AttributeType.TEX_COORD: 12}),
                                  Config(quant_bits={AttributeType.COLOR: 9}),
-                                 Config(encoder_method=0)])
+                                 Config(encoder_method=0),
+                                 # round-5: D4 orthogonal normal transform
+                                 # + prediction-degree sequencing together
+                                 Config(transform={AttributeType.NORMAL: 4},
+                                        attribute_traversal=
+                                        "prediction-degree")])
 def test_roundtrip_torture_textured(cfg):
     """Randomized textured meshes (positions + normals + seamed UVs +
     colors) across traversals; exercises the vectorized normal/UV
