@@ -21,11 +21,13 @@ FIXTURES = ["tetrahedron.obj", "sphere.obj", "torus.obj", "cube_quads.obj",
 CONFIGS = {"standard": {}, "valence": {"traversal": 2},
            "sequential": {"encoder_method": 0},
            # round-2 modes: table-aware auto symbol coding, and the full
-           # -cl 10 preset (valence + auto + multi-parallelogram positions;
-           # AttributeType.POSITION == 0 as a plain dict key)
+           # -cl 10 preset (round 5: valence + auto + multi-parallelogram
+           # positions + derivative UVs + D4 orthogonal normals;
+           # AttributeType POSITION==0 / NORMAL==1 / TEX_COORD==3 and
+           # prediction wire ids 2/7 as plain dict keys/values)
            "auto": {"symbol_coding": "auto"},
            "cl10": {"traversal": 2, "symbol_coding": "auto",
-                    "prediction": {0: 2}},
+                    "prediction": {0: 2, 3: 7}, "transform": {1: 4}},
            # round-3 mode: delta-coded sequential indices (method id 0)
            "seq_compressed": {"encoder_method": 0,
                               "sequential_method": "compressed"},

@@ -217,10 +217,10 @@ def test_cli_explicit_flags_override_cl_preset(tmp_path):
     out2 = str(tmp_path / "b.drc")
     assert cli(["-i", src, "-o", out2, "-cl", "10",
                 "--traversal", "standard", "--prediction", "default",
-                "-q"]) == 0
+                "--transform", "default", "-q"]) == 0
     out3 = str(tmp_path / "c.drc")
     assert cli(["-i", src, "-o", out3, "-cl", "8", "-q"]) == 0
-    # standard traversal + default prediction + auto coding == -cl 8
+    # standard traversal + default prediction/transform + auto == -cl 8
     assert open(out2, "rb").read() == open(out3, "rb").read()
 
 

@@ -132,8 +132,12 @@ class Config:
           3-6: edgebreaker Standard, reference-faithful DirectCoded
           7-8: edgebreaker Standard + table-aware auto symbol coding
           9-10: valence traversal + auto symbol coding + (10) averaged
-                multi-parallelogram positions — tpudraco-dialect streams,
-                smallest output, decodable by this framework
+                multi-parallelogram positions, derivative UV prediction,
+                and the exact D4 orthogonal normal transform (round 5:
+                each measured smaller on the fixture corpus — sphere
+                normals 1776B vs 1962B, Duck UVs 11270B vs 12203B) —
+                tpudraco-dialect streams, smallest output, decodable by
+                this framework
         """
         if not 0 <= level <= 10:
             raise ValueError(f"compression level {level} not in 0..10")
@@ -147,9 +151,13 @@ class Config:
         cfg = cls(traversal=EB_VALENCE, symbol_coding="auto")
         if level == 10:
             from ..models.attribute import AttributeType
-            from ..shared.prediction import PRED_MULTI_PARALLELOGRAM
+            from ..shared.prediction import (PRED_DERIVATIVE,
+                                             PRED_MULTI_PARALLELOGRAM)
+            from .transforms import XFORM_ORTHOGONAL
             cfg.prediction = {
-                AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM}
+                AttributeType.POSITION: PRED_MULTI_PARALLELOGRAM,
+                AttributeType.TEX_COORD: PRED_DERIVATIVE}
+            cfg.transform = {AttributeType.NORMAL: XFORM_ORTHOGONAL}
         return cfg
 
 

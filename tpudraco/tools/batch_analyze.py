@@ -75,7 +75,7 @@ def _size_table_configs():
         ("cl3-std", Config.from_level(3)),
         ("cl7-auto", Config.from_level(7)),
         ("cl9-valence", Config.from_level(9)),
-        ("cl10-multi", Config.from_level(10)),
+        ("cl10-max", Config.from_level(10)),
         ("single-conn", Config(use_single_connectivity=True)),
         ("deriv-uv", Config(prediction={
             AttributeType.TEX_COORD: PRED_DERIVATIVE})),
