@@ -379,6 +379,7 @@ def test_multihost_two_process(tmp_path):
         port = s.getsockname()[1]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache_dir = os.path.join(repo, "tests", ".jax_cache")
     script = os.path.join(tmp_path, "mh_worker.py")
     # each rank writes its summary to its own FILE: stdout is shared with
     # stderr and jax log lines can interleave mid-JSON (observed flake)
@@ -387,6 +388,11 @@ def test_multihost_two_process(tmp_path):
 import json, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
+# share the suite's persistent compile cache: each worker would otherwise
+# cold-compile the device plane, which blew the join timeout on a
+# throttled vCPU under TPUDRACO_TEST_TPU (round-5 TPU suite)
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 pid = int(sys.argv[1])
 jax.distributed.initialize(coordinator_address="localhost:{port}",
                            num_processes=2, process_id=pid)
@@ -402,7 +408,7 @@ with open({str(tmp_path)!r} + f"/worker{{pid}}.json", "w") as fh:
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for i in range(2)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o
 
