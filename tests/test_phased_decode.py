@@ -136,3 +136,21 @@ def test_ring_sum_overflow_at_deep_position_depth():
                                                       normals="device")
     for g, r in zip(got, ref):
         _assert_equal(g, r)
+
+
+def test_phased_mixed_traversal_group():
+    """Review-found round-5 bug: blobs with different attribute-traversal
+    bytes share the connectivity prefix but have DIFFERENT sequences;
+    grouping them into one phased batch used the majority's sequence for
+    everyone. Groups now key on the traversal and each sub-group decodes
+    with its own rings/sequence — values must equal per-blob decode for
+    both dialects in one call."""
+    mesh = _grid_mesh_with_normals(9, 1)
+    df = encode(mesh)
+    pd = encode(mesh, cfg=Config(attribute_traversal="prediction-degree"))
+    blobs = [df, pd, df, pd]
+    ref = [decode(b) for b in blobs]
+    got = BatchDecoder().decode_blobs_shared_topology(blobs,
+                                                      normals="device")
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)

@@ -304,9 +304,16 @@ def _decode_one(reader: ByteReader, h: dict, view: _DecView,
             1 if scheme_id == PRED_PARALLELOGRAM else 0, xform_id,
             xmeta.get("min", 0), xmeta.get("max", 0), view.num_vertices)
 
+    _mxq = int(xmeta.get("max_q", 255))
     if (values_by_vertex is None and normal_collector is not None
             and scheme_id == PRED_NORMAL and parents and flips is not None
-            and xform_id == XFORM_OCT_ORTHOGONAL and symbols is not None):
+            and xform_id == XFORM_OCT_ORTHOGONAL and symbols is not None
+            and h["port_type"] == PORT_OCTAHEDRAL
+            # the batched chain derives bits from max_q, so only the
+            # faithful 2^k - 1 shape may defer; foreign/crafted streams
+            # with other maxima keep the host chain (which honors the
+            # wire value exactly)
+            and _mxq >= 3 and _mxq == (1 << _mxq.bit_length()) - 1):
         # phased batch decode: hand the chain inputs to the caller and
         # return the attribute with values to be filled after the batched
         # device pass (decode_attributes docstring)

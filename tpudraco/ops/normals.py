@@ -154,9 +154,10 @@ def _ring_predict(q_pos, tip_i, next_i, prev_i, mask, bits: int):
     # NormalPrediction) and the overflow clamp reads the UNWRAPPED sum —
     # only afterwards does the host wrap to i32. Summing in int32 here
     # diverged once deep position depths pushed ring sums past 2^31
-    # (round-5 soak, phased-decode oracle at -qp 18). Callers scope
-    # jax.enable_x64 so the int64 is real; without x64 this degrades to
-    # the old wrapped-sum behavior (identical whenever no clamp fires).
+    # (round-5 soak, phased-decode oracle at -qp 18). Callers MUST scope
+    # jax.enable_x64 (the public wrappers do): without it the int64 is
+    # silently int32 and the 2^31 wrap constant below fails the trace
+    # with an OverflowError — loud, never silently divergent.
     total64 = cr.astype(jnp.int64).sum(axis=2)          # (B, T, 3)
 
     upper = 1 << 29

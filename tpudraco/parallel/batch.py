@@ -587,16 +587,25 @@ class BatchEncoder:
                 # multi-minute stall the host finishes in seconds
                 huge = v >= (self.CHUNKED_MIN_VERTS << 2)
                 reason = "single mesh (static)"
-                if huge:
+                if huge and not _device_link_healthy():
+                    # the degraded-link gate stays FIRST: estimates may
+                    # come from a healthier window (disk, TTL'd) and must
+                    # not route a huge mesh onto a dead tunnel
+                    huge = False
+                    reason = "single mesh (link degraded)"
+                elif huge:
                     est_h = self._mbs_estimate("host")
                     est_d = self._mbs_estimate("huge_device")
                     if est_h and est_d:
-                        huge = est_d > est_h
+                        # cross-window estimates are coarse (CLAUDE.md:
+                        # never compare timings across periods) — only a
+                        # 2x+ gap overrides the static rule
+                        if est_h > 2 * est_d:
+                            huge = False
+                        elif est_d > 2 * est_h:
+                            huge = True
                         reason = (f"single mesh (measured: device "
                                   f"{est_d:.1f} vs host {est_h:.1f} MB/s)")
-                    elif not _device_link_healthy():
-                        huge = False
-                        reason = "single mesh (link degraded)"
                 m = meshes[idxs[0]]
                 nbytes = int(m.position_attribute().values.nbytes)
                 t0 = time.perf_counter()
@@ -738,19 +747,15 @@ class BatchEncoder:
                 pass
         return self._route_disk
 
-    def _route_cache_store(self, sig: str, plane: str, n_basis: int,
-                           th: float, td: float) -> None:
-        """Persist a freshly measured decision (atomic rename; failures
+    def _route_cache_persist(self, key: str, entry: dict) -> None:
+        """Write one entry into the on-disk cache (atomic rename; failures
         are silent — the cache is an optimization, never a dependency)."""
         p = self._route_cache_path
         if not p:
             return
         try:
             entries = dict(self._route_cache_load())
-            entries[f"{sig}|{_route_link_bucket()}"] = {
-                "plane": plane, "n_basis": int(n_basis),
-                "host_s_per_mesh": round(th, 5),
-                "device_s_per_mesh": round(td, 5), "ts": time.time()}
+            entries[key] = entry
             os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
             tmp = f"{p}.tmp{os.getpid()}"
             with open(tmp, "w") as f:
@@ -760,29 +765,33 @@ class BatchEncoder:
         except Exception:
             pass
 
+    def _route_cache_store(self, sig: str, plane: str, n_basis: int,
+                           th: float, td: float) -> None:
+        """Persist a freshly measured routing decision."""
+        self._route_cache_persist(
+            f"{sig}|{_route_link_bucket()}",
+            {"plane": plane, "n_basis": int(n_basis),
+             "host_s_per_mesh": round(th, 5),
+             "device_s_per_mesh": round(td, 5), "ts": time.time()})
+
     def _note_mbs(self, kind: str, nbytes: int, seconds: float) -> None:
         """Accumulate a throughput observation (raw position bytes / wall
-        seconds) and persist it once enough data exists to be meaningful.
+        seconds); persist when the evidence roughly doubles (the first
+        draft rewrote the cache file on EVERY observation past 1 MB —
+        one disk rewrite per lone mesh on large corpora, review-found).
         kind: "host" (any host-plane encode) or "huge_device" (the
         resident/chunked lone-huge route)."""
         obs = self._host_obs if kind == "host" else self._huge_dev_obs
         obs[0] += float(nbytes)
         obs[1] += float(seconds)
-        if obs[0] >= 1e6 and obs[1] > 0.05 and self._route_cache_path:
-            try:
-                entries = dict(self._route_cache_load())
-                entries[f"__mbs__|{kind}|{_route_link_bucket()}"] = {
-                    "mbs": round(obs[0] / obs[1] / 1e6, 2),
-                    "ts": time.time()}
-                p = self._route_cache_path
-                os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-                tmp = f"{p}.tmp{os.getpid()}"
-                with open(tmp, "w") as f:
-                    json.dump({"v": 1, "entries": entries}, f)
-                os.replace(tmp, p)
-                self._route_disk = entries
-            except Exception:
-                pass
+        if len(obs) == 2:
+            obs.append(0.0)  # bytes total at last persist
+        if obs[0] >= 1e6 and obs[1] > 0.05 and obs[0] >= 2 * obs[2]:
+            obs[2] = obs[0]
+            self._route_cache_persist(
+                f"__mbs__|{kind}|{_route_link_bucket()}",
+                {"mbs": round(obs[0] / obs[1] / 1e6, 2),
+                 "ts": time.time()})
 
     def _mbs_estimate(self, kind: str) -> float | None:
         """In-process observation first (same window beats any cache),

@@ -155,23 +155,44 @@ class BatchDecoder:
         phased = (normals == "device"
                   or (normals == "auto"
                       and len(blobs) >= self.PHASED_NORMALS_MIN_BLOBS))
-        deferred: list = []       # (blob idx, att idx, da, payload)
-        pending: dict = {}        # blob idx -> decoded attribute list
+        items = []
         for i, blob in enumerate(blobs):
             try:
                 if bytes(blob[:conn_end]) != prefix:
                     out[i] = decode(blob)  # different topology: full path
                     continue
-                r = ByteReader(blob, pos=conn_end)
+            except Exception:
+                out[i] = None
+                continue
+
+            def fn(collector, _b=blob):
+                r = ByteReader(_b, pos=conn_end)
+                return decode_attributes(r, conn,
+                                         normal_collector=collector)
+            items.append((i, fn))
+        self._decode_items_with_phase(blobs, conn, items, out, phased)
+        return out
+
+    def _decode_items_with_phase(self, blobs, conn, items, out,
+                                 phased: bool) -> None:
+        """Shared phased-decode orchestration for the host and
+        device-entropy paths: run each blob's attribute decode (with the
+        deferral collector when phased), batch the deferred NORMAL chains
+        on device, fill, assemble — failed blobs refill from the full
+        host decoder, per blob. ``items``: (blob index, callable taking
+        the collector and returning the decoded attribute list)."""
+        from ..decode import _assemble_mesh
+
+        deferred: list = []       # (blob idx, att idx, da, payload)
+        pending: dict = {}        # blob idx -> decoded attribute list
+        for i, fn in items:
+            try:
                 if phased:
                     collector = (lambda ai, da, pl, _i=i:
                                  deferred.append((_i, ai, da, pl)))
-                    atts = decode_attributes(r, conn,
-                                             normal_collector=collector)
-                    pending[i] = atts
+                    pending[i] = fn(collector)
                 else:
-                    atts = decode_attributes(r, conn)
-                    out[i] = _assemble_mesh(conn, atts)
+                    out[i] = _assemble_mesh(conn, fn(None))
             except Exception:
                 deferred = [d for d in deferred if d[0] != i]
                 pending.pop(i, None)
@@ -189,7 +210,6 @@ class BatchDecoder:
                     out[i] = _assemble_mesh(conn, atts)
                 except Exception:
                     out[i] = None
-        return out
 
     @staticmethod
     def _fill_deferred_normals(conn, deferred: list) -> set:
@@ -207,9 +227,15 @@ class BatchDecoder:
         failed: set = set()
         groups: dict = {}
         for bi, ai, da, pl in deferred:
-            groups.setdefault((ai, int(pl["max_q"])), []).append(
+            # the attribute TRAVERSAL is part of the key: blobs with
+            # different TraversalType bytes have different sequences over
+            # the same topology (review-found round 5 — a mixed
+            # depth-first/prediction-degree group decoded the minority
+            # blobs with the majority's sequence, silently wrong)
+            trav = int(pl["h"].get("traversal", 0))
+            groups.setdefault((ai, int(pl["max_q"]), trav), []).append(
                 (bi, da, pl))
-        for (ai, max_q), items in groups.items():
+        for (ai, max_q, trav), items in groups.items():
             try:
                 import jax.numpy as jnp
 
@@ -221,12 +247,12 @@ class BatchDecoder:
                 cache = getattr(conn, "_phased_rings", None)
                 if cache is None:
                     cache = conn._phased_rings = {}
-                hit = cache.get(ai)
+                hit = cache.get((ai, trav))
                 if hit is None:
                     rings = collect_normal_rings(view, seq)
                     row = np.asarray(pl0["pos"].da.vertex_of_corner,
                                      dtype=np.int64)
-                    hit = cache[ai] = (
+                    hit = cache[(ai, trav)] = (
                         jnp.asarray(row[rings["tip_pt"]]),
                         jnp.asarray(row[rings["next_pt"]]),
                         jnp.asarray(row[rings["prev_pt"]]),
@@ -315,42 +341,19 @@ class BatchDecoder:
         phased = (normals == "device"
                   or (normals == "auto"
                       and len(matching) >= self.PHASED_NORMALS_MIN_BLOBS))
-        deferred: list = []
-        pending: dict = {}
+        items = []
         for i in matching:
-            try:
-                def inject(att_idx, n_sym, n, reader, _i=i):
+            def fn(collector, _i=i):
+                def inject(att_idx, n_sym, n, reader):
                     parse_direct_coded_stream(reader)  # advance the reader
                     return decoded_syms[(_i, att_idx)][:n_sym].astype(
                         np.uint64)
 
-                r = ByteReader(blobs[i], pos=conn_end)
-                if phased:
-                    collector = (lambda ai, da, pl, _i=i:
-                                 deferred.append((_i, ai, da, pl)))
-                    pending[i] = decode_attributes(
-                        r, conn, symbol_source=inject,
-                        normal_collector=collector)
-                else:
-                    atts = decode_attributes(r, conn, symbol_source=inject)
-                    out[i] = _assemble_mesh(conn, atts)
-            except Exception:
-                deferred = [d for d in deferred if d[0] != i]
-                pending.pop(i, None)
-                out[i] = None
-        if pending:
-            failed = self._fill_deferred_normals(conn, deferred)
-            for i, atts in pending.items():
-                if i in failed:
-                    try:
-                        out[i] = decode(blobs[i])
-                    except Exception:
-                        out[i] = None
-                    continue
-                try:
-                    out[i] = _assemble_mesh(conn, atts)
-                except Exception:
-                    out[i] = None
+                r = ByteReader(blobs[_i], pos=conn_end)
+                return decode_attributes(r, conn, symbol_source=inject,
+                                         normal_collector=collector)
+            items.append((i, fn))
+        self._decode_items_with_phase(blobs, conn, items, out, phased)
         return out
 
     def decode_corpus(self, inputs: list[str], out_dir: str,

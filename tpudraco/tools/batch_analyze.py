@@ -170,10 +170,14 @@ def update_baseline_md(path: str, rows: list[dict]) -> None:
     block = f"{SIZE_TABLE_BEGIN}\n{md}\n{SIZE_TABLE_END}"
     with open(path) as f:
         text = f.read()
-    if SIZE_TABLE_BEGIN in text:
+    if SIZE_TABLE_BEGIN in text and SIZE_TABLE_END in text:
         head = text[:text.index(SIZE_TABLE_BEGIN)]
         tail = text[text.index(SIZE_TABLE_END) + len(SIZE_TABLE_END):]
         text = head + block + tail
+    elif SIZE_TABLE_BEGIN in text:
+        # mangled block (END marker hand-deleted): replace from BEGIN to
+        # the end of the file rather than dying mid-update
+        text = text[:text.index(SIZE_TABLE_BEGIN)] + block + "\n"
     else:
         text = text.rstrip() + "\n\n## Size/quality baseline " \
             "(per-fixture, generated)\n\nBytes, compression ratio vs raw " \
