@@ -154,3 +154,25 @@ def test_phased_mixed_traversal_group():
                                                       normals="device")
     for g, r in zip(got, ref):
         _assert_equal(g, r)
+
+
+def test_phased_engages_for_single_huge_blob(monkeypatch):
+    """auto also engages at B=1 when the mesh is big enough to amortize
+    the dispatch (the decode mirror of the resident encode route)."""
+    bd = BatchDecoder()
+    monkeypatch.setattr(BatchDecoder, "PHASED_NORMALS_MIN_FACES", 64)
+    mesh = _grid_mesh_with_normals(9, 5)  # 128 faces >= lowered bar
+    blob = encode(mesh)
+    ref = decode(blob)
+    filled = {}
+    orig = BatchDecoder._fill_deferred_normals
+
+    def spy(conn, deferred):
+        filled["n"] = len(deferred)
+        return orig(conn, deferred)
+
+    monkeypatch.setattr(BatchDecoder, "_fill_deferred_normals",
+                        staticmethod(spy))
+    got = bd.decode_blobs_shared_topology([blob], normals="auto")
+    assert filled.get("n") == 1, "phased path did not engage at B=1"
+    _assert_equal(got[0], ref)

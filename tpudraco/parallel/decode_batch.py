@@ -100,11 +100,14 @@ class BatchDecoder:
                 out.append(None)
         return out
 
-    # phased-normals auto threshold: below this many matching blobs the
+    # phased-normals auto thresholds: below this many matching blobs the
     # device dispatch overhead beats the host chains (the hardware
     # experiment measured 5.2x at 128 blobs — benchmarks/
-    # decode_normals_phased.py, BASELINE.md round-5)
+    # decode_normals_phased.py, BASELINE.md round-5). A SINGLE huge blob
+    # also engages (B=1 with enough traversal steps amortizes the
+    # dispatch the same way the resident encode route does)
     PHASED_NORMALS_MIN_BLOBS = 16
+    PHASED_NORMALS_MIN_FACES = 1 << 17
 
     def decode_blobs_shared_topology(self, blobs: list[bytes],
                                      entropy: str = "host",
@@ -154,7 +157,9 @@ class BatchDecoder:
 
         phased = (normals == "device"
                   or (normals == "auto"
-                      and len(blobs) >= self.PHASED_NORMALS_MIN_BLOBS))
+                      and (len(blobs) >= self.PHASED_NORMALS_MIN_BLOBS
+                           or conn.corner_table.num_faces()
+                           >= self.PHASED_NORMALS_MIN_FACES)))
         items = []
         for i, blob in enumerate(blobs):
             try:
@@ -340,7 +345,9 @@ class BatchDecoder:
 
         phased = (normals == "device"
                   or (normals == "auto"
-                      and len(matching) >= self.PHASED_NORMALS_MIN_BLOBS))
+                      and (len(matching) >= self.PHASED_NORMALS_MIN_BLOBS
+                           or conn.corner_table.num_faces()
+                           >= self.PHASED_NORMALS_MIN_FACES)))
         items = []
         for i in matching:
             def fn(collector, _i=i):
