@@ -131,7 +131,7 @@ class BatchDecoder:
         PHASED_NORMALS_MIN_BLOBS+ matching blobs. Bytes identical either
         way (pinned by tests); any device failure refills from the host
         path per blob."""
-        from ..decode import _assemble_mesh, decode_header
+        from ..decode import decode_header
         from ..decode.attribute import decode_attributes
         from ..decode.connectivity import decode_connectivity
         from ..wire.byte_io import ByteReader
@@ -298,7 +298,6 @@ class BatchDecoder:
         symbols into the reconstruction chains (with the NORMAL chains
         optionally deferred to the phased device batch, see
         decode_blobs_shared_topology)."""
-        from ..decode import _assemble_mesh
         from ..decode.attribute import decode_attributes
         from ..entropy.symbol_coding import parse_direct_coded_stream
         from ..wire.byte_io import ByteReader
