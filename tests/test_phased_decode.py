@@ -176,3 +176,36 @@ def test_phased_engages_for_single_huge_blob(monkeypatch):
     got = bd.decode_blobs_shared_topology([blob], normals="auto")
     assert filled.get("n") == 1, "phased path did not engage at B=1"
     _assert_equal(got[0], ref)
+
+
+def test_phased_auto_suppressed_on_degraded_link(monkeypatch):
+    """A degraded-but-alive tunnel raises no exception — the phased path
+    would stall, not fail. auto must defer to the link probe (the decode
+    mirror of the encode router's lone-huge gate); explicit "device"
+    stays unconditional."""
+    from tpudraco.parallel import batch as pbatch
+
+    monkeypatch.setattr(pbatch, "_device_link_healthy", lambda *a, **k: False)
+    bd = BatchDecoder()
+    meshes = [_grid_mesh_with_normals(9, s) for s in range(20)]
+    blobs = [encode(m) for m in meshes]
+    ref = [decode(b) for b in blobs]
+    called = {"n": 0}
+    orig = BatchDecoder._fill_deferred_normals
+
+    def spy(conn, deferred):
+        called["n"] += len(deferred)
+        return orig(conn, deferred)
+
+    monkeypatch.setattr(BatchDecoder, "_fill_deferred_normals",
+                        staticmethod(spy))
+    got = bd.decode_blobs_shared_topology(blobs, normals="auto")
+    assert called["n"] == 0, "auto engaged the device plane on a dead link"
+    for g, r in zip(got, ref):
+        _assert_equal(g, r)
+
+    # explicit "device" still engages (user override)
+    got2 = bd.decode_blobs_shared_topology(blobs, normals="device")
+    assert called["n"] == len(blobs)
+    for g, r in zip(got2, ref):
+        _assert_equal(g, r)

@@ -109,6 +109,19 @@ class BatchDecoder:
     PHASED_NORMALS_MIN_BLOBS = 16
     PHASED_NORMALS_MIN_FACES = 1 << 17
 
+    def _phased_auto(self, n_blobs: int, conn) -> bool:
+        """auto engages when the batch (or a lone huge mesh) amortizes the
+        device dispatch AND the link probe says the tunnel is usable: a
+        degraded-but-alive tunnel raises no exception — the phased path
+        would simply stall for minutes (the same trap the encode router's
+        lone-huge rule hit, BASELINE.md round-5 08:26 capture)."""
+        if (n_blobs < self.PHASED_NORMALS_MIN_BLOBS
+                and conn.corner_table.num_faces()
+                < self.PHASED_NORMALS_MIN_FACES):
+            return False
+        from .batch import _device_link_healthy
+        return _device_link_healthy()
+
     def decode_blobs_shared_topology(self, blobs: list[bytes],
                                      entropy: str = "host",
                                      normals: str = "auto") -> list:
@@ -157,9 +170,7 @@ class BatchDecoder:
 
         phased = (normals == "device"
                   or (normals == "auto"
-                      and (len(blobs) >= self.PHASED_NORMALS_MIN_BLOBS
-                           or conn.corner_table.num_faces()
-                           >= self.PHASED_NORMALS_MIN_FACES)))
+                      and self._phased_auto(len(blobs), conn)))
         items = []
         for i, blob in enumerate(blobs):
             try:
@@ -344,9 +355,7 @@ class BatchDecoder:
 
         phased = (normals == "device"
                   or (normals == "auto"
-                      and (len(matching) >= self.PHASED_NORMALS_MIN_BLOBS
-                           or conn.corner_table.num_faces()
-                           >= self.PHASED_NORMALS_MIN_FACES)))
+                      and self._phased_auto(len(matching), conn)))
         items = []
         for i in matching:
             def fn(collector, _i=i):
