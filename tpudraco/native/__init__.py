@@ -26,6 +26,12 @@ _tried = False
 # from the numpy twin ~1-in-3M values — the round-3 XLA:CPU lesson);
 # the integer coders are unaffected
 _CXXFLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17", "-ffp-contract=off"]
+# Opt-in ISA targeting (TPUDRACO_NATIVE_MARCH=native|<arch>): the hot
+# loops are integer/memory-bound, so wider SIMD is measured per machine
+# before becoming a default; the flag joins the source hash so variants
+# build side by side. -ffp-contract=off still guards the float contract.
+if os.environ.get("TPUDRACO_NATIVE_MARCH"):
+    _CXXFLAGS = _CXXFLAGS + [f"-march={os.environ['TPUDRACO_NATIVE_MARCH']}"]
 
 
 def _source_hash() -> str:
@@ -57,9 +63,14 @@ def load_library():
                            check=True, capture_output=True)
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
+        # every pointer argument is c_void_p: call sites pass the raw
+        # ndarray.ctypes.data address (ctypes.cast/data_as cost ~80us
+        # per call on this vCPU — 24% of a small-mesh encode()). The
+        # typed POINTER forms checked nothing ctypes can verify anyway;
+        # callers must keep the owning array alive across the call
+        # (all sites pass named locals or views of named locals).
         i64, i32, u8p, i32p = (ctypes.c_int64, ctypes.c_int32,
-                               ctypes.POINTER(ctypes.c_uint8),
-                               ctypes.POINTER(ctypes.c_int32))
+                               ctypes.c_void_p, ctypes.c_void_p)
         lib.tpud_rans_encode.restype = i64
         lib.tpud_rans_encode.argtypes = [i32p, i64, i32p, i32p, i32, i64,
                                          u8p, i64]
@@ -70,23 +81,23 @@ def load_library():
         lib.tpud_rabs_encode.argtypes = [u8p, i64, i32, i32, i64, u8p, i64]
         lib.tpud_rabs_decode.restype = i32
         lib.tpud_rabs_decode.argtypes = [u8p, i64, i32, i32, i64, i64, u8p]
-        i64p = ctypes.POINTER(ctypes.c_int64)
+        i64p = ctypes.c_void_p
         lib.tpud_parse_rans_table.restype = i64
         lib.tpud_parse_rans_table.argtypes = [u8p, i64, i64, i64p]
-        u64p_ = ctypes.POINTER(ctypes.c_uint64)
+        u64p_ = ctypes.c_void_p
         lib.tpud_encode_direct.restype = i64
         lib.tpud_encode_direct.argtypes = [u64p_, i64, u8p, i64]
         lib.tpud_rans_decode_auto.restype = i32
         lib.tpud_rans_decode_auto.argtypes = [u8p, i64, i32p, i32p, i64,
                                               i32, i64, i64, i32p]
-        f32p = ctypes.POINTER(ctypes.c_float)
-        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f32p = ctypes.c_void_p
+        u16p = ctypes.c_void_p
         lib.tpud_quantize_batch.restype = i32
         lib.tpud_quantize_batch.argtypes = [f32p, i64, i64, i64, i32,
                                             u16p, f32p, f32p, i32p, i32p]
         lib.tpud_pack12.restype = None
         lib.tpud_pack12.argtypes = [u16p, i64, u8p, u8p]
-        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u64p = ctypes.c_void_p
         lib.tpud_predict_wrapped_zigzag.restype = i32
         lib.tpud_predict_wrapped_zigzag.argtypes = [
             i32p, i64, i64, i32p, i32p, i32p, i32p, i32p, u8p, u8p, i64,
@@ -106,12 +117,15 @@ def load_library():
     return _lib
 
 
-def _i32p(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+def _i32p(a: np.ndarray) -> int:
+    # raw address for a c_void_p argument slot; the caller must keep
+    # the array alive across the call (unlike data_as, nothing here
+    # holds a reference)
+    return a.ctypes.data
 
 
-def _u8p(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+def _u8p(a: np.ndarray) -> int:
+    return a.ctypes.data
 
 
 def quantize_batch(vals: np.ndarray, bits: int):
@@ -132,12 +146,10 @@ def quantize_batch(vals: np.ndarray, bits: int):
     delta = np.empty((B,), dtype=np.float32)
     vmin = np.empty((B,), dtype=np.int32)
     vmax = np.empty((B,), dtype=np.int32)
-    f32p = ctypes.POINTER(ctypes.c_float)
-    u16p = ctypes.POINTER(ctypes.c_uint16)
     rc = lib.tpud_quantize_batch(
-        vals.ctypes.data_as(f32p), B, V, C, bits,
-        q.ctypes.data_as(u16p), mins.ctypes.data_as(f32p),
-        delta.ctypes.data_as(f32p), _i32p(vmin), _i32p(vmax))
+        vals.ctypes.data, B, V, C, bits,
+        q.ctypes.data, mins.ctypes.data,
+        delta.ctypes.data, _i32p(vmin), _i32p(vmax))
     if rc != 0:
         return None
     return q, mins, delta, vmin, vmax
@@ -158,18 +170,15 @@ def pack12(q: np.ndarray):
     hb = np.empty((B, (n + 1) // 2), dtype=np.uint8)
     lib = load_library()
     if lib is not None:
-        u16p = ctypes.POINTER(ctypes.c_uint16)
         if n % 2 == 0:
             # pairs never cross rows when the row length is even: one
             # flat pass over the whole batch
-            lib.tpud_pack12(q.ctypes.data_as(u16p), q.size,
-                            _u8p(lo), _u8p(hb))
+            lib.tpud_pack12(q.ctypes.data, q.size, _u8p(lo), _u8p(hb))
         else:
             q2 = q.reshape(B, n)
             lo2 = lo.reshape(B, n)
             for b in range(B):
-                lib.tpud_pack12(q2[b].ctypes.data_as(u16p), n,
-                                _u8p(lo2[b]), _u8p(hb[b]))
+                lib.tpud_pack12(_u8p(q2[b]), n, _u8p(lo2[b]), _u8p(hb[b]))
         return lo, hb if q.ndim > 1 else hb[0]
     flat = q.reshape(B, n)
     np.copyto(lo.reshape(B, n), flat.astype(np.uint8))
@@ -227,9 +236,8 @@ def encode_direct(symbols: np.ndarray) -> bytes | None:
     symbols = np.ascontiguousarray(symbols, dtype=np.uint64)
     cap = len(symbols) * 8 + 3 * (1 << 20) + 64
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.tpud_encode_direct(
-        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        len(symbols), _u8p(out), cap)
+    n = lib.tpud_encode_direct(symbols.ctypes.data, len(symbols),
+                               _u8p(out), cap)
     if n < 0:
         return None
     return out[:n].tobytes()
@@ -253,8 +261,7 @@ def predict_wrapped_zigzag(vals: np.ndarray, origs_idx: np.ndarray,
     rc = lib.tpud_predict_wrapped_zigzag(
         _i32p(vals), V, C, _i32p(origs_idx), _i32p(nxt), _i32p(prv),
         _i32p(opp), _i32p(fb), _u8p(can_para_u8), _u8p(has_fb_u8), T,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        _i32p(vminmax[:1]), _i32p(vminmax[1:]))
+        out.ctypes.data, _i32p(vminmax[:1]), _i32p(vminmax[1:]))
     if rc != 0:
         return None
     return out, int(vminmax[0]), int(vminmax[1])
@@ -291,9 +298,8 @@ def parse_rans_table_body(view, num_symbols: int):
         return None
     buf = np.frombuffer(view, dtype=np.uint8)
     dist = np.empty(num_symbols, dtype=np.int64)
-    n = lib.tpud_parse_rans_table(
-        _u8p(buf), len(buf), num_symbols,
-        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    n = lib.tpud_parse_rans_table(_u8p(buf), len(buf), num_symbols,
+                                  dist.ctypes.data)
     if n < 0:
         return None
     return dist, int(n)

@@ -12,9 +12,12 @@ import numpy as np
 
 from . import load_library
 
-_i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-_i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
-_u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))   # noqa: E731
+# raw addresses for c_void_p argument slots (data_as/cast cost ~80us a
+# call on this vCPU); callers keep the owning arrays alive — every site
+# passes named locals or views of named locals
+_i64p = lambda a: a.ctypes.data  # noqa: E731
+_i32p = lambda a: a.ctypes.data  # noqa: E731
+_u8p = lambda a: a.ctypes.data   # noqa: E731
 _configured = False
 
 
@@ -25,9 +28,9 @@ def _lib():
         return None
     if not _configured:
         i64, i32 = ctypes.c_int64, ctypes.c_int32
-        I64P = ctypes.POINTER(i64)
-        I32P = ctypes.POINTER(i32)
-        U8P = ctypes.POINTER(ctypes.c_uint8)
+        I64P = ctypes.c_void_p
+        I32P = ctypes.c_void_p
+        U8P = ctypes.c_void_p
         lib.tpud_compute_table.restype = None
         lib.tpud_compute_table.argtypes = [I64P, i64, i64, I64P]
         lib.tpud_has_non_manifold_edges.restype = i32
@@ -46,7 +49,7 @@ def _lib():
         lib.tpud_edgebreaker.argtypes = [
             I64P, I64P, i64, i64, U8P, I64P, I64P, U8P, I64P, I64P, I64P,
             I64P, I64P, I64P, I64P]
-        U64P = ctypes.POINTER(ctypes.c_uint64)
+        U64P = ctypes.c_void_p
         lib.tpud_decode_pred_transform.restype = i32
         lib.tpud_decode_pred_transform.argtypes = [
             I64P, I64P, I64P, I64P, i64, U64P, i32, i32, i32, i64, i64,
@@ -177,7 +180,7 @@ def decode_pred_transform(opposite_eff, ctv, lm, seq, corr: np.ndarray,
     corr = np.ascontiguousarray(corr, dtype=np.uint64)
     T, N = corr.shape
     out = np.zeros((num_vertices, N), dtype=np.int64)
-    u64p = corr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    u64p = corr.ctypes.data
     rc = lib.tpud_decode_pred_transform(
         _i64p(opposite_eff), _i64p(ctv), _i64p(lm), _i64p(seq), T, u64p,
         N, scheme, xform, vmin, vmax, num_vertices, _i64p(out))
@@ -306,8 +309,7 @@ def decode_texcoords(opposite_eff, ctv, lm, seq, corr: np.ndarray,
     pos_by_corner = np.ascontiguousarray(pos_by_corner, dtype=np.int64)
     T = len(seq)
     out = np.zeros((num_vertices, 2), dtype=np.int64)
-    import ctypes as _ct
-    u64p = corr.ctypes.data_as(_ct.POINTER(_ct.c_uint64))
+    u64p = corr.ctypes.data
     rc = lib.tpud_decode_texcoords(
         _i64p(opposite_eff), _i64p(ctv), _i64p(lm), _i64p(seq), T, u64p,
         _u8p(orients), len(orientations), _i64p(pos_by_corner),
